@@ -1,0 +1,68 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + drain results via a
+count-style action that still computes all columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from formula_1_spark.queries.registry import load_all
+    from formula_1_spark.session import get_spark
+
+    spark = get_spark(app_name="formula_1_spark_bench")
+    registry = load_all()
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup.
+    from formula_1_spark.sources.tables import TABLE_NAMES, load_table
+
+    for name in TABLE_NAMES:
+        try:
+            load_table(spark, sf_dir, name).count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, spec in sorted(registry.items()):
+        t0 = time.perf_counter()
+        try:
+            df = spec.fn(spark, sf_dir)
+            # Force full computation of every column (not just count(*)
+            # which Catalyst would prune to a metadata scan).
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+        except Exception as e:
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            dt = None
+        timings[name] = round(dt, 4) if dt is not None else None
+        if dt is not None:
+            total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

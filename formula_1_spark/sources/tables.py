@@ -1,0 +1,68 @@
+"""Parquet table sources over the driver testdata star schema.
+
+Reference equivalents: S6 (parquet source, ``Transform Silver
+Data.py:47-49,54-65``) and the temp-view registration that backs the SQL
+half (``Transform Silver Data.py:79-87``). Scans stay lazy; Catalyst gets
+column pruning + predicate pushdown into the parquet reader for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazily scan one parquet table from a scale-factor directory.
+
+    Handles parquet TIMESTAMP(NANOS) columns (e.g. ``events.ts``), which
+    Spark's reader rejects by default: retries with
+    ``spark.sql.legacy.parquet.nanosAsLong`` and converts the nano-epoch
+    long back to a proper TimestampType (micros — the generator only has
+    microsecond precision, so the truncation is lossless).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:  # AnalysisException: PARQUET_TYPE_ILLEGAL
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None, register: bool = True
+) -> dict[str, DataFrame]:
+    """Load tables (lazy scans) and optionally register them as temp views
+    so both DataFrame and ``spark.sql`` query forms bind to the same data.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names or TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
