@@ -39,17 +39,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
     except Exception as e:  # AnalysisException: PARQUET_TYPE_ILLEGAL
         if "PARQUET_TYPE_ILLEGAL" not in str(e):
             raise
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    # Once nanosAsLong is on (session-wide), every later read lands ts as a
+    # nano-epoch BIGINT — normalize back to TimestampType on either path.
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-            )
+            # Integer DIV — a double division here rounds at 1e15-magnitude
+            # epoch-nanos and shifts some timestamps by 1 us.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 
