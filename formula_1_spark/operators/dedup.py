@@ -1,0 +1,279 @@
+"""Deduplication operators (training-data-pipeline extensions,
+SURVEY.md §7.1(7)): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+
+* **No all-pairs work.** Every near-dup variant generates candidates via
+  an inverted index (rare shingles / LSH band buckets / SimHash chunks) —
+  the only shuffles are on those candidate keys, and the quadratic blowup
+  is bounded per bucket (document-frequency caps, band width).
+* **Signatures are computed inside whole-stage codegen** — MinHash /
+  SimHash are pure ``transform``/``aggregate`` Column expressions over the
+  token arrays, no Python UDF, no explode of k hash functions.
+* **Shared deterministic hash.** ``h_i(s) = int(md5(i || ':' || s)[:15])``
+  is computable identically in ANSI SQL (DuckDB oracle) and Spark, so even
+  the probabilistic variants are exactly oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from formula_1_spark.functions.text import fingerprint, tokens, word_ngrams
+
+LONG_MAX = 9223372036854775807
+
+
+def md5_long(c: Column) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT (15 hex chars —
+    DuckDB equivalent: ``('0x' || substr(md5(x), 1, 15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup on the normalized fingerprint: one row per
+    distinct content, keeping the smallest id as canonical. Single shuffle
+    on the 128-bit fingerprint — the exact-dedup cost floor."""
+    return (
+        docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (inverted-index candidates + exact verify)
+# ---------------------------------------------------------------------------
+
+
+def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), word_ngrams(text_col, n).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 50,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs over word ``n``-gram shingle sets.
+
+    Candidate generation: inverted index over shingles with document
+    frequency <= ``max_df`` (ubiquitous shingles generate quadratic
+    candidate noise and no precision — dropping them is the standard
+    scale-out move; a true near-dup pair above any real threshold shares
+    at least one non-ubiquitous shingle at corpus scale). Verification
+    computes exact Jaccard on the FULL shingle sets via array
+    intersection, so candidate pruning never changes a reported score.
+    """
+    sh = _shingled(docs, id_col, text_col, n)
+    posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    rare = (
+        posting.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"), F.collect_set("doc_id").alias("docs"))
+        .filter(F.col("df") <= max_df)
+    )
+    cand = (
+        rare.select(F.explode("docs").alias("a"), F.col("docs"))
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    sized = sh.select("doc_id", "sh", F.size("sh").alias("n_sh"))
+    a = sized.select(
+        F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")
+    )
+    b = sized.select(
+        F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb")
+    )
+    verified = (
+        cand.join(a, "a")
+        .join(b, "b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(
+        F.col("a").alias("doc_id_1"), F.col("b").alias("doc_id_2"), "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(sh_col: Column, k: int = 32) -> Column:
+    """k MinHash values as an array<bigint>, computed as a pure expression:
+    ``sig[i] = min over shingles of md5_long(i || ':' || shingle)``."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.aggregate(
+            sh_col,
+            F.lit(LONG_MAX).cast("bigint"),
+            lambda acc, s: F.least(
+                acc,
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(i.cast("string"), F.lit(":"), s)), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            ),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash(k) signatures → LSH banding (``bands`` × ``k/bands`` rows)
+    → candidate pairs sharing any band bucket → exact-Jaccard verification
+    on full shingle sets.
+
+    With k=32, b=8, r=4 the candidate-recall S-curve crosses ~50% at
+    Jaccard ≈ (1/8)^(1/4) ≈ 0.6 — tuned for the 0.5-0.9 near-dup range.
+    The only shuffle keys are (band_id, band_key): at 100 TB the bucket
+    join replaces an impossible all-pairs comparison, and skewed buckets
+    (natural near-dup clusters) are handled by AQE skew-join splitting.
+    """
+    r = k // bands
+    sh = _shingled(docs, id_col, text_col, n)
+    sigs = sh.withColumn("sigs", minhash_signature(F.col("sh"), k))
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.struct(
+            j.alias("band_id"),
+            F.concat_ws(",", F.slice("sigs", j * r + 1, r)).alias("band_key"),
+        ),
+    )
+    bands_df = sigs.select(
+        "doc_id", F.explode(band_structs).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+    cand = (
+        bands_df.alias("x")
+        .join(bands_df.alias("y"), ["band_id", "band_key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sized = sh.select("doc_id", "sh", F.size("sh").alias("n_sh"))
+    a = sized.select(
+        F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")
+    )
+    b = sized.select(
+        F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb")
+    )
+    return (
+        cand.join(a, "a")
+        .join(b, "b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("a").alias("doc_id_1"), F.col("b").alias("doc_id_2"), "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4  # 4 x 15-bit chunks: hamming <= 3 ⇒ >= 1 chunk equal
+
+
+def simhash_column(tok_col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """60-bit SimHash over the token multiset, as one expression tree:
+    hash each token once, then per bit j sum +1/-1 by bit j of the hash;
+    bit j of the result is set iff the sum is positive. Shift amounts are
+    Python ints (Spark's shiftright takes a literal), so the per-bit
+    expressions are generated by a Python loop — still 100% JVM-side."""
+    hashes = F.transform(tok_col, md5_long)
+
+    def bitsum(j: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+
+    bitsums = [bitsum(j) for j in range(bits)]
+    sig = F.lit(0).cast("bigint")
+    for j, s in enumerate(bitsums):
+        sig = sig + F.when(s > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return sig
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit signatures, candidates via the
+    4-chunk pigeonhole (hamming <= 3 guarantees an equal 15-bit chunk),
+    verified by exact ``bit_count(xor)``."""
+    sigs = docs.select(
+        F.col(id_col).alias("doc_id"), simhash_column(tokens(text_col)).alias("sig")
+    )
+    chunk_w = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("sig"), c * chunk_w)
+                        .bitwiseAND(F.lit((1 << chunk_w) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "sig", "ch.chunk_id", "ch.chunk_val")
+
+    return (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk_id", "chunk_val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_id_1"),
+            F.col("y.doc_id").alias("doc_id_2"),
+            F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,171 @@
+"""Deduplication queries over ``documents`` with full DuckDB oracles.
+
+Even the probabilistic variants (MinHash+LSH, SimHash) are exactly
+oracle-checked: the hash family ``int(md5(i || ':' || s)[:15 hex])`` is
+computed identically in Spark (``conv(substr(md5(..),1,15),16,10)``) and
+DuckDB (``('0x' || substr(md5(..),1,15))::BIGINT``), so candidate sets and
+verified pair sets agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from formula_1_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from formula_1_spark.queries.registry import register
+from formula_1_spark.sources.tables import load_table
+
+# Shared oracle CTEs: tokens → distinct word-3-gram shingles.
+_SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, greatest(len(t) - 2, 0)),
+                       i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS sh
+  FROM toks
+),
+shf AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh WHERE len(sh) > 0)
+"""
+
+
+@register(
+    "dedup_exact",
+    ops="EXT-dedup-exact,A1",
+    doc="Exact dedup via normalized-text fingerprint hash-groupBy; "
+    "canonical id = min(doc_id).",
+    oracle="""
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       MIN(doc_id) AS canonical_id,
+       COUNT(1) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    ops="EXT-dedup-jaccard,J4,A1",
+    doc="Exact word-3-gram Jaccard >= 0.5 pairs; candidates via "
+    "rare-shingle inverted index (df <= 50), verified on full sets.",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+posting AS (SELECT doc_id, unnest(sh) AS shingle FROM shf),
+rare AS (
+  SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(1) <= 50
+),
+cand AS (
+  SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+  FROM posting p1
+  JOIN rare r ON p1.shingle = r.shingle
+  JOIN posting p2 ON p2.shingle = p1.shingle
+  WHERE p1.doc_id < p2.doc_id
+),
+verified AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.sh, sb.sh))
+           / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN shf sa ON sa.doc_id = c.a
+  JOIN shf sb ON sb.doc_id = c.b
+)
+SELECT a AS doc_id_1, b AS doc_id_2, jaccard
+FROM verified WHERE jaccard >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    ops="EXT-dedup-minhash,J4",
+    doc="MinHash(32) + LSH (8 bands x 4 rows) candidates, exact-Jaccard "
+    "verified >= 0.5. Shared md5 hash family makes it oracle-exact.",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id, sh, n_sh,
+         list_transform(range(0, 32), i ->
+           list_reduce(
+             list_transform(sh, s ->
+               ('0x' || substr(md5(i::VARCHAR || ':' || s), 1, 15))::BIGINT),
+             (a, b) -> least(a, b))) AS sigs
+  FROM shf
+),
+bands AS (
+  SELECT doc_id, j.j AS band_id,
+         array_to_string(list_slice(sigs, j.j * 4 + 1, j.j * 4 + 4), ',') AS band_key
+  FROM sigs, (SELECT unnest(range(0, 8)) AS j) j
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x
+  JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+verified AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.sh, sb.sh))
+           / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN shf sa ON sa.doc_id = c.a
+  JOIN shf sb ON sb.doc_id = c.b
+)
+SELECT a AS doc_id_1, b AS doc_id_2, jaccard
+FROM verified WHERE jaccard >= 0.5
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash",
+    ops="EXT-dedup-simhash,J4",
+    doc="60-bit SimHash over token multisets; candidates via 4x15-bit "
+    "chunk pigeonhole, verified by bit_count(xor) <= 3.",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+),
+bits AS (
+  SELECT doc_id, j.j AS j,
+         SUM(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(range(0, 60)) AS j) j
+  GROUP BY doc_id, j.j
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sig
+  FROM bits GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, sig, c.c AS chunk_id, (sig >> (c.c * 15)) & 32767 AS chunk_val
+  FROM sig, (SELECT unnest(range(0, 4)) AS c) c
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+         CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+  FROM chunks x
+  JOIN chunks y ON x.chunk_id = y.chunk_id AND x.chunk_val = y.chunk_val
+  WHERE x.doc_id < y.doc_id
+)
+SELECT doc_id_1, doc_id_2, hamming FROM pairs WHERE hamming <= 3
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))

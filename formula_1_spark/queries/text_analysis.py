@@ -1,0 +1,99 @@
+"""Text-analysis queries over ``documents`` with DuckDB oracles.
+
+The oracle SQL mirrors each Spark expression operation-for-operation
+(same operand order, same integer/double division points) so doubles come
+out bit-identical. DuckDB regexp_replace needs the 'g' flag to match
+Spark's replace-all semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from formula_1_spark.functions.text import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_guess,
+    quality_score,
+    token_count,
+)
+from formula_1_spark.queries.registry import register
+from formula_1_spark.sources.tables import load_table
+
+_EN = LANG_MARKERS["en"]
+_ES = LANG_MARKERS["es"]
+_DE = LANG_MARKERS["de"]
+
+_LANG_CASE = f"""CASE
+  WHEN len(regexp_extract_all(text, '{_EN}')) >= len(regexp_extract_all(text, '{_ES}'))
+   AND len(regexp_extract_all(text, '{_EN}')) >= len(regexp_extract_all(text, '{_DE}'))
+   AND len(regexp_extract_all(text, '{_EN}')) > 0 THEN 'en'
+  WHEN len(regexp_extract_all(text, '{_ES}')) >= len(regexp_extract_all(text, '{_DE}'))
+   AND len(regexp_extract_all(text, '{_ES}')) > 0 THEN 'es'
+  WHEN len(regexp_extract_all(text, '{_DE}')) > 0 THEN 'de'
+  ELSE 'und' END"""
+
+
+@register(
+    "text_quality_profile",
+    ops="EXT-text,F1,F6,P6",
+    doc="Per-document text stats: token count, heuristic language ID, "
+    "quality score, normalized fingerprint — all JVM-side expressions.",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       {_LANG_CASE} AS lang_guess,
+       len(regexp_extract_all(text, '{_EN}'))
+         / len(regexp_split_to_array(trim(text), '\\s+')) * 0.4
+       + least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.3
+       + (1.0 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+              / length(text)) * 0.3 AS quality,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+""",
+)
+def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        lang_guess("text").alias("lang_guess"),
+        quality_score("text").alias("quality"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+@register(
+    "text_lang_report",
+    ops="EXT-text,A5,F9",
+    doc="Corpus report: per (source, guessed language) doc count, label "
+    "agreement, mean token count.",
+    oracle=f"""
+WITH profiled AS (
+  SELECT source, lang,
+         {_LANG_CASE} AS lang_guess,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT source, lang_guess,
+       COUNT(1) AS n_docs,
+       COUNT(CASE WHEN lang_guess = lang THEN 1 END) AS label_matches,
+       AVG(n_tokens) AS avg_tokens
+FROM profiled
+GROUP BY source, lang_guess
+""",
+)
+def text_lang_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    profiled = docs.select(
+        "source",
+        "lang",
+        lang_guess("text").alias("lang_guess"),
+        token_count("text").alias("n_tokens"),
+    )
+    return profiled.groupBy("source", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("lang_guess") == F.col("lang"), True)).alias("label_matches"),
+        F.avg("n_tokens").alias("avg_tokens"),
+    )

@@ -1,0 +1,80 @@
+"""Dedup operator semantics on handcrafted documents: known duplicate
+pairs must be found, unrelated docs must not pair."""
+
+from __future__ import annotations
+
+import pytest
+
+from formula_1_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees"
+)
+NEAR = BASE.replace("warm", "cold")  # one-token edit → high jaccard
+OTHER = (
+    "completely different content about spark query engines and columnar "
+    "storage formats with vectorized execution and cost based optimizers"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # byte-exact duplicate of 1
+        (3, "  " + BASE.upper() + "  "),  # normalizes to same fingerprint
+        (4, NEAR),  # near-duplicate of 1
+        (5, OTHER),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_normalized(docs):
+    out = {r["canonical_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    # 1,2,3 collapse (lowercase + trim + whitespace-collapse); 4,5 unique.
+    assert out == {1: 3, 4: 1, 5: 1}
+
+
+def _pairs(df):
+    return {(r["doc_id_1"], r["doc_id_2"]) for r in df.collect()}
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    got = _pairs(ngram_jaccard_pairs(docs, threshold=0.5))
+    assert (1, 2) in got  # identical
+    assert (1, 4) in got and (2, 4) in got  # near-dup
+    assert all(5 not in p for p in got)  # unrelated never pairs
+    jac = {
+        (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert jac[(1, 2)] == 1.0
+    assert 0.5 < jac[(1, 4)] < 1.0
+
+
+def test_minhash_lsh_agrees_with_exact_on_high_sim(docs):
+    got = _pairs(minhash_lsh_pairs(docs, threshold=0.5))
+    # LSH must recover the identical pair and the one-edit near-dup
+    # (jaccard ~0.88 → recall ~1 at b=8, r=4).
+    assert (1, 2) in got and (1, 4) in got
+    assert all(5 not in p for p in got)
+
+
+def test_simhash_identical_token_multisets(docs, spark):
+    shuffled = " ".join(reversed(BASE.split()))
+    d2 = spark.createDataFrame(
+        [(1, BASE), (2, shuffled), (3, OTHER)], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id_1"], r["doc_id_2"]): r["hamming"]
+        for r in simhash_pairs(d2).collect()
+    }
+    # Same token multiset → identical simhash → hamming 0.
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got and (2, 3) not in got
