@@ -1,0 +1,160 @@
+"""Multimodal (image/audio/video) column plumbing (SURVEY.md §7.1(7)).
+
+Media lives in DataFrames as opaque ``binary`` payload columns plus typed
+metadata — the lakehouse-native layout (payloads inline for small media,
+or pointer + byte-range for large objects; either way the Spark plan shape
+is identical). Decode / resize / frame-sample are Python-side work and
+therefore run as Arrow-batched ``mapInPandas`` stages — the ONE place this
+engine uses Python UDFs, because Spark has no builtin codecs.
+
+The actual codecs (Pillow / ffmpeg / torchaudio) are NOT installed in this
+environment, so the decode kernels are STUBBED: ``decode_media`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic md5-based stand-in produces the same schema/batch shapes the
+real kernel would. Everything AROUND the kernel — schema contract, Arrow
+batch iteration, partition sizing, metadata passthrough — is real and
+tested.
+
+Scale notes: mapInPandas streams Arrow batches (no full-partition
+materialization); media work is embarrassingly parallel, so the only knob
+that matters is input-split sizing (``spark.sql.files.maxPartitionBytes``
+low enough that a partition of payloads fits executor memory).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta_width", T.IntegerType(), True),
+        T.StructField("meta_height", T.IntegerType(), True),
+        T.StructField("meta_duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def fake_feature_vector(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in feature extractor: feature i is the first 60
+    bits of md5(payload || ':' || i) scaled to [0, 1). Reproducible in
+    ANSI SQL, so the full mapInPandas path is oracle-checkable."""
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(payload + b":" + str(i).encode()).hexdigest()
+        out.append(int(h[:15], 16) / float(1 << 60))
+    return out
+
+
+def extract_features(
+    media: DataFrame, fake: bool = True, batch_hint: int | None = None
+) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column.
+
+    ``fake=False`` is the real-codec path — STUB: raises
+    NotImplementedError (no image/audio libraries in this environment).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real media decoding requires Pillow/ffmpeg — not available; "
+            "use fake=True for the deterministic stand-in kernel"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "features": pdf["payload"].map(fake_feature_vector),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=FEATURES_SCHEMA)
+
+
+def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode payloads to pixel/sample arrays — STUB for the real codecs.
+    The fake path emits deterministic 'decoded' dimensions derived from
+    metadata so downstream plumbing (resize planning, frame sampling) can
+    be exercised end-to-end."""
+    if not fake:
+        raise NotImplementedError("real decode requires media codecs — not installed")
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("decoded_width", T.IntegerType(), True),
+            T.StructField("decoded_height", T.IntegerType(), True),
+            T.StructField("n_frames", T.IntegerType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "decoded_width": pdf["meta_width"].fillna(0).astype("int32"),
+                    "decoded_height": pdf["meta_height"].fillna(0).astype("int32"),
+                    "n_frames": (
+                        pdf["meta_duration_ms"].fillna(0).astype("int64") // 40
+                    ).astype("int32"),  # 25 fps
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=schema)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Pure-SQL frame sampling plan: one output row per sampled frame
+    timestamp (video only) — demonstrates that *planning* multimodal work
+    stays in Catalyst; only the pixel work needs Python."""
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(F.col("meta_duration_ms") - 1, F.lit(0)), F.lit(every_ms)
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as opaque payloads (the testdata
+    has no real media) with deterministic synthetic metadata. Keeps every
+    multimodal query runnable — and oracle-checkable — on the driver
+    tables."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.col("n_chars") % 1920).cast("int").alias("meta_width"),
+        (F.col("n_chars") % 1080).cast("int").alias("meta_height"),
+        (F.col("n_chars") * 40).cast("int").alias("meta_duration_ms"),
+    )

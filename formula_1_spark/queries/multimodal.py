@@ -1,0 +1,75 @@
+"""Multimodal queries over documents-as-media with DuckDB oracles.
+
+``media_feature_extract`` runs the REAL mapInPandas Arrow path (Python
+md5 kernel); its oracle recomputes the same features in SQL — proving the
+Python batch kernel, not just the plan around it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from formula_1_spark.operators.multimodal import (
+    FEATURE_DIM,
+    documents_as_media,
+    extract_features,
+    frame_sample_plan,
+)
+from formula_1_spark.queries.registry import register
+from formula_1_spark.sources.tables import load_table
+
+_MEDIA_CTE = """
+media AS (
+  SELECT doc_id AS media_id,
+         (['image', 'audio', 'video'])[(doc_id % 3)::INT + 1] AS media_type,
+         text AS payload_text,
+         (n_chars % 1920)::INT AS meta_width,
+         (n_chars % 1080)::INT AS meta_height,
+         (n_chars * 40)::INT AS meta_duration_ms
+  FROM documents
+)
+"""
+
+_FEATURES = ", ".join(
+    f"(('0x' || substr(md5(payload_text || ':' || {i}), 1, 15))::BIGINT"
+    f" / CAST(1152921504606846976 AS DOUBLE))"
+    for i in range(FEATURE_DIM)
+)
+
+
+@register(
+    "media_feature_extract",
+    ops="EXT-multimodal-features,UDF-pandas",
+    doc="Arrow-batched mapInPandas feature extraction over binary payloads "
+    "(deterministic md5 kernel — the stubbed stand-in for a real encoder); "
+    "oracle recomputes the Python kernel in SQL.",
+    oracle=f"""
+WITH {_MEDIA_CTE}
+SELECT media_id, media_type,
+       CAST(strlen(payload_text) AS BIGINT) AS n_bytes,
+       [{_FEATURES}] AS features
+FROM media
+""",
+)
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(media, fake=True)
+
+
+@register(
+    "media_frame_sample_plan",
+    ops="EXT-multimodal-frames,P3",
+    doc="Catalyst-side frame-sampling plan: one row per 1s frame tick per "
+    "video payload (sequence + explode — no Python).",
+    oracle=f"""
+WITH {_MEDIA_CTE}
+SELECT media_id, unnest(range(0, greatest(meta_duration_ms - 1, 0) + 1, 1000)) AS frame_ts_ms
+FROM media WHERE media_type = 'video'
+""",
+)
+def media_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return frame_sample_plan(media).select(
+        "media_id", F.col("frame_ts_ms").cast("bigint")
+    )

@@ -1,0 +1,127 @@
+"""Similarity-search queries over ``embeddings`` with DuckDB oracles.
+
+Query set = vectors with ``vec_id < 10``. Both the exact brute-force
+baseline and the LSH-bucketed ANN path are fully deterministic (md5-seeded
+hyperplanes, left-fold double arithmetic), so BOTH get exact oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from formula_1_spark.operators.similarity import (
+    BAND_BITS,
+    N_BANDS,
+    N_PLANES,
+    brute_force_topk,
+    lsh_topk,
+)
+from formula_1_spark.queries.registry import register
+from formula_1_spark.sources.tables import load_table
+
+_COS = """
+list_reduce(list_transform(list_zip({a}, {b}),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
+/ (sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        (acc, v) -> acc + v))
+ * sqrt(list_reduce(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        (acc, v) -> acc + v)))
+"""
+
+
+def _proj_sql(p: int) -> str:
+    """Signed projection of `embedding` onto md5-derived hyperplane p —
+    mirrors operators.similarity._projection op-for-op."""
+    return (
+        "list_reduce(list_transform(range(0, 64), d -> "
+        "CAST(embedding[d + 1] AS DOUBLE) * "
+        f"(CASE WHEN ('0x' || substr(md5('{p},' || d::VARCHAR), 1, 1))::INT & 1 = 1 "
+        "THEN 1.0 ELSE -1.0 END)), (acc, v) -> acc + v)"
+    )
+
+
+def _band_sql(b: int) -> str:
+    bits = [
+        f"(CASE WHEN {_proj_sql(b * BAND_BITS + i)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(BAND_BITS)
+    ]
+    return " + ".join(bits)
+
+
+_BANDS_CTE = "banded AS (\n  SELECT vec_id, embedding,\n" + ",\n".join(
+    f"         {_band_sql(b)} AS band_{b}" for b in range(N_BANDS)
+) + "\n  FROM embeddings\n)"
+
+_BANDS_LONG = (
+    "bands AS (\n"
+    + "  UNION ALL\n".join(
+        f"  SELECT vec_id, embedding, {b} AS band_id, band_{b} AS band_key FROM banded\n"
+        for b in range(N_BANDS)
+    )
+    + ")"
+)
+
+
+@register(
+    "similarity_topk_bruteforce",
+    ops="EXT-sim-bruteforce,W1,J1",
+    doc="Exact cosine top-10 neighbors per query vector (vec_id < 10); "
+    "broadcast nested-loop + per-query window rank.",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_COS.format(a="q.q_vec", b="e.embedding")} AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10
+""",
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10))
+
+
+@register(
+    "similarity_ann_lsh",
+    ops="EXT-sim-lsh,J4,W1",
+    doc=f"ANN top-10 via {N_PLANES}-bit hyperplane LSH ({N_BANDS} bands x "
+    f"{BAND_BITS} bits) + exact cosine re-rank among bucket candidates. "
+    "Deterministic md5 hyperplanes → exact oracle.",
+    oracle=f"""
+WITH {_BANDS_CTE},
+{_BANDS_LONG},
+q AS (SELECT * FROM bands WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, q.embedding AS q_vec,
+                  c.vec_id AS neighbor_id, c.embedding AS c_vec
+  FROM q JOIN bands c ON q.band_id = c.band_id AND q.band_key = c.band_key
+  WHERE q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_COS.format(a="q_vec", b="c_vec")} AS cos
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10
+""",
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10))
