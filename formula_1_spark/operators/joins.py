@@ -50,3 +50,29 @@ def compound_key_join(
     leading key to eliminate the shuffle.
     """
     return left.join(right, on=list(keys), how=how)
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi join: the skewed side gets a random salt in
+    [0, n_salts); the small side is replicated n_salts times; the join
+    runs on (key, salt), spreading each hot key across n_salts reducers.
+
+    AQE's skew-join splitting handles most cases at runtime; explicit
+    salting is for the pathological single-key hotspots AQE can't split
+    (e.g. one key = 30% of a 100 TB fact). The salt column is internal
+    and dropped from the output.
+    """
+    salted_left = skewed.withColumn(
+        "__salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    replicated = small.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+    )
+    return salted_left.join(replicated, on=[key, "__salt"], how=how).drop("__salt")

@@ -1,0 +1,233 @@
+"""Engine-native relational extras beyond the reference surface: as-of
+join, range join, pivot, cube, distinct-count aggregates — each with a
+DuckDB oracle (DuckDB's native ASOF JOIN verifies our union-scan as-of).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from formula_1_spark.operators.asof import asof_join_backward
+from formula_1_spark.queries.registry import register
+from formula_1_spark.sources.tables import load_table
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "asof_join_events",
+    ops="EXT-asof-join,W1",
+    doc="Backward as-of join with genuinely interleaved timestamps: each "
+    "'error' event picks up the same user's most recent preceding (or "
+    "simultaneous) 'click' event; union-scan implementation verified "
+    "against DuckDB's native ASOF JOIN.",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts,
+         arg_max(event_id, event_id) AS click_event_id,
+         arg_max(value, event_id) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+),
+errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       c.click_event_id, c.click_value
+FROM errors e
+ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+""",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # Pre-reduce right-side ties on (key, ts) deterministically.
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("event_id", "event_id").alias("click_event_id"),
+            F.max_by("value", "event_id").alias("click_value"),
+        )
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join_backward(
+        errors,
+        clicks.withColumnRenamed("user_id", "c_user_id").withColumnRenamed("ts", "c_ts"),
+        left_key="user_id",
+        right_key="c_user_id",
+        left_ts="ts",
+        right_ts="c_ts",
+        payload_cols=["click_event_id", "click_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "click_event_id",
+        "click_value",
+    )
+
+
+@register(
+    "range_join_signup_funnel",
+    ops="EXT-range-join,A1",
+    doc="Equi-key range join (funnel): per signup event, count the same "
+    "user's events within the following hour.",
+    oracle="""
+WITH signups AS (
+  SELECT event_id AS signup_id, user_id, ts AS signup_ts
+  FROM events WHERE event_type = 'signup'
+)
+SELECT s.signup_id,
+       COUNT(e.event_id) AS n_follow,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS follow_value
+FROM signups s
+JOIN events e
+  ON e.user_id = s.user_id
+ AND e.ts > s.signup_ts
+ AND e.ts <= s.signup_ts + INTERVAL '1 hour'
+GROUP BY s.signup_id
+""",
+)
+def range_join_signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("signup_ts"),
+    )
+    joined = signups.join(
+        events,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("ts") > F.col("signup_ts"))
+        & (F.col("ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.groupBy("signup_id").agg(
+        F.count("event_id").alias("n_follow"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("follow_value"),
+    )
+
+
+_PIVOT_COLS = ", ".join(
+    'COUNT(CASE WHEN o_orderpriority = \'{p}\' THEN 1 END) AS "{p}"'.format(p=p)
+    for p in PRIORITIES
+)
+
+
+@register(
+    "orders_priority_pivot",
+    ops="EXT-pivot,A5",
+    doc="Pivot: order counts per year x priority (explicit value list → "
+    "deterministic columns).",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       {_PIVOT_COLS}
+FROM orders
+GROUP BY 1
+""",
+)
+def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .pivot("o_orderpriority", PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, PRIORITIES)
+    )
+
+
+@register(
+    "lineitem_cube",
+    ops="EXT-cube,A5",
+    doc="CUBE over (returnflag, linestatus): all grouping-set subtotals.",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(1) AS n_rows,
+       SUM(l_quantity) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "quantity_percentiles",
+    ops="EXT-percentile,A5",
+    doc="Exact interpolated percentiles (p50/p90) + median per return "
+    "flag — Spark percentile ≡ DuckDB quantile_cont (verified identical "
+    "interpolation).",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50,
+       quantile_cont(l_quantity, 0.9) AS p90,
+       quantile_cont(l_extendedprice, 0.5) AS price_median
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50"),
+        F.percentile("l_quantity", 0.9).alias("p90"),
+        F.percentile("l_extendedprice", 0.5).alias("price_median"),
+    )
+
+
+@register(
+    "global_topk_two_phase",
+    ops="W2-scale,O3",
+    doc="Scale-safe global top-20 lineitems by extendedprice: "
+    "per-partition rank prune → global rank on survivors — the pattern "
+    "that replaces single-partition Window.orderBy on raw data.",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       CAST(RANK() OVER (
+         ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC)
+         AS INTEGER) AS rank
+FROM lineitem
+QUALIFY rank <= 20
+""",
+)
+def global_topk_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.windows import two_phase_global_topk
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return two_phase_global_topk(
+        li,
+        [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        k=20,
+    )
+
+
+@register(
+    "distinct_counts",
+    ops="EXT-distinct-agg,A5",
+    doc="Exact distinct-count aggregates per return flag.",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )

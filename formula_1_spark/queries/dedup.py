@@ -12,7 +12,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from formula_1_spark.operators.dedup import (
+    MINHASH_P,
     exact_dedup,
+    minhash_coeffs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -20,16 +22,23 @@ from formula_1_spark.operators.dedup import (
 from formula_1_spark.queries.registry import register
 from formula_1_spark.sources.tables import load_table
 
-# Shared oracle CTEs: tokens → distinct word-3-gram shingles.
+# Shared oracle CTEs: tokens → distinct word-3-gram shingles → 32-bit
+# md5-hashed shingle sets (mirrors operators.dedup.md5_int32/_shingled).
 _SHINGLES_CTE = """
 toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 ),
-sh AS (
+grams AS (
   SELECT doc_id,
          list_distinct(list_transform(range(0, greatest(len(t) - 2, 0)),
-                       i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS sh
+                       i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS g
   FROM toks
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(g, s ->
+           ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS sh
+  FROM grams
 ),
 shf AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh WHERE len(sh) > 0)
 """
@@ -86,22 +95,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+_MINHASH_MINS = ",\n".join(
+    f"         MIN(({a} * x + {b}) % {MINHASH_P}) AS s{i}"
+    for i, (a, b) in enumerate(minhash_coeffs(32))
+)
+_SIG_ARRAY = "[" + ", ".join(f"s{i}" for i in range(32)) + "]"
+
+
 @register(
     "dedup_minhash_lsh",
     ops="EXT-dedup-minhash,J4",
-    doc="MinHash(32) + LSH (8 bands x 4 rows) candidates, exact-Jaccard "
-    "verified >= 0.5. Shared md5 hash family makes it oracle-exact.",
+    doc="MinHash(32) (one md5 base hash + 32 linear permutations mod "
+    "2^31-1) + LSH (8 bands x 4 rows) candidates, exact-Jaccard verified "
+    ">= 0.5. Shared deterministic hash family makes it oracle-exact.",
     oracle=f"""
 WITH {_SHINGLES_CTE},
-sigs AS (
-  SELECT doc_id, sh, n_sh,
-         list_transform(range(0, 32), i ->
-           list_reduce(
-             list_transform(sh, s ->
-               ('0x' || substr(md5(i::VARCHAR || ':' || s), 1, 15))::BIGINT),
-             (a, b) -> least(a, b))) AS sigs
-  FROM shf
+base AS (
+  SELECT doc_id, shingle % {MINHASH_P} AS x
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM shf)
 ),
+sigagg AS (
+  SELECT doc_id,
+{_MINHASH_MINS}
+  FROM base GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, {_SIG_ARRAY} AS sigs FROM sigagg),
 bands AS (
   SELECT doc_id, j.j AS band_id,
          array_to_string(list_slice(sigs, j.j * 4 + 1, j.j * 4 + 4), ',') AS band_key

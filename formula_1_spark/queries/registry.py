@@ -58,6 +58,8 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.similarity",
         "formula_1_spark.queries.text_analysis",
         "formula_1_spark.queries.multimodal",
+        "formula_1_spark.queries.analytics_extras",
+        "formula_1_spark.queries.sketches",
     ):
         try:
             __import__(mod)

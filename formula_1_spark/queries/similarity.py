@@ -32,12 +32,14 @@ list_reduce(list_transform(list_zip({a}, {b}),
 
 def _proj_sql(p: int) -> str:
     """Signed projection of `embedding` onto md5-derived hyperplane p —
-    mirrors operators.similarity._projection op-for-op."""
+    mirrors operators.similarity._projection op-for-op, with the SAME
+    Python-precomputed ±1 literals baked in."""
+    from formula_1_spark.operators.similarity import plane_sign
+
+    signs = ", ".join(str(plane_sign(p, d)) for d in range(64))
     return (
-        "list_reduce(list_transform(range(0, 64), d -> "
-        "CAST(embedding[d + 1] AS DOUBLE) * "
-        f"(CASE WHEN ('0x' || substr(md5('{p},' || d::VARCHAR), 1, 1))::INT & 1 = 1 "
-        "THEN 1.0 ELSE -1.0 END)), (acc, v) -> acc + v)"
+        f"list_reduce(list_transform(list_zip(embedding, [{signs}]), "
+        "x -> CAST(x[1] AS DOUBLE) * x[2]), (acc, v) -> acc + v)"
     )
 
 

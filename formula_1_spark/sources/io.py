@@ -46,6 +46,24 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table for shuffle-free co-located joins: two
+    tables bucketed identically on their join key hash-partition on disk,
+    so a join between them needs NO exchange (SortMergeJoin reads
+    co-located buckets directly). This is the at-rest answer to repeated
+    100 TB fact-fact joins — pay the shuffle once at write time."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def ensure_database(spark: SparkSession, name: str, location: str | None = None) -> None:
     """S8: ``CREATE DATABASE IF NOT EXISTS`` (optionally with LOCATION)."""
     loc = f" LOCATION '{location}'" if location else ""

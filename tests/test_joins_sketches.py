@@ -1,0 +1,41 @@
+"""Salted-join equivalence and sketch error bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from formula_1_spark.operators.joins import salted_join
+from formula_1_spark.sources.tables import load_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey")
+    salted = salted_join(li, orders, "l_orderkey", n_salts=8)
+    assert sorted(salted.columns) == sorted(plain.columns)
+    assert salted.count() == plain.count()
+    p = {tuple(r) for r in plain.select(sorted(plain.columns)).collect()}
+    s = {tuple(r) for r in salted.select(sorted(plain.columns)).collect()}
+    assert p == s
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"))
+        .collect()
+    }
+    for flag, n in exact.items():
+        rel_err = abs(approx[flag] - n) / n
+        assert rel_err < 0.05, (flag, n, approx[flag])
