@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.analytics_extras",
         "formula_1_spark.queries.sketches",
         "formula_1_spark.queries.catalog_f1",
+        "formula_1_spark.queries.tpch_classic",
     ):
         try:
             __import__(mod)

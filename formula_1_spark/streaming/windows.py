@@ -103,6 +103,19 @@ def session_window_agg(
     )
 
 
+def stream_dedup(
+    stream: DataFrame, keys: Sequence[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key's state only until
+    the watermark passes — the streaming counterpart of the batch
+    ``exact_dedup`` (duplicates arriving within the watermark window are
+    suppressed; state never grows unboundedly)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def stream_from_parquet_dir(spark, path: str, schema) -> DataFrame:
     """File-source stream over a parquet directory (micro-batch per file
     set). The batch/stream symmetry lets every aggregation above be tested

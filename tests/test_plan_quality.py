@@ -1,0 +1,61 @@
+"""Plan-quality guards: every registered query's physical plan must stay
+on the fast path — no row-at-a-time Python UDFs, no cartesian products,
+Python only in the declared mapInPandas surfaces, broadcast joins for dim
+lookups. Guards against regressions that correctness tests can't see."""
+
+from __future__ import annotations
+
+import pytest
+
+from formula_1_spark.queries.registry import load_all
+
+REGISTRY = load_all()
+
+# Queries allowed to run Python kernels (Arrow-batched mapInPandas only).
+PANDAS_OK = {"media_feature_extract"}
+# Broadcast nested-loop is the intended strategy for the brute-force
+# similarity baseline (query set broadcast against the corpus).
+BNLJ_OK = {"similarity_topk_bruteforce", "asof_join_events"}
+
+
+def _plan(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_slow_path_in_plan(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in PANDAS_OK:
+        assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, (
+            f"{name}: unexpected Python stage"
+        )
+    if name not in BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unplanned nested-loop join"
+        )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["race_results_denorm", "driver_standings", "constructor_standings",
+     "tpch_q5_local_supplier_volume"],
+)
+def test_dim_joins_are_broadcast(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: dim join not broadcast"
+    assert "SortMergeJoin" not in plan, f"{name}: unexpected sort-merge join"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "filter_scan_project")
+    assert "PushedFilters: [" in plan
+    assert "LessThan(l_shipdate" in plan or "GreaterThan(l_discount" in plan, plan
