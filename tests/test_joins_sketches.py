@@ -39,3 +39,29 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     for flag, n in exact.items():
         rel_err = abs(approx[flag] - n) / n
         assert rel_err < 0.05, (flag, n, approx[flag])
+
+
+def test_range_join_operator(spark, sf_dir):
+    from formula_1_spark.operators.asof import range_join
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    signups = events.filter("event_type = 'signup'").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    out = range_join(
+        events,
+        signups,
+        key_left="user_id",
+        key_right="s_user",
+        ts_left="ts",
+        lo=F.col("s_ts"),
+        hi=F.col("s_ts") + F.expr("INTERVAL 1 HOUR"),
+    )
+    rows = out.select("event_id", "signup_id", "ts", "s_ts").collect()
+    assert rows, "range join found no rows"
+    for r in rows:
+        delta = (r["ts"] - r["s_ts"]).total_seconds()
+        assert 0 <= delta < 3600
