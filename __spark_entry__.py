@@ -8,11 +8,19 @@ matching DuckDB oracle SQL string.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from formula_1_spark.queries.registry import load_all
+# Robust to being imported from any cwd: the package lives next to this
+# file.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from formula_1_spark.queries.registry import load_all  # noqa: E402
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
