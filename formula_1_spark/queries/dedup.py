@@ -187,3 +187,48 @@ SELECT doc_id_1, doc_id_2, hamming FROM pairs WHERE hamming <= 3
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_COS_PAIR = """
+list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
+/ (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        (acc, v) -> acc + v))
+ * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        (acc, v) -> acc + v)))
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    ops="EXT-dedup-embedding,J4",
+    doc="Embedding-cosine near-dup pairs (cosine >= 0.45): exact "
+    "broadcast all-pairs at this corpus size; at scale the candidate "
+    "stage swaps to banded hyperplane LSH (recall < 1) with the same "
+    "exact re-verification.",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+         {_COS_PAIR} AS cos
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+)
+SELECT vec_id_1, vec_id_2, cos FROM pairs WHERE cos >= 0.45
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from formula_1_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_id_1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("vec_id_2"), F.col("embedding").alias("e2"))
+    # The embeddings relation is the smallest table — broadcast one side;
+    # the all-pairs comparison runs map-side in whole-stage codegen.
+    pairs = a.join(F.broadcast(b), F.col("vec_id_1") < F.col("vec_id_2"))
+    return (
+        pairs.withColumn("cos", cosine(F.col("e1"), F.col("e2")))
+        .filter(F.col("cos") >= 0.45)
+        .select("vec_id_1", "vec_id_2", "cos")
+    )

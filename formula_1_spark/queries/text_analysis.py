@@ -97,3 +97,33 @@ def text_lang_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("lang_guess") == F.col("lang"), True)).alias("label_matches"),
         F.avg("n_tokens").alias("avg_tokens"),
     )
+
+
+# BPE-ish pre-tokenization pattern (GPT-2-style segment classes without
+# lookarounds, so Java regex and RE2 agree): letter runs, digit runs,
+# punctuation singletons.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_bpe_tokens",
+    ops="EXT-text-bpe",
+    doc="BPE-ish regex pre-tokenization: per-doc segment count + "
+    "whitespace-token ratio (the token-budget estimator shape).",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INTEGER)
+         AS bpe_segments,
+       len(regexp_extract_all(text, '{BPE_PATTERN}'))
+         / len(regexp_split_to_array(trim(text), '\\s+')) AS segs_per_word
+FROM documents
+""",
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    segs = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        segs.alias("bpe_segments"),
+        (segs / token_count("text")).alias("segs_per_word"),
+    )

@@ -311,6 +311,69 @@ def fixture_fetchers(
         page = items[offset : offset + limit]
         return _envelope("SeasonTable", {"Seasons": page}, len(items), limit, offset)
 
+    def laps(limit: int, offset: int) -> dict:
+        # Doubly-nested arrays: Races[].Laps[].Timings[] — the deepest
+        # flattener path in the real Ergast feed. Year gate: >= 1996.
+        races = []
+        for season in seasons:
+            for rnd in range(1, races_per_season + 1):
+                race = _race_header(season, rnd)
+                race["Laps"] = (
+                    [
+                        {
+                            "number": str(lap),
+                            "Timings": [
+                                {
+                                    "driverId": did,
+                                    "position": str(((i + lap) % drivers_per_race) + 1),
+                                    "time": f"1:3{lap}.{100 + i}",
+                                }
+                                for i, did in enumerate(driver_ids[:3])
+                            ],
+                        }
+                        for lap in range(1, 3)
+                    ]
+                    if season >= 1996
+                    else []
+                )
+                races.append(race)
+        page = races[offset : offset + limit]
+        return _envelope(
+            "RaceTable", {"season": str(seasons[0]), "Races": page}, len(races), limit, offset
+        )
+
+    def qualifying(limit: int, offset: int) -> dict:
+        races = []
+        for season in seasons:
+            for rnd in range(1, races_per_season + 1):
+                race = _race_header(season, rnd)
+                race["QualifyingResults"] = [
+                    {
+                        "number": str(10 + i),
+                        "position": str(i + 1),
+                        "Driver": {"driverId": did, "url": "u"},
+                        "Constructor": {"constructorId": constructor_ids[i], "url": "u"},
+                        "Q1": f"1:2{i}.00{i}",
+                        # Q2/Q3 only for the top qualifiers (sparse fields).
+                        **({"Q2": f"1:2{i}.10{i}"} if i < 4 else {}),
+                        **({"Q3": f"1:2{i}.20{i}"} if i < 2 else {}),
+                    }
+                    for i, did in enumerate(driver_ids)
+                ]
+                races.append(race)
+        page = races[offset : offset + limit]
+        return _envelope(
+            "RaceTable", {"season": str(seasons[0]), "Races": page}, len(races), limit, offset
+        )
+
+    def status(limit: int, offset: int) -> dict:
+        items = [
+            {"statusId": "1", "count": str(drivers_per_race - 1), "status": "Finished"},
+            {"statusId": "5", "count": "1", "status": "Engine"},
+        ]
+        page = items[offset : offset + limit]
+        return _envelope("StatusTable", {"Status": page}, len(items), limit, offset)
+
     return {
         "circuits": circuits,
         "drivers": drivers,
@@ -319,4 +382,7 @@ def fixture_fetchers(
         "pitstops": pitstops,
         "schedule": schedule,
         "seasons": seasons_ep,
+        "laps": laps,
+        "qualifying": qualifying,
+        "status": status,
     }

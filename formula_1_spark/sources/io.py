@@ -36,6 +36,23 @@ def latest_snapshot(root: str, skip: tuple[str, ...] = ("db",)) -> str:
     return best.path
 
 
+def list_snapshots(root: str, skip: tuple[str, ...] = ("db",)) -> list[str]:
+    """All snapshot dirs oldest→newest (mtime, then name). The poor man's
+    time travel over the reference's snapshot-overwrite layout: pair with
+    :func:`snapshot_at` to query any historical ingest state."""
+    entries = [e for e in os.scandir(root) if e.is_dir() and e.name not in skip]
+    return [e.path for e in sorted(entries, key=lambda e: (e.stat().st_mtime, e.name))]
+
+
+def snapshot_at(root: str, version: int, skip: tuple[str, ...] = ("db",)) -> str:
+    """Snapshot path by version index: 0 = oldest, -1 = newest (Delta-style
+    ``versionAsOf`` over plain snapshot directories)."""
+    snaps = list_snapshots(root, skip)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshot directories under {root}")
+    return snaps[version]
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """S7: overwrite parquet sink. ``partition_by`` enables partition
     pruning downstream — the scale-out upgrade over the reference's flat
