@@ -107,6 +107,58 @@ def _with_bands(df: DataFrame, id_alias: str, vec_alias: str, dims: int) -> Data
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
+    vector to its nearest centroid cell; queries probe only the
+    ``n_probe`` nearest cells and re-rank exactly within them.
+
+    Determinism: centroids are the first ``n_cells`` corpus vectors
+    (``vec_id < n_cells``) rather than k-means iterates — reproducible in
+    ANSI SQL, and at 100 TB you'd train real centroids offline and
+    broadcast them exactly like this. Cell assignment = argmax cosine
+    with (cell id) tie-break. The shuffle key is the cell id; per-cell
+    skew is bounded by the quantizer balance, the classic IVF tradeoff.
+    """
+    centroids = corpus.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent")
+    )
+
+    def assign(df: DataFrame, id_alias: str, vec_alias: str, top: int) -> DataFrame:
+        scored = df.select(
+            F.col("vec_id").alias(id_alias), F.col("embedding").alias(vec_alias)
+        ).join(F.broadcast(centroids), F.lit(True))
+        scored = scored.withColumn("cell_cos", cosine(F.col(vec_alias), F.col("cent")))
+        w = Window.partitionBy(id_alias).orderBy(F.desc("cell_cos"), F.asc("cell_id"))
+        return (
+            scored.withColumn("cell_rank", F.row_number().over(w))
+            .filter(F.col("cell_rank") <= top)
+            .select(id_alias, vec_alias, "cell_id")
+        )
+
+    corpus_cells = assign(corpus, "neighbor_id", "c_vec", 1)
+    query_cells = assign(queries, "query_id", "q_vec", n_probe)
+
+    cand = (
+        query_cells.join(corpus_cells, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10, dims: int = 64
 ) -> DataFrame:

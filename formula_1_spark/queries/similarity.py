@@ -15,6 +15,7 @@ from formula_1_spark.operators.similarity import (
     N_BANDS,
     N_PLANES,
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
 )
 from formula_1_spark.queries.registry import register
@@ -127,3 +128,58 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10))
+
+
+@register(
+    "similarity_ann_ivf",
+    ops="EXT-sim-ivf,J4,W1",
+    doc="IVF ANN top-10: 8-cell coarse quantizer (centroids = vec_id < 8, "
+    "deterministic), queries probe 2 nearest cells, exact re-rank within. "
+    "Fully SQL-reproducible.",
+    oracle=f"""
+WITH centroids AS (
+  SELECT vec_id AS cell_id, embedding AS cent FROM embeddings WHERE vec_id < 8
+),
+corpus_scored AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec, c.cell_id,
+         {_COS.format(a="e.embedding", b="c.cent")} AS cell_cos
+  FROM embeddings e, centroids c
+),
+corpus_cells AS (
+  SELECT neighbor_id, c_vec, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY neighbor_id ORDER BY cell_cos DESC, cell_id ASC) AS r
+    FROM corpus_scored) WHERE r <= 1
+),
+query_scored AS (
+  SELECT e.vec_id AS query_id, e.embedding AS q_vec, c.cell_id,
+         {_COS.format(a="e.embedding", b="c.cent")} AS cell_cos
+  FROM embeddings e, centroids c
+  WHERE e.vec_id < 10
+),
+query_cells AS (
+  SELECT query_id, q_vec, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cell_cos DESC, cell_id ASC) AS r
+    FROM query_scored) WHERE r <= 2
+),
+cand AS (
+  SELECT DISTINCT q.query_id, q.q_vec, c.neighbor_id, c.c_vec
+  FROM query_cells q JOIN corpus_cells c ON q.cell_id = c.cell_id
+  WHERE q.query_id <> c.neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_COS.format(a="q_vec", b="c_vec")} AS cos
+  FROM cand
+)
+SELECT query_id, neighbor_id, cos,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10))

@@ -14,9 +14,10 @@ REGISTRY = load_all()
 # Queries allowed to run Python kernels (Arrow-batched mapInPandas only).
 PANDAS_OK = {"media_feature_extract"}
 # Broadcast nested-loop is the intended strategy for the brute-force
-# similarity baseline (query set broadcast against the corpus). The
-# as-of join needs no exemption: its union-scan plan has zero joins.
-BNLJ_OK = {"similarity_topk_bruteforce"}
+# similarity baseline and the IVF centroid assignment (tiny broadcast
+# side against the corpus). The as-of join needs no exemption: its
+# union-scan plan has zero joins.
+BNLJ_OK = {"similarity_topk_bruteforce", "similarity_ann_ivf", "dedup_embedding_cosine"}
 
 
 def _plan(spark, name: str) -> str:
