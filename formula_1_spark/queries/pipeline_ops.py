@@ -1,0 +1,150 @@
+"""Training-data pipeline operators over ``documents``: overlapping
+token-window chunking, PII scrubbing, deterministic hash-based dataset
+splitting — the remaining staples of an LLM data pipeline, each
+oracle-checked.
+
+Scale notes: chunking is a pure expression + explode (rows scale with
+chunks, no shuffle); scrubbing is chained regexp_replace inside codegen;
+hash splitting replaces ``.sample()`` randomness with a content-stable
+md5 bucket — reproducible across runs, engines and partitionings, which
+is what makes dataset splits auditable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from formula_1_spark.functions.text import tokens
+from formula_1_spark.queries.registry import register
+from formula_1_spark.sources.tables import load_table
+
+CHUNK = 40  # tokens per chunk
+STRIDE = 30  # overlap = CHUNK - STRIDE
+
+
+@register(
+    "doc_chunking",
+    ops="EXT-chunking,P3",
+    doc=f"Overlapping token-window chunking ({CHUNK}-token windows, "
+    f"stride {STRIDE}): one row per training sample.",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, s.s AS chunk_start,
+         array_to_string(list_slice(t, s.s + 1, s.s + {CHUNK}), ' ') AS chunk_text
+  FROM toks,
+       (SELECT unnest(range(0, 100000, {STRIDE})) AS s) s
+  WHERE s.s < len(t)
+)
+SELECT doc_id, CAST(chunk_start AS INTEGER) AS chunk_start, chunk_text,
+       CAST(len(regexp_split_to_array(chunk_text, '\\s+')) AS INTEGER) AS chunk_tokens
+FROM chunks
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    # chunk starts: 0, STRIDE, 2*STRIDE, ... while start < n_tokens
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.lit(STRIDE),
+    )
+    chunked = docs.select(
+        "doc_id", toks.alias("t"), F.explode(starts).alias("chunk_start")
+    ).filter(F.col("chunk_start") < F.size("t"))
+    with_text = chunked.select(
+        "doc_id",
+        "chunk_start",
+        F.concat_ws(" ", F.slice("t", F.col("chunk_start") + 1, CHUNK)).alias(
+            "chunk_text"
+        ),
+    )
+    return with_text.withColumn(
+        "chunk_tokens", F.size(F.split("chunk_text", r"\s+"))
+    )
+
+
+def text_scrub_pii_columns(text_col: str = "text") -> list:
+    """Reusable scrub projection: scrubbed text + changed flag."""
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col(text_col), r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"
+            ),
+            r"https?://[^ ]+",
+            "<URL>",
+        ),
+        r"[0-9]{6,}",
+        "<NUM>",
+    )
+    return [
+        scrub.alias("scrubbed"),
+        (scrub != F.col(text_col)).alias("was_scrubbed"),
+    ]
+
+
+@register(
+    "text_scrub_pii",
+    ops="EXT-scrub,F1",
+    doc="Chained regexp scrubbing: emails, URLs, long digit runs replaced "
+    "with typed placeholder tokens; flags rows that changed.",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+           'https?://[^ ]+', '<URL>', 'g'),
+         '[0-9]{6,}', '<NUM>', 'g') AS scrubbed,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+           'https?://[^ ]+', '<URL>', 'g'),
+         '[0-9]{6,}', '<NUM>', 'g') <> text AS was_scrubbed
+FROM documents
+""",
+)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *text_scrub_pii_columns())
+
+
+@register(
+    "dataset_hash_split",
+    ops="EXT-split,A5",
+    doc="Deterministic train/val/test split: md5(doc_id) bucket mod 10 → "
+    "8/1/1 — content-stable, engine-independent, auditable (no RNG).",
+    oracle="""
+WITH bucketed AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 AS b
+  FROM documents
+),
+tagged AS (
+  SELECT doc_id, lang,
+         CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END
+           AS split
+  FROM bucketed
+)
+SELECT split, lang, COUNT(1) AS n_docs
+FROM tagged GROUP BY split, lang
+""",
+)
+def dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    tagged = docs.select(
+        "doc_id",
+        "lang",
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test").alias("split"),
+    )
+    return tagged.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -65,6 +65,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.join_types",
         "formula_1_spark.queries.functions_breadth",
         "formula_1_spark.queries.window_frames",
+        "formula_1_spark.queries.pipeline_ops",
     ):
         try:
             __import__(mod)

@@ -65,3 +65,21 @@ def test_range_join_operator(spark, sf_dir):
     for r in rows:
         delta = (r["ts"] - r["s_ts"]).total_seconds()
         assert 0 <= delta < 3600
+
+
+def test_pii_scrub_positive_path(spark):
+    """The driver corpus has no PII, so pin the scrub patterns on
+    synthetic rows."""
+    from formula_1_spark.queries.pipeline_ops import text_scrub_pii_columns
+
+    rows = [
+        (1, "contact me at jane.doe+x@example.org for details"),
+        (2, "see https://example.com/a?b=1 and card 1234567890"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: (r["scrubbed"], r["was_scrubbed"]) for r in
+           df.select("doc_id", *text_scrub_pii_columns()).collect()}
+    assert out[1][0] == "contact me at <EMAIL> for details" and out[1][1]
+    assert out[2][0] == "see <URL> and card <NUM>" and out[2][1]
+    assert out[3] == ("nothing sensitive here", False)
