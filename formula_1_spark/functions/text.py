@@ -73,10 +73,12 @@ def fingerprint(text: str | Column = "text") -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
-def word_ngrams(text: str | Column = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles (the dedup unit). Expression-only:
-    ``transform(sequence)`` over the token array — no explode, no UDF."""
-    toks = tokens(text)
+def word_ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    array column. Expression-only: ``transform(sequence)`` — no explode,
+    no UDF. Take tokens from a cached relation: if ``toks`` is itself the
+    ``split()`` expression, CollapseProject re-inlines the split into
+    every lambda element (one regex split per n-gram per row)."""
     return F.when(
         F.size(toks) >= n,
         F.array_distinct(
@@ -86,3 +88,10 @@ def word_ngrams(text: str | Column = "text", n: int = 3) -> Column:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(text: str | Column = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the dedup unit) straight from text.
+    Prefer :func:`word_ngrams_from_tokens` over a cached token relation in
+    hot paths (see its CollapseProject note)."""
+    return word_ngrams_from_tokens(tokens(text), n)

@@ -33,3 +33,43 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+# ---------------------------------------------------------------------------
+# Flat-column vector kernels (the pair-comparison hot path)
+# ---------------------------------------------------------------------------
+#
+# Higher-order functions (``aggregate``/``zip_with``) are evaluated
+# interpreted, per element, outside whole-stage codegen — fine once per row,
+# ~10x too slow once per candidate PAIR. For pairwise scoring the engine
+# flattens each vector side into ``dims`` scalar double columns in a
+# one-time projection (per ROW, not per pair), then scores pairs with a
+# flat multiply-add chain that codegens. The chain adds left-to-right in
+# element order — the same fold order as :func:`dot` and the DuckDB
+# oracle's ``list_reduce`` (0.0 + x == x) — so results stay bit-identical.
+
+
+def flatten_vec(
+    prefix: str, vec_col: Column, dims: int, denom: Column | None = None
+) -> list[Column]:
+    """``dims`` scalar double columns ``{prefix}0..{prefix}{dims-1}``
+    extracted from an array column (optionally elementwise-divided by
+    ``denom``, e.g. a precomputed norm for unit-normalization). Run ONCE
+    per row before a pair join. ``denom`` must be a plain column, not an
+    embedded HOF fold — see the CollapseProject caveat in the module doc."""
+    out = []
+    for d in range(dims):
+        c = F.element_at(vec_col, d + 1).cast("double")
+        if denom is not None:
+            c = c / denom
+        out.append(c.alias(f"{prefix}{d}"))
+    return out
+
+
+def flat_dot(prefix_a: str, prefix_b: str, dims: int) -> Column:
+    """Left-to-right dot product over two flattened sides — bit-identical
+    to ``dot`` on the original arrays."""
+    acc = F.col(f"{prefix_a}0") * F.col(f"{prefix_b}0")
+    for d in range(1, dims):
+        acc = acc + F.col(f"{prefix_a}{d}") * F.col(f"{prefix_b}{d}")
+    return acc

@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from formula_1_spark.functions.text import fingerprint, tokens, word_ngrams
+from formula_1_spark.functions.text import (
+    fingerprint,
+    tokens,
+    word_ngrams_from_tokens,
+)
+from formula_1_spark.sources.tables import fan_out
 
 LONG_MAX = 9223372036854775807
 
@@ -67,11 +72,22 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(doc_id, sh: array<bigint>) — distinct word n-grams hashed to the
-    32-bit md5 domain (see :func:`md5_int32`)."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    32-bit md5 domain (see :func:`md5_int32`).
+
+    Two hot-path rules: ``fan_out`` first (shingling is the CPU-heaviest
+    per-row stage and must not run on a one-partition scan), and build
+    n-grams from a CACHED token relation — tokenization inlined into the
+    n-gram lambda re-runs the regex split once per n-gram per row
+    (measured ~2x on the shingle stage)."""
+    tok = (
+        fan_out(docs)
+        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+        .persist()
+    )
+    return tok.select(
+        "doc_id",
         F.array_distinct(
-            F.transform(word_ngrams(text_col, n), md5_int32)
+            F.transform(word_ngrams_from_tokens(F.col("toks"), n), md5_int32)
         ).alias("sh"),
     ).filter(F.size("sh") > 0)
 
@@ -210,11 +226,20 @@ def minhash_lsh_pairs(
         "doc_id", F.explode(band_structs).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
 
+    # Bucket pattern instead of a bands⋈bands self-join: ONE shuffle
+    # groups each (band_id, band_key) bucket, pairs explode in-bucket.
+    # The signature aggregation upstream runs once (the self-join form
+    # computed it for both sides), and bucket size bounds the quadratic
+    # work exactly as the LSH analysis promises.
+    buckets = (
+        bands_df.groupBy("band_id", "band_key")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
     cand = (
-        bands_df.alias("x")
-        .join(bands_df.alias("y"), ["band_id", "band_key"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        buckets.select(F.explode("docs").alias("a"), F.col("docs"))
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a") < F.col("b"))
         .distinct()
     )
     return _verify_jaccard(cand, sh, threshold)
@@ -269,7 +294,7 @@ def simhash_pairs(
     4-chunk pigeonhole (hamming <= 3 guarantees an equal 15-bit chunk),
     verified by exact ``bit_count(xor)``."""
     sigs = simhash_signatures(
-        docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+        fan_out(docs).select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
     )
     chunk_w = SIMHASH_BITS // SIMHASH_CHUNKS
     chunks = sigs.select(
@@ -290,9 +315,16 @@ def simhash_pairs(
         ).alias("ch"),
     ).select("doc_id", "sig", "ch.chunk_id", "ch.chunk_val")
 
+    # Bucket pattern (see minhash_lsh_pairs): one shuffle on the chunk
+    # key, signatures computed once, in-bucket pair explosion.
+    buckets = (
+        chunks.groupBy("chunk_id", "chunk_val")
+        .agg(F.collect_set(F.struct("doc_id", "sig")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     return (
-        chunks.alias("x")
-        .join(chunks.alias("y"), ["chunk_id", "chunk_val"])
+        buckets.select(F.explode("ds").alias("x"), "ds")
+        .select("x", F.explode("ds").alias("y"))
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_id_1"),

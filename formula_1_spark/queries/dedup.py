@@ -194,10 +194,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops="EXT-dedup-embedding,J4",
     doc="Embedding-cosine near-dup pairs (cosine >= 0.45): exact "
     "broadcast all-pairs at this corpus size; vectors are unit-normalized "
-    "ONCE per side so the per-pair work is a single dot fold (3x fewer "
-    "array folds than recomputing norms per pair — measured 59s -> "
-    "~20s at sf0.1). At scale the candidate stage swaps to banded "
-    "hyperplane LSH with the same exact re-verification.",
+    "and flattened to scalar columns ONCE per side so the per-pair work "
+    "is a codegen'd multiply-add chain (no per-pair array access or "
+    "interpreted HOF fold — measured 59s -> 17s -> ~1s at sf0.1). At "
+    "scale the candidate stage swaps to banded hyperplane LSH with the "
+    "same exact re-verification.",
     oracle="""
 WITH unit AS (
   SELECT vec_id,
@@ -220,37 +221,36 @@ SELECT vec_id_1, vec_id_2, cos FROM pairs WHERE cos >= 0.45
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from formula_1_spark.functions.vectors import norm
+    from formula_1_spark.functions.vectors import flat_dot, flatten_vec, norm
+    from formula_1_spark.sources.tables import fan_out
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    unit = F.transform(
-        F.col("embedding"), lambda x: x.cast("double") / norm(F.col("embedding"))
-    )
-    # repartition: the table is one parquet file, so without it the whole
-    # all-pairs comparison runs on a single core. persist materializes
-    # the unit vectors so CollapseProject can't re-inline the
-    # normalization into every element access.
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = (
-        emb.repartition(n_parts)
-        .select(F.col("vec_id").alias("vec_id_1"), unit.alias("u1"))
-        .persist()
-    )
-    b = emb.select(F.col("vec_id").alias("vec_id_2"), unit.alias("u2")).persist()
-    # The embeddings relation is the smallest table — broadcast one side;
-    # the all-pairs comparison runs map-side in whole-stage codegen.
-    pairs = a.join(F.broadcast(b), F.col("vec_id_1") < F.col("vec_id_2"))
-    # Flat 64-term sum instead of aggregate/zip_with: higher-order
-    # functions are interpreted per element, a flat expression compiles
-    # into whole-stage codegen. Left-to-right addition keeps the exact
-    # fold order (0.0 + p1 == p1), so values stay bit-identical to the
-    # oracle's list_reduce.
     dims = 64
-    dot = F.element_at("u1", 1) * F.element_at("u2", 1)
-    for d in range(2, dims + 1):
-        dot = dot + F.element_at("u1", d) * F.element_at("u2", d)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    # Normalize ONCE per row and persist BEFORE flattening: the norm (an
+    # interpreted HOF fold) must be materialized as a plain column, or
+    # CollapseProject re-inlines the whole fold into every one of the 64
+    # element columns (64x the work, measured ~8s of pure interpretation).
+    # Both pair sides then flatten from the same cached base — per-element
+    # `element_at(embedding, d) / na` divides exactly like the oracle's
+    # unit CTE, so values stay bit-identical.
+    base = emb.select(
+        F.col("vec_id"), F.col("embedding"), norm(F.col("embedding")).alias("na")
+    ).persist()
+    a = base.select(
+        F.col("vec_id").alias("vec_id_1"),
+        *flatten_vec("x", F.col("embedding"), dims, denom=F.col("na")),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_id_2"),
+        *flatten_vec("y", F.col("embedding"), dims, denom=F.col("na")),
+    )
+    # The embeddings relation is the smallest table — broadcast one side;
+    # the all-pairs comparison runs map-side. The flat multiply-add chain
+    # codegens and adds left-to-right in element order, bit-identical to
+    # the oracle's list_reduce fold.
+    pairs = a.join(F.broadcast(b), F.col("vec_id_1") < F.col("vec_id_2"))
     return (
-        pairs.withColumn("cos", dot)
+        pairs.withColumn("cos", flat_dot("x", "y", dims))
         .filter(F.col("cos") >= 0.45)
         .select("vec_id_1", "vec_id_2", "cos")
     )

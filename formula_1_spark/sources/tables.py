@@ -55,6 +55,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the scan under-parallelizes.
+
+    Small single-file tables (sf0.1 ``documents``/``embeddings`` are one
+    parquet file) arrive as ONE partition, serializing all downstream
+    per-row expression work (shingling, hashing, normalization) onto a
+    single core. At 100 TB the same tables are thousands of splits and the
+    repartition is a no-op by the guard below — this never adds a shuffle
+    to an already-parallel scan.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None, register: bool = True
 ) -> dict[str, DataFrame]:
