@@ -20,10 +20,13 @@ re-rank keeps precision at 1.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from formula_1_spark.functions.vectors import cosine
+from formula_1_spark.sources.tables import fan_out
 
 N_PLANES = 16
 N_BANDS = 4
@@ -37,11 +40,14 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k neighbors for each query vector."""
+    """Exact cosine top-k neighbors for each query vector. ``fan_out``
+    keeps the scoring loop parallel when the corpus scan is one split."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
@@ -65,13 +71,23 @@ def plane_sign(p: int, d: int) -> float:
     return 1.0 if int(hashlib.md5(f"{p},{d}".encode()).hexdigest()[0], 16) & 1 else -1.0
 
 
+@lru_cache(maxsize=None)
+def _sign_array(p: int, dims: int) -> Column:
+    """The ±1 sign vector for hyperplane p as ONE parsed SQL expression.
+    Building it as ``F.array(*[F.lit(...)] * 64)`` costs 64 driver→JVM
+    round trips per plane per side (~2s of plan-build time across 16
+    planes x 2 sides); a single ``F.expr`` string parses JVM-side in one
+    call, and the cache reuses the Column across planes/sides/queries."""
+    vals = ", ".join(f"{plane_sign(p, d)}D" for d in range(dims))
+    return F.expr(f"array({vals})")
+
+
 def _projection(vec_col: Column, p: int, dims: int) -> Column:
     """Signed projection onto pseudo-random hyperplane p: a zip_with
     against the literal sign vector + left-fold sum (same order as the
     oracle's list_reduce)."""
-    signs = F.array(*[F.lit(plane_sign(p, d)) for d in range(dims)])
     return F.aggregate(
-        F.zip_with(vec_col, signs, lambda x, s: x.cast("double") * s),
+        F.zip_with(vec_col, _sign_array(p, dims), lambda x, s: x.cast("double") * s),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -89,21 +105,29 @@ def band_keys(vec_col: Column, dims: int = 64) -> list[Column]:
     return keys
 
 
-def _with_bands(df: DataFrame, id_alias: str, vec_alias: str, dims: int) -> DataFrame:
-    withb = df.select(
-        F.col("vec_id").alias(id_alias),
-        F.col("embedding").alias(vec_alias),
-        *band_keys(F.col("embedding"), dims),
+def _vec_base(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+    """(id, vec) relation shared by candidate generation and the exact
+    re-rank. Deliberately NOT persisted: the re-scan is column-pruned and
+    every added cache-materialization stage costs more than the rescan at
+    any scale (at 100 TB you never cache the corpus anyway)."""
+    return fan_out(df).select(
+        F.col("vec_id").alias(id_alias), F.col("embedding").alias(vec_alias)
     )
+
+
+def _with_bands(base: DataFrame, id_alias: str, vec_alias: str, dims: int) -> DataFrame:
+    """(id, band_id, band_key) long form — IDS ONLY. Vectors are not
+    carried through the bucket join/distinct (they'd bloat every shuffle
+    row by dims floats); the re-rank joins them back from ``base``."""
+    withb = base.select(id_alias, *band_keys(F.col(vec_alias), dims))
     structs = F.array(
         *[
             F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_key"))
             for b in range(N_BANDS)
         ]
     )
-    return (
-        withb.select(id_alias, vec_alias, F.explode(structs).alias("bk"))
-        .select(id_alias, vec_alias, "bk.band_id", "bk.band_key")
+    return withb.select(id_alias, F.explode(structs).alias("bk")).select(
+        id_alias, "bk.band_id", "bk.band_key"
     )
 
 
@@ -128,31 +152,34 @@ def ivf_topk(
     centroids = corpus.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent")
     )
+    qv = _vec_base(queries, "query_id", "q_vec")
+    cv = _vec_base(corpus, "neighbor_id", "c_vec")
 
-    def assign(df: DataFrame, id_alias: str, vec_alias: str, top: int) -> DataFrame:
-        scored = df.select(
-            F.col("vec_id").alias(id_alias), F.col("embedding").alias(vec_alias)
-        ).join(F.broadcast(centroids), F.lit(True))
-        scored = scored.withColumn("cell_cos", cosine(F.col(vec_alias), F.col("cent")))
+    def assign(base: DataFrame, id_alias: str, vec_alias: str, top: int) -> DataFrame:
+        # (id, cell_id) only — vectors rejoin from the persisted base at
+        # re-rank time instead of riding through the cell join/distinct.
+        scored = base.join(F.broadcast(centroids), F.lit(True)).withColumn(
+            "cell_cos", cosine(F.col(vec_alias), F.col("cent"))
+        )
         w = Window.partitionBy(id_alias).orderBy(F.desc("cell_cos"), F.asc("cell_id"))
         return (
             scored.withColumn("cell_rank", F.row_number().over(w))
             .filter(F.col("cell_rank") <= top)
-            .select(id_alias, vec_alias, "cell_id")
+            .select(id_alias, "cell_id")
         )
 
-    corpus_cells = assign(corpus, "neighbor_id", "c_vec", 1)
-    query_cells = assign(queries, "query_id", "q_vec", n_probe)
-
     cand = (
-        query_cells.join(corpus_cells, "cell_id")
+        assign(qv, "query_id", "q_vec", n_probe)
+        .join(assign(cv, "neighbor_id", "c_vec", 1), "cell_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
@@ -165,17 +192,23 @@ def lsh_topk(
     """Approximate cosine top-k: candidates share >= 1 LSH band with the
     query; exact cosine re-rank among candidates. Deterministic (md5-based
     hyperplanes), hence exactly oracle-checkable despite being 'approx'."""
-    qb = _with_bands(queries, "query_id", "q_vec", dims)
-    cb = _with_bands(corpus, "neighbor_id", "c_vec", dims)
+    qv = _vec_base(queries, "query_id", "q_vec")
+    cv = _vec_base(corpus, "neighbor_id", "c_vec")
+    # Broadcast the query-side bands: the corpus band stream joins
+    # map-side and only (query_id, neighbor_id) id pairs reach the
+    # distinct — 2 shuffles end-to-end (distinct + final window).
     cand = (
-        qb.join(cb, ["band_id", "band_key"])
+        F.broadcast(_with_bands(qv, "query_id", "q_vec", dims))
+        .join(_with_bands(cv, "neighbor_id", "c_vec", dims), ["band_id", "band_key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
