@@ -1,0 +1,125 @@
+"""Distributed connected components (duplicate-cluster resolution).
+
+The training-data dedup endgame: near-dup PAIRS (from MinHash/LSH,
+SimHash, or exact Jaccard — operators/dedup.py) must collapse into
+CLUSTERS so exactly one canonical document per cluster survives. That is
+connected components over the pair graph.
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with its own id; each round every node takes the min of its label and its
+neighbors' labels; converged when no label changes. Rounds = graph
+diameter, and near-dup clusters are dense and tiny (diameter ≤ ~3), so
+this terminates in a handful of rounds even at corpus scale.
+
+100 TB design:
+
+* Each round is two shuffles (join on src, groupBy dst), both on node-id
+  keys — no global structure, no driver-side graph.
+* Labels persist per round and unpersist the round after; at very long
+  lineages you'd localCheckpoint every ~10 rounds (not needed at
+  diameter-3).
+* Convergence is ONE driver-side count per round (an aggregate, not a
+  collect of the labels).
+* Giant components (boilerplate duplicated millions of times) skew the
+  final cluster-size aggregation; AQE skew-join handles the label joins,
+  and the canonical-pick is a groupBy min, which map-side combines.
+
+Reference scope note: the reference repo (uwe-uffuchs/formula-1) has no
+graph operators; this is part of the training-data-pipeline extension
+surface (SURVEY.md §7.1(7)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "doc_id",
+    src_col: str = "a",
+    dst_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) — cluster_id = min node id in the component.
+
+    ``nodes`` must contain every node (isolated nodes become singleton
+    clusters labeled by themselves); ``edges`` is an undirected pair list
+    (each pair listed once in either orientation).
+    """
+    # persist: the edge list is re-joined every round — without the cache
+    # an expensive upstream (e.g. the Jaccard pair pipeline) would re-run
+    # per iteration.
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .persist()
+    )
+
+    # Only edge-incident nodes participate in propagation — isolated nodes
+    # (the overwhelming majority of a deduped corpus) can never change
+    # label and rejoin as singletons at the end. At 100 TB this keeps the
+    # iteration working set at O(|edges|), not O(|corpus|).
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).persist()
+
+    # Convergence via the label SUM: labels only ever decrease, so the sum
+    # strictly decreases until fixpoint — one cheap aggregate per round
+    # instead of an old⋈new join. Round 1 always changes something (every
+    # edge-incident node has a neighbor), so the check starts at round 2.
+    prev_sum = None
+
+    for it in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        if it > 0:
+            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        else:
+            new_sum = None
+        labels.unpersist()
+        labels = new_labels
+        if it > 0 and new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(labels, "node", "left")
+        .select(
+            "node", F.coalesce(F.col("label"), F.col("node")).alias("cluster_id")
+        )
+    )
+
+
+def dedup_cluster_assignment(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_canonical) — full
+    keep-one-per-cluster dedup decision over a near-dup pair list.
+    Canonical = min doc_id of the cluster (the cluster label itself)."""
+    cc = connected_components(docs.select(id_col), pairs, node_col=id_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        F.col("node").alias(id_col),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -10,6 +10,7 @@ verified pair sets agree bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from formula_1_spark.operators.dedup import (
     MINHASH_P,
@@ -187,6 +188,63 @@ SELECT doc_id_1, doc_id_2, hamming FROM pairs WHERE hamming <= 3
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_clusters",
+    ops="EXT-dedup-clusters,J4,A1",
+    doc="Duplicate-cluster resolution: exact word-3-gram Jaccard >= 0.5 "
+    "pairs -> connected components (iterative min-label propagation) -> "
+    "(doc_id, cluster_id, cluster_size, is_canonical). Cluster id = min "
+    "doc_id of the component; singletons are their own canonical. The "
+    "oracle resolves the same components with a recursive CTE.",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+posting AS (SELECT doc_id, unnest(sh) AS shingle FROM shf),
+rare AS (
+  SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(1) <= 50
+),
+cand AS (
+  SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+  FROM posting p1
+  JOIN rare r ON p1.shingle = r.shingle
+  JOIN posting p2 ON p2.shingle = p1.shingle
+  WHERE p1.doc_id < p2.doc_id
+),
+verified AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.sh, sb.sh))
+           / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN shf sa ON sa.doc_id = c.a
+  JOIN shf sb ON sb.doc_id = c.b
+),
+pairs AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.node
+),
+lbl AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM lbl
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.graph import dedup_cluster_assignment
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs).select(
+        F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b")
+    )
+    return dedup_cluster_assignment(docs, pairs)
 
 
 @register(
