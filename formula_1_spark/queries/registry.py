@@ -62,6 +62,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.sketches",
         "formula_1_spark.queries.catalog_f1",
         "formula_1_spark.queries.tpch_classic",
+        "formula_1_spark.queries.tpch_extended",
         "formula_1_spark.queries.join_types",
         "formula_1_spark.queries.functions_breadth",
         "formula_1_spark.queries.window_frames",

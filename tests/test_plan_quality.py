@@ -14,10 +14,16 @@ REGISTRY = load_all()
 # Queries allowed to run Python kernels (Arrow-batched mapInPandas only).
 PANDAS_OK = {"media_feature_extract"}
 # Broadcast nested-loop is the intended strategy for the brute-force
-# similarity baseline and the IVF centroid assignment (tiny broadcast
-# side against the corpus). The as-of join needs no exemption: its
-# union-scan plan has zero joins.
-BNLJ_OK = {"similarity_topk_bruteforce", "similarity_ann_ivf", "dedup_embedding_cosine"}
+# similarity baseline, the IVF centroid assignment (tiny broadcast
+# side against the corpus), and the 1-row scalar-subquery broadcast in
+# the Q22 shape. The as-of join needs no exemption: its union-scan plan
+# has zero joins.
+BNLJ_OK = {
+    "similarity_topk_bruteforce",
+    "similarity_ann_ivf",
+    "dedup_embedding_cosine",
+    "tpch_q22_global_sales_opportunity",
+}
 
 
 def _plan(spark, name: str) -> str:
