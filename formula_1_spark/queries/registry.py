@@ -67,6 +67,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.functions_breadth",
         "formula_1_spark.queries.window_frames",
         "formula_1_spark.queries.pipeline_ops",
+        "formula_1_spark.queries.sampling_stats",
     ):
         try:
             __import__(mod)
