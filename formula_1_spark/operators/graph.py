@@ -68,11 +68,12 @@ def connected_components(
 
     # Convergence via the label SUM: labels only ever decrease, so the sum
     # strictly decreases until fixpoint — one cheap aggregate per round
-    # instead of an old⋈new join. Round 1 always changes something (every
-    # edge-incident node has a neighbor), so the check starts at round 2.
-    prev_sum = None
+    # instead of an old⋈new join. The upfront sum doubles as the cache
+    # materialization of the initial labels, and lets a diameter-d graph
+    # stop after exactly d+1 rounds (pair-clusters: 2).
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
 
-    for it in range(max_iter):
+    for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.src == labels.node)
             .groupBy("dst")
@@ -88,13 +89,10 @@ def connected_components(
             )
             .persist()
         )
-        if it > 0:
-            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        else:
-            new_sum = None
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if it > 0 and new_sum == prev_sum:
+        if new_sum == prev_sum:
             break
         prev_sum = new_sum
 

@@ -53,6 +53,10 @@ FROM media
 """,
 )
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deliberately NOT fanned out: each partition spawns a Python worker,
+    # and for this trivial md5 stand-in kernel 32 worker spawns cost more
+    # than the compute. A real decode kernel (CPU-bound per row) WOULD
+    # fan_out first — workers amortize, cores win.
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return extract_features(media, fake=True)
 
