@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from formula_1_spark.functions.text import tokens
-from formula_1_spark.queries.registry import register
+from formula_1_spark.queries.registry import REGISTRY, register
 from formula_1_spark.sources.tables import load_table
 
 CHUNK = 40  # tokens per chunk
@@ -148,3 +148,88 @@ def dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(b < 8, "train").when(b == 8, "val").otherwise("test").alias("split"),
     )
     return tagged.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "training_data_funnel",
+    ops="EXT-funnel,P7,A1,J-semi (quality -> dedup -> sample composition)",
+    doc="The end-to-end curation funnel in ONE declarative DAG: quality "
+    "gate (score > 0.45) -> exact-dedup canonical-only gate (doc is the "
+    "min-id of its fingerprint group) -> language-stratified hash sample "
+    "(en 0.5 / es 0.25 / de 0.125 / und 0.05). Catalyst fuses the three "
+    "gates into a single scan + one semi-join; every stage reuses an "
+    "already-oracle-proven primitive, and the composition itself is "
+    "hash-checked here.",
+    oracle=None,  # filled below after the imports resolve
+)
+def training_data_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.functions.text import fingerprint, lang_guess, quality_score
+    from formula_1_spark.operators.sampling import hash_uniform, stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    prof = docs.select(
+        "doc_id",
+        "text",
+        lang_guess("text").alias("lang_guess"),
+        quality_score("text").alias("quality"),
+    ).filter(F.col("quality") > 0.45)
+    canon = (
+        docs.select(fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    kept = prof.join(
+        canon, prof.doc_id == canon.canonical_id, "left_semi"
+    )
+    sampled = stratified_sample(
+        kept,
+        F.col("lang_guess"),
+        {"en": 0.5, "es": 0.25, "de": 0.125, "und": 0.05},
+        key_col="doc_id",
+        salt="strat",
+    )
+    return sampled.select(
+        "doc_id",
+        "lang_guess",
+        "quality",
+        hash_uniform(F.col("doc_id"), "strat").alias("u"),
+    )
+
+
+def _funnel_oracle() -> str:
+    from formula_1_spark.operators.sampling import hash_uniform_sql
+    from formula_1_spark.queries.text_analysis import _LANG_CASE
+
+    rate_case = (
+        "CASE WHEN lang_guess = 'en' THEN 0.5 WHEN lang_guess = 'es' THEN 0.25 "
+        "WHEN lang_guess = 'de' THEN 0.125 WHEN lang_guess = 'und' THEN 0.05 "
+        "ELSE 0.0 END"
+    )
+    quality_sql = """
+       len(regexp_extract_all(text, '\\b(the|and|of|to|a|in|is)\\b'))
+         / len(regexp_split_to_array(trim(text), '\\s+')) * 0.4
+       + least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.3
+       + (1.0 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+              / length(text)) * 0.3"""
+    return f"""
+WITH prof AS (
+  SELECT doc_id, text, {_LANG_CASE} AS lang_guess, {quality_sql} AS quality
+  FROM documents
+),
+canon AS (
+  SELECT MIN(doc_id) AS canonical_id
+  FROM (SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents)
+  GROUP BY fp
+)
+SELECT doc_id, lang_guess, quality,
+       {hash_uniform_sql("doc_id", "strat")} AS u
+FROM prof
+WHERE quality > 0.45
+  AND doc_id IN (SELECT canonical_id FROM canon)
+  AND {hash_uniform_sql("doc_id", "strat")} < {rate_case}
+"""
+
+
+REGISTRY["training_data_funnel"].oracle = _funnel_oracle()

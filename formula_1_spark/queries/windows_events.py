@@ -94,3 +94,32 @@ GROUP BY user_id, session_id
 )
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_stream_stream_join",
+    ops="EXT-stream-join,J4 (stream-stream interval join, batch form)",
+    doc="Click -> purchase attribution: every same-user (click, purchase) "
+    "pair with the purchase inside a 30-minute horizon. The SAME "
+    "transform runs as a watermarked stream-stream interval join "
+    "(tests/test_stream_join.py proves stream == batch); this entry "
+    "oracle-checks the batch semantics.",
+    oracle="""
+SELECT p.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_us(c.ts) AS click_us,
+       epoch_us(p.ts) AS purchase_us,
+       p.value
+FROM events p
+JOIN events c
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts < c.ts + INTERVAL '30 minutes'
+""",
+)
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.streaming.joins import click_purchase_attribution
+
+    return click_purchase_attribution(load_table(spark, sf_dir, "events"))
