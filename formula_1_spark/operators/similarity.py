@@ -25,7 +25,7 @@ from functools import lru_cache
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from formula_1_spark.functions.vectors import cosine
+from formula_1_spark.functions.vectors import cosine, flat_dot, flatten_vec, norm
 from formula_1_spark.sources.tables import fan_out
 
 N_PLANES = 16
@@ -128,6 +128,50 @@ def _with_bands(base: DataFrame, id_alias: str, vec_alias: str, dims: int) -> Da
     )
     return withb.select(id_alias, F.explode(structs).alias("bk")).select(
         id_alias, "bk.band_id", "bk.band_key"
+    )
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.45, dims: int = 64
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, the scale path: candidates = pairs
+    sharing >= 1 hyperplane-LSH band, exact cosine re-verify >= threshold.
+
+    Recall profile (pair survives with prob 1-(1-p^4)^4, p = 1 - θ/π):
+    ~1.0 at true near-dup similarity (cos >= 0.9 → 98%+), degrading as the
+    threshold approaches random (cos 0.45 → ~50%) — LSH cannot cheaply
+    separate 63° from 90°; no banding can. The candidate bucket join
+    shuffles (id, band) rows only; the verify joins unit vectors back by
+    id. Never an all-pairs join.
+    """
+    base = emb.select(
+        F.col("vec_id"), F.col("embedding"), norm(F.col("embedding")).alias("na")
+    ).persist()
+    bands = _with_bands(base, "vec_id", "embedding", dims)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_id", "band_key"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_id_1"),
+            F.col("y.vec_id").alias("vec_id_2"),
+        )
+        .distinct()
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_id_1"),
+        *flatten_vec("x", F.col("embedding"), dims, denom=F.col("na")),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_id_2"),
+        *flatten_vec("y", F.col("embedding"), dims, denom=F.col("na")),
+    )
+    return (
+        cand.join(a, "vec_id_1")
+        .join(b, "vec_id_2")
+        .withColumn("cos", flat_dot("x", "y", dims))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_id_1", "vec_id_2", "cos")
     )
 
 

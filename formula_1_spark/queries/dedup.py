@@ -247,18 +247,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_cluster_assignment(docs, pairs)
 
 
+# Banded-LSH candidate CTEs for the oracle — the SAME md5-derived
+# hyperplane signs the Spark side bakes in (operators.similarity), so
+# candidate sets agree bit-for-bit.
+from formula_1_spark.queries.similarity import _BANDS_CTE, _BANDS_LONG  # noqa: E402
+
+_EMB_BANDS = f"{_BANDS_CTE},\n{_BANDS_LONG}"
+
+
 @register(
     "dedup_embedding_cosine",
     ops="EXT-dedup-embedding,J4",
-    doc="Embedding-cosine near-dup pairs (cosine >= 0.45): exact "
-    "broadcast all-pairs at this corpus size; vectors are unit-normalized "
-    "and flattened to scalar columns ONCE per side so the per-pair work "
-    "is a codegen'd multiply-add chain (no per-pair array access or "
-    "interpreted HOF fold — measured 59s -> 17s -> ~1s at sf0.1). At "
-    "scale the candidate stage swaps to banded hyperplane LSH with the "
-    "same exact re-verification.",
-    oracle="""
-WITH unit AS (
+    doc="Embedding-cosine near-dup pairs (cosine >= 0.45), the SCALE path: "
+    "candidates = pairs sharing >= 1 hyperplane-LSH band (16 md5-seeded "
+    "planes, 4 bands x 4 bits — deterministic, so the oracle replicates "
+    "the exact candidate set), then exact cosine re-verification. The "
+    "bucket self-join shuffles ids only (no vectors, no all-pairs "
+    "explosion); unit-normalized vectors are flattened to scalar columns "
+    "once per side so the verify is a codegen'd multiply-add chain. "
+    "Recall vs exact all-pairs is asserted in tests/test_dedup.py.",
+    oracle=f"""
+WITH {_EMB_BANDS},
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_id_1, y.vec_id AS vec_id_2
+  FROM bands x
+  JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+  WHERE x.vec_id < y.vec_id
+),
+unit AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)
            / sqrt(list_reduce(
@@ -267,48 +283,25 @@ WITH unit AS (
   FROM embeddings
 ),
 pairs AS (
-  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+  SELECT c.vec_id_1, c.vec_id_2,
          list_reduce(list_transform(list_zip(a.u, b.u), x -> x[1] * x[2]),
                      (acc, v) -> acc + v) AS cos
-  FROM unit a, unit b
-  WHERE a.vec_id < b.vec_id
+  FROM cand c
+  JOIN unit a ON a.vec_id = c.vec_id_1
+  JOIN unit b ON b.vec_id = c.vec_id_2
 )
 SELECT vec_id_1, vec_id_2, cos FROM pairs WHERE cos >= 0.45
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    from formula_1_spark.functions.vectors import flat_dot, flatten_vec, norm
+    from formula_1_spark.operators.similarity import cosine_near_dup_pairs
     from formula_1_spark.sources.tables import fan_out
 
-    dims = 64
+    # The 0.45 threshold is data-bound (the synthetic embeddings have no
+    # true near-dups; max pair cosine ~0.6). At this near-random angle the
+    # banded candidates recall ~50% of exact all-pairs — inherent to LSH,
+    # documented in the operator; recall ≈ 1 at real near-dup thresholds
+    # (planted-pair test in tests/test_dedup.py). The ORACLE replicates
+    # the banded candidate set exactly, so the check is still hash-exact.
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    # Normalize ONCE per row and persist BEFORE flattening: the norm (an
-    # interpreted HOF fold) must be materialized as a plain column, or
-    # CollapseProject re-inlines the whole fold into every one of the 64
-    # element columns (64x the work, measured ~8s of pure interpretation).
-    # Both pair sides then flatten from the same cached base — per-element
-    # `element_at(embedding, d) / na` divides exactly like the oracle's
-    # unit CTE, so values stay bit-identical.
-    base = emb.select(
-        F.col("vec_id"), F.col("embedding"), norm(F.col("embedding")).alias("na")
-    ).persist()
-    a = base.select(
-        F.col("vec_id").alias("vec_id_1"),
-        *flatten_vec("x", F.col("embedding"), dims, denom=F.col("na")),
-    )
-    b = base.select(
-        F.col("vec_id").alias("vec_id_2"),
-        *flatten_vec("y", F.col("embedding"), dims, denom=F.col("na")),
-    )
-    # The embeddings relation is the smallest table — broadcast one side;
-    # the all-pairs comparison runs map-side. The flat multiply-add chain
-    # codegens and adds left-to-right in element order, bit-identical to
-    # the oracle's list_reduce fold.
-    pairs = a.join(F.broadcast(b), F.col("vec_id_1") < F.col("vec_id_2"))
-    return (
-        pairs.withColumn("cos", flat_dot("x", "y", dims))
-        .filter(F.col("cos") >= 0.45)
-        .select("vec_id_1", "vec_id_2", "cos")
-    )
+    return cosine_near_dup_pairs(emb, threshold=0.45)

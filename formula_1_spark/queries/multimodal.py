@@ -31,9 +31,12 @@ media AS (
 )
 """
 
+# One scalar column per feature dim: the driver canonicalizer hashes by
+# pandas factorize, which cannot hash list cells — so arrays stay OUT of
+# driver-facing result schemas (flatten to f0..f{dim-1}).
 _FEATURES = ", ".join(
     f"(('0x' || substr(md5(payload_text || ':' || {i}), 1, 15))::BIGINT"
-    f" / CAST(1152921504606846976 AS DOUBLE))"
+    f" / CAST(1152921504606846976 AS DOUBLE)) AS f{i}"
     for i in range(FEATURE_DIM)
 )
 
@@ -43,12 +46,13 @@ _FEATURES = ", ".join(
     ops="EXT-multimodal-features,UDF-pandas",
     doc="Arrow-batched mapInPandas feature extraction over binary payloads "
     "(deterministic md5 kernel — the stubbed stand-in for a real encoder); "
-    "oracle recomputes the Python kernel in SQL.",
+    "oracle recomputes the Python kernel in SQL. Features emitted as "
+    "scalar columns f0..f7 so the result is hashable row-wise.",
     oracle=f"""
 WITH {_MEDIA_CTE}
 SELECT media_id, media_type,
        CAST(strlen(payload_text) AS BIGINT) AS n_bytes,
-       [{_FEATURES}] AS features
+       {_FEATURES}
 FROM media
 """,
 )
@@ -58,7 +62,13 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # than the compute. A real decode kernel (CPU-bound per row) WOULD
     # fan_out first — workers amortize, cores win.
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    return extract_features(media, fake=True)
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(FEATURE_DIM)],
+    )
 
 
 @register(

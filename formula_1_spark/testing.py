@@ -66,6 +66,16 @@ def check_query(spark: SparkSession, spec: QuerySpec, sf_dir: str) -> dict:
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
 
+    if spec.oracle is not None:
+        # Driver-compat: the driver canonicalizes with pandas factorize,
+        # which cannot hash list/dict cells — complex types must be
+        # flattened (scalar columns or exploded rows) before registration.
+        for f in sdf.schema.fields:
+            assert f.dataType.typeName() not in ("array", "map", "struct"), (
+                f"{spec.name}: column {f.name} is {f.dataType.simpleString()} — "
+                "driver canonicalizer cannot hash complex types; flatten it"
+            )
+
     if spec.oracle is None:
         assert len(spark_rows) >= 0
         return {"name": spec.name, "rows": len(spark_rows), "oracle": False}

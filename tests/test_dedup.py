@@ -78,3 +78,32 @@ def test_simhash_identical_token_multisets(docs, spark):
     # Same token multiset → identical simhash → hamming 0.
     assert got.get((1, 2)) == 0
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_embedding_lsh_recall_on_planted_near_dups(spark):
+    """The banded-LSH near-dup operator at its DESIGN point: planted
+    perturbed-copy pairs (cos ~0.99) must be recovered with recall ~1,
+    and every reported pair must clear the exact-cosine threshold
+    (precision 1 by construction — candidates are re-verified)."""
+    import random
+
+    from formula_1_spark.operators.similarity import cosine_near_dup_pairs
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(50):
+        v = [rnd.gauss(0.0, 1.0) for _ in range(64)]
+        w = [x + rnd.gauss(0.0, 0.05) for x in v]  # cos >= ~0.98
+        rows.append((i * 2, [float(x) for x in v]))
+        rows.append((i * 2 + 1, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r.vec_id_1, r.vec_id_2)
+        for r in cosine_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    planted = {(i * 2, i * 2 + 1) for i in range(50)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.95, f"planted near-dup recall {recall}"
+    # random gaussian pairs sit near cos 0 — none should clear 0.9
+    assert got <= planted or len(got - planted) <= 1

@@ -21,7 +21,6 @@ PANDAS_OK = {"media_feature_extract"}
 BNLJ_OK = {
     "similarity_topk_bruteforce",
     "similarity_ann_ivf",
-    "dedup_embedding_cosine",
     "tpch_q22_global_sales_opportunity",
 }
 
