@@ -61,7 +61,12 @@ def ctas_priority_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("priority_summary")
 
 
-_F1_LAKE_CACHE: dict[str, str] = {}
+# Deterministic location (version-tagged) so the registered oracle SQL —
+# a static string — can read the gold raceResults parquet back and
+# recompute the standings mart differentially in DuckDB. The Spark query
+# always runs before its oracle in the driver's compare, so the lake
+# exists by oracle time.
+F1_FIXTURE_LAKE = os.path.join(tempfile.gettempdir(), "f1_fixture_lake_v2")
 
 
 @register(
@@ -69,20 +74,39 @@ _F1_LAKE_CACHE: dict[str, str] = {}
     ops="S1-S7,P1-P8,A1,A3,J1-J4,W1 (reference medallion end-to-end)",
     doc="Full reference-parity pipeline: fixture Ergast ingest → flatten "
     "→ silver specs → gold driverStandings (lossy-join + competition-rank "
-    "quirks). Rows-only check; exact values pinned by golden pytest.",
-    oracle=None,
+    "quirks). The oracle recomputes the gold mart (A3 conditional-count "
+    "agg + W1 competition rank, Transform Silver Data.py:128-139 shape) "
+    "from the pipeline's own raceResults parquet — a differential check "
+    "of the gold transform; upstream values are pinned by golden pytest.",
+    oracle=f"""
+WITH rr AS (
+  SELECT * FROM read_parquet('{F1_FIXTURE_LAKE}/gold/raceResults/*.parquet')
+),
+agg AS (
+  SELECT year, firstName, surname, nationality, constructorName,
+         SUM(points) AS totalPoints,
+         COUNT(CASE WHEN position = 1 THEN 1 END) AS wins
+  FROM rr
+  GROUP BY year, firstName, surname, nationality, constructorName
+)
+SELECT year, firstName, surname, nationality, constructorName,
+       totalPoints, wins,
+       CAST(RANK() OVER (
+         PARTITION BY year ORDER BY totalPoints DESC, wins DESC
+       ) AS INTEGER) AS rank
+FROM agg
+""",
 )
 def f1_gold_driver_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula_1_spark.config import EngineConfig
     from formula_1_spark.plans.medallion import clean_bronze, transform_silver
     from formula_1_spark.sources.ingest import fixture_fetchers, run_snapshot
 
-    lake = _F1_LAKE_CACHE.get("lake")
-    if lake is None or not os.path.isdir(os.path.join(lake, "gold", "driverStandings")):
-        lake = tempfile.mkdtemp(prefix="f1_lake_")
+    lake = F1_FIXTURE_LAKE
+    if not os.path.isdir(os.path.join(lake, "gold", "driverStandings")):
+        os.makedirs(lake, exist_ok=True)
         cfg = EngineConfig(lake_root=lake)
         snap = run_snapshot(cfg, fixture_fetchers(seasons=[2011, 2023]), limit=4)
         clean_bronze(spark, snapshot_dir=snap, cfg=cfg)
         transform_silver(spark, cfg=cfg)
-        _F1_LAKE_CACHE["lake"] = lake
     return spark.read.parquet(os.path.join(lake, "gold", "driverStandings"))
