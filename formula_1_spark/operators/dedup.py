@@ -70,26 +70,35 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 # ---------------------------------------------------------------------------
 
 
-def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(doc_id, sh: array<bigint>) — distinct word n-grams hashed to the
-    32-bit md5 domain (see :func:`md5_int32`).
-
-    Two hot-path rules: ``fan_out`` first (shingling is the CPU-heaviest
-    per-row stage and must not run on a one-partition scan), and build
-    n-grams from a CACHED token relation — tokenization inlined into the
-    n-gram lambda re-runs the regex split once per n-gram per row
-    (measured ~2x on the shingle stage)."""
-    tok = (
-        fan_out(docs)
-        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
-        .persist()
+def tokenized(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, toks) — the whitespace-token relation every doc-dedup
+    variant starts from. ``fan_out`` first: tokenization is the
+    CPU-heaviest per-row stage and must not run on a one-partition scan.
+    Callers persist (the relation feeds several downstream pipelines)."""
+    return fan_out(docs).select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
     )
+
+
+def shingles_from_tokens(tok: DataFrame, n: int) -> DataFrame:
+    """(doc_id, sh: array<bigint>) — distinct word n-grams hashed to the
+    32-bit md5 domain (see :func:`md5_int32`), built from an
+    already-materialized token relation. Building n-grams from a CACHED
+    token relation matters: tokenization inlined into the n-gram lambda
+    re-runs the regex split once per n-gram per row (measured ~2x)."""
     return tok.select(
         "doc_id",
         F.array_distinct(
             F.transform(word_ngrams_from_tokens(F.col("toks"), n), md5_int32)
         ).alias("sh"),
     ).filter(F.size("sh") > 0)
+
+
+def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Tokenize + shingle in one call (standalone entry point)."""
+    return shingles_from_tokens(tokenized(docs, id_col, text_col).persist(), n)
 
 
 def ngram_jaccard_pairs(
@@ -99,6 +108,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int = 50,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs over word ``n``-gram shingle sets.
 
@@ -109,10 +119,22 @@ def ngram_jaccard_pairs(
     at least one non-ubiquitous shingle at corpus scale). Verification
     computes exact Jaccard on the FULL shingle sets via array
     intersection, so candidate pruning never changes a reported score.
+
+    ``sh`` short-circuits shingling with a pre-built (persisted) shingle
+    relation — the dedup query family shares one.
     """
     # The shingled relation feeds candidate generation AND verification —
     # persist it so tokenize/shingle runs once, not once per branch.
-    sh = _shingled(docs, id_col, text_col, n).persist()
+    if sh is None:
+        sh = _shingled(docs, id_col, text_col, n).persist()
+    return jaccard_pairs_from_shingles(sh, threshold=threshold, max_df=max_df)
+
+
+def jaccard_pairs_from_shingles(
+    sh: DataFrame, threshold: float = 0.5, max_df: int = 50
+) -> DataFrame:
+    """Inverted-index candidates + exact-Jaccard verify over a persisted
+    (doc_id, sh) relation."""
     posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
     rare = (
         posting.groupBy("shingle")
@@ -199,6 +221,7 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash(k) signatures → LSH banding (``bands`` × ``k/bands`` rows)
     → candidate pairs sharing any band bucket → exact-Jaccard verification
@@ -211,7 +234,8 @@ def minhash_lsh_pairs(
     (natural near-dup clusters) are handled by AQE skew-join splitting.
     """
     r = k // bands
-    sh = _shingled(docs, id_col, text_col, n).persist()
+    if sh is None:
+        sh = _shingled(docs, id_col, text_col, n).persist()
     sigs = minhash_signatures(sh, k)
     band_structs = F.array(
         *[
@@ -289,13 +313,15 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    tok: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: 60-bit signatures, candidates via the
     4-chunk pigeonhole (hamming <= 3 guarantees an equal 15-bit chunk),
-    verified by exact ``bit_count(xor)``."""
-    sigs = simhash_signatures(
-        fan_out(docs).select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
-    )
+    verified by exact ``bit_count(xor)``. ``tok`` short-circuits
+    tokenization with the family-shared token relation."""
+    if tok is None:
+        tok = tokenized(docs, id_col, text_col)
+    sigs = simhash_signatures(tok)
     chunk_w = SIMHASH_BITS // SIMHASH_CHUNKS
     chunks = sigs.select(
         "doc_id",

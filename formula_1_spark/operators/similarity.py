@@ -77,7 +77,10 @@ def _sign_array(p: int, dims: int) -> Column:
     Building it as ``F.array(*[F.lit(...)] * 64)`` costs 64 driver→JVM
     round trips per plane per side (~2s of plan-build time across 16
     planes x 2 sides); a single ``F.expr`` string parses JVM-side in one
-    call, and the cache reuses the Column across planes/sides/queries."""
+    call, and the cache reuses the Column across planes/sides/queries.
+    (A fully-flattened 64-term multiply-add chain per plane was tried and
+    is SLOWER — 16 planes x 64 subscripts explodes the expression tree
+    past codegen's sweet spot; the HOF fold wins here.)"""
     vals = ", ".join(f"{plane_sign(p, d)}D" for d in range(dims))
     return F.expr(f"array({vals})")
 
@@ -148,14 +151,18 @@ def cosine_near_dup_pairs(
         F.col("vec_id"), F.col("embedding"), norm(F.col("embedding")).alias("na")
     ).persist()
     bands = _with_bands(base, "vec_id", "embedding", dims)
+    # Bucket pattern rather than a bands⋈bands self-join: ONE shuffle
+    # groups each (band_id, band_key) bucket, pairs explode in-bucket,
+    # and bucket size bounds the quadratic work (the LSH contract).
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.collect_set("vec_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band_id", "band_key"])
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(
-            F.col("x.vec_id").alias("vec_id_1"),
-            F.col("y.vec_id").alias("vec_id_2"),
-        )
+        buckets.select(F.explode("ids").alias("vec_id_1"), F.col("ids"))
+        .select("vec_id_1", F.explode("ids").alias("vec_id_2"))
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
         .distinct()
     )
     a = base.select(
@@ -175,27 +182,88 @@ def cosine_near_dup_pairs(
     )
 
 
+KMEANS_SCALE = 1000000.0  # component quantization grid for exact means
+
+
+def kmeans_centroids(
+    corpus: DataFrame, n_cells: int = 8, iters: int = 2, dims: int = 64
+) -> DataFrame:
+    """Deterministic distributed k-means (spherical — cosine assignment),
+    a fixed ``iters`` unrolled iterations, fully inside the DataFrame
+    plan (no driver collect; the per-iteration join is a broadcast of
+    n_cells centroids — exactly how trained centroids ship at 100 TB).
+
+    Exact cross-engine reproducibility: a double-precision MEAN is
+    accumulation-order-dependent, so each component is floor-quantized to
+    a 1e-6 grid FIRST (``floor(x * 1e6)`` — identical in IEEE on both
+    engines) and the mean is computed over exact integer sums:
+    ``cast(sum(q) as double) / (1e6 * count)``. The SQL oracle replicates
+    every iteration bit-for-bit (tie-breaks on cell_id).
+
+    Init: cells seeded from the first ``n_cells`` vectors (deterministic).
+    Empty cells simply drop out (both engines agree).
+    """
+    cv = corpus.select("vec_id", "embedding")
+    cents = corpus.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cent"),
+    )
+    for _ in range(iters):
+        scored = cv.join(F.broadcast(cents), F.lit(True)).withColumn(
+            "cell_cos", cosine(F.col("embedding"), F.col("cent"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell_id"))
+        assign = (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("cell_id", "embedding")
+        )
+        long = assign.select(
+            "cell_id", F.posexplode("embedding").alias("dim", "val")
+        )
+        comp = (
+            long.select(
+                "cell_id",
+                "dim",
+                F.floor(F.col("val").cast("double") * F.lit(KMEANS_SCALE)).alias("q"),
+            )
+            .groupBy("cell_id", "dim")
+            .agg(
+                (
+                    F.sum("q").cast("double")
+                    / (F.lit(KMEANS_SCALE) * F.count(F.lit(1)))
+                ).alias("comp")
+            )
+        )
+        cents = comp.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "comp"))),
+                lambda s: s["comp"],
+            ).alias("cent")
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_cells: int = 8,
     n_probe: int = 2,
+    learn_iters: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
     vector to its nearest centroid cell; queries probe only the
     ``n_probe`` nearest cells and re-rank exactly within them.
 
-    Determinism: centroids are the first ``n_cells`` corpus vectors
-    (``vec_id < n_cells``) rather than k-means iterates — reproducible in
-    ANSI SQL, and at 100 TB you'd train real centroids offline and
-    broadcast them exactly like this. Cell assignment = argmax cosine
-    with (cell id) tie-break. The shuffle key is the cell id; per-cell
-    skew is bounded by the quantizer balance, the classic IVF tradeoff.
+    Centroids are LEARNED by :func:`kmeans_centroids` (``learn_iters``
+    deterministic spherical k-means iterations; ``learn_iters=0`` falls
+    back to the static first-``n_cells`` quantizer). Cell assignment =
+    argmax cosine with (cell id) tie-break. The shuffle key is the cell
+    id; per-cell skew is bounded by the quantizer balance, the classic
+    IVF tradeoff.
     """
-    centroids = corpus.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent")
-    )
+    centroids = kmeans_centroids(corpus, n_cells=n_cells, iters=learn_iters).persist()
     qv = _vec_base(queries, "query_id", "q_vec")
     cv = _vec_base(corpus, "neighbor_id", "c_vec")
 

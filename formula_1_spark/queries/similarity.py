@@ -130,16 +130,52 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10))
 
 
+def _kmeans_ctes(n_cells: int = 8, iters: int = 2, dims: int = 64) -> str:
+    """Unrolled deterministic spherical-k-means CTE chain mirroring
+    operators.similarity.kmeans_centroids iteration-for-iteration:
+    assign by argmax cosine (cell_id tie-break), recompute means over
+    floor-quantized integer component sums (order-independent, so both
+    engines agree bit-for-bit)."""
+    parts = [
+        f"""c0 AS (
+  SELECT vec_id AS cell_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+  FROM embeddings WHERE vec_id < {n_cells}
+)"""
+    ]
+    for t in range(1, iters + 1):
+        cos = _COS.format(a="e.embedding", b="c.cent")
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos} DESC, c.cell_id ASC) AS r
+    FROM embeddings e, c{t - 1} c) WHERE r = 1
+)""")
+        parts.append(f"""m{t} AS (
+  SELECT cell_id, d.dim AS dim,
+         CAST(SUM(CAST(FLOOR(CAST(a.embedding[d.dim + 1] AS DOUBLE) * 1000000.0)
+                       AS BIGINT)) AS DOUBLE) / (1000000.0 * COUNT(*)) AS comp
+  FROM a{t} a, (SELECT unnest(range(0, {dims})) AS dim) d
+  GROUP BY cell_id, d.dim
+)""")
+        parts.append(
+            f"c{t} AS (SELECT cell_id, list(comp ORDER BY dim) AS cent "
+            f"FROM m{t} GROUP BY cell_id)"
+        )
+    parts.append(f"centroids AS (SELECT cell_id, cent FROM c{iters})")
+    return ",\n".join(parts)
+
+
 @register(
     "similarity_ann_ivf",
     ops="EXT-sim-ivf,J4,W1",
-    doc="IVF ANN top-10: 8-cell coarse quantizer (centroids = vec_id < 8, "
-    "deterministic), queries probe 2 nearest cells, exact re-rank within. "
-    "Fully SQL-reproducible.",
+    doc="IVF ANN top-10: 8-cell coarse quantizer LEARNED by 2 "
+    "deterministic spherical k-means iterations (floor-quantized exact "
+    "means — SQL-reproducible bit-for-bit), queries probe 2 nearest "
+    "cells, exact re-rank within.",
     oracle=f"""
-WITH centroids AS (
-  SELECT vec_id AS cell_id, embedding AS cent FROM embeddings WHERE vec_id < 8
-),
+WITH {_kmeans_ctes(n_cells=8, iters=2)},
 corpus_scored AS (
   SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec, c.cell_id,
          {_COS.format(a="e.embedding", b="c.cent")} AS cell_cos

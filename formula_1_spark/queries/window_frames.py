@@ -57,30 +57,37 @@ def window_frames_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "array_functions_battery",
     ops="EXT-arrays",
-    doc="Array ops over embeddings: size, slice, sort (head), contains-"
-    "positive, elementwise scale via transform.",
+    doc="Array ops over embeddings: size, slice+transform (emitted as "
+    "scalar h0..h3 — the driver canonicalizer can't hash list cells), "
+    "sort head, contains-positive, elementwise scale.",
     oracle="""
 SELECT vec_id,
        CAST(len(embedding) AS INTEGER) AS dim,
-       list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS head4,
+       CAST(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))[1] AS DOUBLE) AS h0,
+       CAST(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))[2] AS DOUBLE) AS h1,
+       CAST(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))[3] AS DOUBLE) AS h2,
+       CAST(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))[4] AS DOUBLE) AS h3,
        CAST(list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[1]
             AS DOUBLE) AS min_val,
        len(list_filter(embedding, x -> x > 0)) > 0 AS any_positive,
-       list_transform(embedding[1:2], x -> CAST(x AS DOUBLE) * 2.0)
-         AS head2_doubled
+       CAST(list_transform(embedding[1:2], x -> CAST(x AS DOUBLE) * 2.0)[1]
+            AS DOUBLE) AS d0_doubled,
+       CAST(list_transform(embedding[1:2], x -> CAST(x AS DOUBLE) * 2.0)[2]
+            AS DOUBLE) AS d1_doubled
 FROM embeddings
 """,
 )
 def array_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.col("embedding")
+    head4 = F.transform(F.slice(e, 1, 4), lambda x: x.cast("double"))
+    doubled = F.transform(F.slice(e, 1, 2), lambda x: x.cast("double") * 2.0)
     return emb.select(
         "vec_id",
         F.size(e).alias("dim"),
-        F.transform(F.slice(e, 1, 4), lambda x: x.cast("double")).alias("head4"),
+        *[head4[i].alias(f"h{i}") for i in range(4)],
         F.array_min(F.transform(e, lambda x: x.cast("double"))).alias("min_val"),
         F.exists(e, lambda x: x > 0).alias("any_positive"),
-        F.transform(F.slice(e, 1, 2), lambda x: x.cast("double") * 2.0).alias(
-            "head2_doubled"
-        ),
+        doubled[0].alias("d0_doubled"),
+        doubled[1].alias("d1_doubled"),
     )

@@ -59,3 +59,42 @@ def test_decode_media_fake_batch_shape(spark, sf_dir):
     durations = {r["media_id"]: r["meta_duration_ms"] for r in media.collect()}
     for r in out.collect():
         assert r["n_frames"] == durations[r["media_id"]] // 40
+
+
+def test_ivf_learned_centroids_beat_static_on_clustered_data(spark):
+    """On data WITH cluster structure, 2 k-means iterations must beat the
+    static first-n quantizer: the first 8 vectors all come from clusters
+    0-1, so the static quantizer collapses 8 true clusters into 2 cells
+    and probing 2 cells misses most true neighbors; learned centroids
+    spread to the real clusters. (On structureless uniform data the two
+    quantizers tie — this pins the case k-means exists for.)"""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from formula_1_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rnd = random.Random(13)
+    centers = [[rnd.gauss(0.0, 1.0) for _ in range(64)] for _ in range(8)]
+    rows = []
+    # vec_ids 0..7 deliberately drawn from clusters 0 and 1 only.
+    for i in range(400):
+        c = centers[i % 2] if i < 8 else centers[i % 8]
+        rows.append((i, [float(x + rnd.gauss(0.0, 0.15)) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    truth = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries).collect()
+    }
+
+    def recall(iters: int) -> float:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, queries, learn_iters=iters).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_static, r_learned = recall(0), recall(2)
+    assert r_learned > r_static + 0.1, (r_static, r_learned)
+    assert r_learned >= 0.9, r_learned
