@@ -38,6 +38,9 @@ class DatasetSpec:
     # business name -> (date_col, time_col) assembled into a timestamp
     datetime_cols: dict[str, tuple[str, str]] = dc_field(default_factory=dict)
     add_ingestion_date: bool = True
+    # natural key for CDC-style MERGE into silver (incremental refresh);
+    # empty => the dataset only supports snapshot-overwrite
+    merge_keys: list[str] = dc_field(default_factory=list)
 
 
 def assemble_datetime(date_col: str, time_col: str) -> Column:
@@ -103,6 +106,7 @@ CIRCUITS = DatasetSpec(
         _p("MRData", "CircuitTable", "Circuits", "Location", "long"): "longitude",
     },
     casts={"latitude": "double", "longitude": "double"},
+    merge_keys=['circuitRef'],
 )
 
 SCHEDULE = DatasetSpec(
@@ -117,6 +121,7 @@ SCHEDULE = DatasetSpec(
     },
     casts={"year": "int", "round": "int", "date": "date"},
     datetime_cols={"dateTime": ("date", "time")},
+    merge_keys=['year', 'round'],
 )
 
 CONSTRUCTORS = DatasetSpec(
@@ -126,6 +131,7 @@ CONSTRUCTORS = DatasetSpec(
         _p("MRData", "ConstructorTable", "Constructors", "name"): "constructorName",
         _p("MRData", "ConstructorTable", "Constructors", "nationality"): "constructorNationality",
     },
+    merge_keys=['constructorRef'],
 )
 
 DRIVERS = DatasetSpec(
@@ -139,6 +145,7 @@ DRIVERS = DatasetSpec(
         _p("MRData", "DriverTable", "Drivers", "permanentNumber"): "permanentNumber",
     },
     casts={"dateOfBirth": "date", "permanentNumber": "int"},
+    merge_keys=['driverRef'],
 )
 
 RESULTS = DatasetSpec(
@@ -182,6 +189,7 @@ RESULTS = DatasetSpec(
         "fastestLapAverageSpeed": "double",
         # raceTime / fastestLapTime deliberately stay strings (quirk #5).
     },
+    merge_keys=['year', 'round', 'driverRef'],
 )
 
 PITSTOPS = DatasetSpec(
@@ -197,6 +205,7 @@ PITSTOPS = DatasetSpec(
         _p("MRData", "RaceTable", "Races", "PitStops", "duration"): "pitstopDuration",
     },
     casts={"year": "int", "round": "int", "date": "date", "stopNo": "int", "lapNumber": "int"},
+    merge_keys=['year', 'round', 'driverRef', 'stopNo'],
 )
 
 LAPS = DatasetSpec(
@@ -212,6 +221,7 @@ LAPS = DatasetSpec(
         _p("MRData", "RaceTable", "Races", "Laps", "Timings", "time"): "lapTime",
     },
     casts={"year": "int", "round": "int", "date": "date", "lapNumber": "int", "position": "int"},
+    merge_keys=['year', 'round', 'driverRef', 'lapNumber'],
 )
 
 QUALIFYING = DatasetSpec(
@@ -231,6 +241,7 @@ QUALIFYING = DatasetSpec(
         _p("MRData", "RaceTable", "Races", "QualifyingResults", "Q3"): "q3",
     },
     casts={"year": "int", "round": "int", "date": "date", "position": "int"},
+    merge_keys=['year', 'round', 'driverRef'],
 )
 
 DRIVER_STANDINGS = DatasetSpec(
@@ -246,6 +257,7 @@ DRIVER_STANDINGS = DatasetSpec(
         _p("MRData", "StandingsTable", "StandingsLists", "DriverStandings", "wins"): "wins",
     },
     casts={"year": "int", "round": "int", "points": "double", "position": "int", "wins": "int"},
+    merge_keys=['year', 'round', 'driverRef'],
 )
 
 CONSTRUCTOR_STANDINGS = DatasetSpec(
@@ -270,12 +282,14 @@ CONSTRUCTOR_STANDINGS = DatasetSpec(
         _p("MRData", "StandingsTable", "StandingsLists", "ConstructorStandings", "wins"): "wins",
     },
     casts={"year": "int", "round": "int", "points": "double", "position": "int", "wins": "int"},
+    merge_keys=['year', 'round', 'constructorRef'],
 )
 
 SEASONS = DatasetSpec(
     name="seasons",
     renames={_p("MRData", "SeasonTable", "Seasons", "season"): "season"},
     casts={"season": "int"},
+    merge_keys=['season'],
 )
 
 STATUS = DatasetSpec(
@@ -286,6 +300,7 @@ STATUS = DatasetSpec(
         _p("MRData", "StatusTable", "Status", "count"): "count",
     },
     casts={"statusId": "int", "count": "int"},
+    merge_keys=['statusId'],
 )
 
 SPECS: dict[str, DatasetSpec] = {

@@ -50,3 +50,46 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         within("a_orders", "exact_orders").alias("orders_within_5pct"),
         within("a_parts", "exact_parts").alias("parts_within_5pct"),
     )
+
+
+@register(
+    "approx_quantile_sketch",
+    ops="EXT-sketch-quantile",
+    doc="Approximate percentiles (Greenwald-Khanna-class sketch via "
+    "percentile_approx, accuracy=1000) per return flag, oracle-checked "
+    "via exact percentiles + sandwich flags: the sketch p50/p95 must lie "
+    "within the exact [p49,p51]/[p94,p96] bands (rank error <= 1/accuracy "
+    "guarantees it). Sketch values themselves are engine-specific.",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50) AS exact_p50,
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS exact_p95,
+       1 AS p50_in_band,
+       1 AS p95_in_band
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(price, 0.50, 1000).alias("a50"),
+        F.percentile_approx(price, 0.95, 1000).alias("a95"),
+        F.percentile(price, 0.49).alias("p49"),
+        F.percentile(price, 0.50).alias("exact_p50"),
+        F.percentile(price, 0.51).alias("p51"),
+        F.percentile(price, 0.94).alias("p94"),
+        F.percentile(price, 0.95).alias("exact_p95"),
+        F.percentile(price, 0.96).alias("p96"),
+    )
+    band = lambda a, lo, hi: (  # noqa: E731
+        (F.col(a) >= F.col(lo)) & (F.col(a) <= F.col(hi))
+    ).cast("int")
+    return agg.select(
+        "l_returnflag",
+        "exact_p50",
+        "exact_p95",
+        band("a50", "p49", "p51").alias("p50_in_band"),
+        band("a95", "p94", "p96").alias("p95_in_band"),
+    )

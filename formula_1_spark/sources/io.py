@@ -93,12 +93,46 @@ def save_as_table(df: DataFrame, table: str, fmt: str = "parquet") -> None:
     df.write.mode("overwrite").format(fmt).saveAsTable(table)
 
 
+class ConcurrentMergeError(RuntimeError):
+    """A second writer attempted to merge into a locked target."""
+
+
+class _merge_lock:
+    """Exclusive-create lockfile guarding a merge target — the plain-FS
+    stand-in for Delta's optimistic concurrency (two writers racing the
+    ``_CURRENT`` repoint would silently drop one merge). Delta retries the
+    loser; this engine surfaces the conflict for the orchestrator."""
+
+    def __init__(self, target_path: str):
+        self.path = os.path.join(target_path, "_LOCK")
+
+    def __enter__(self):
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentMergeError(
+                f"merge target is locked by another writer: {self.path}"
+            ) from None
+        with os.fdopen(fd, "w") as fh:
+            fh.write(f"pid={os.getpid()}\n")
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.path)
+        except FileNotFoundError:
+            pass
+        return False
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
     updates: DataFrame,
     key_cols: list[str],
     delete_col: str | None = None,
+    evolve_schema: bool = True,
 ) -> None:
     """Delta-style MERGE over a plain-parquet target: rows in ``updates``
     replace target rows with the same key, new keys insert, and (when
@@ -118,27 +152,123 @@ def merge_upsert(
     At 100 TB the rewrite cost is bounded by partition pruning: callers
     partition the target so a merge touches only the affected partitions
     (copy-on-write Delta does exactly this under the hood).
-    """
-    current = read_current(spark, target_path)
-    upd_cols = [c for c in updates.columns if c != delete_col]
-    survivors = (
-        current.join(updates.select(*key_cols), key_cols, "left_anti")
-        if current is not None
-        else None
-    )
-    incoming = updates
-    if delete_col is not None:
-        incoming = incoming.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
-    incoming = incoming.select(*upd_cols)
-    merged = incoming if survivors is None else survivors.select(*upd_cols).union(incoming)
 
+    Delta-parity hardening:
+
+    * **Schema evolution** (``evolve_schema=True``, Delta's
+      ``mergeSchema``): updates may add columns (NULL-filled on old rows)
+      or widen numeric types; survivors keep columns the update lacks.
+      With ``evolve_schema=False`` a drifted update raises (schema
+      ENFORCEMENT, Delta's default).
+    * **Concurrent-writer protection**: an exclusive ``_LOCK`` file makes
+      a racing second merge fail loudly instead of silently dropping one
+      writer's rows (see :class:`ConcurrentMergeError`).
+    * Small-file hygiene lives in :func:`compact_current` /
+      :func:`vacuum_snapshots`.
+    """
+    from formula_1_spark.plans.evolution import union_evolving
+
+    with _merge_lock(target_path):
+        current = read_current(spark, target_path)
+        upd_cols = [c for c in updates.columns if c != delete_col]
+        if current is not None:
+            # Null-safe key match (Delta MERGE `ON t.k <=> u.k`): an
+            # equi-join would let NULL-key target rows survive forever
+            # AND re-insert the matching update rows — duplicating every
+            # merge. eqNullSafe treats NULL keys as equal.
+            from functools import reduce
+
+            u = updates.select(*key_cols).dropDuplicates(key_cols).alias("_u")
+            cond = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"_t.{k}").eqNullSafe(F.col(f"_u.{k}"))
+                    for k in key_cols
+                ],
+            )
+            survivors = current.alias("_t").join(u, cond, "left_anti")
+        else:
+            survivors = None
+        incoming = updates
+        if delete_col is not None:
+            incoming = incoming.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+        incoming = incoming.select(*upd_cols)
+        if survivors is None:
+            merged = incoming
+        elif evolve_schema:
+            merged = union_evolving([survivors, incoming])
+        else:
+            if sorted(survivors.columns) != sorted(incoming.columns):
+                raise TypeError(
+                    "merge_upsert: update schema drifted from target "
+                    f"(target={sorted(survivors.columns)}, "
+                    f"update={sorted(incoming.columns)}); pass "
+                    "evolve_schema=True to evolve"
+                )
+            merged = survivors.select(*upd_cols).union(incoming)
+
+        _write_snapshot_and_repoint(merged, target_path)
+
+
+def _write_snapshot_and_repoint(df: DataFrame, target_path: str) -> str:
+    # Merge snapshots need sub-second uniqueness (bronze ingest snapshots
+    # keep the reference's second-resolution name; merges can land
+    # back-to-back): suffix until the directory name is fresh.
     snap = snapshot_name()
+    seq = 0
+    while os.path.exists(os.path.join(target_path, snap)):
+        seq += 1
+        snap = f"{snapshot_name()}_{seq:02d}"
     out = os.path.join(target_path, snap)
-    merged.write.mode("overwrite").parquet(out)
+    df.write.mode("overwrite").parquet(out)
     pointer_tmp = os.path.join(target_path, "_CURRENT.tmp")
     with open(pointer_tmp, "w") as fh:
         fh.write(snap)
     os.replace(pointer_tmp, os.path.join(target_path, "_CURRENT"))
+    return snap
+
+
+def compact_current(
+    spark: SparkSession,
+    target_path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> None:
+    """Rewrite the live snapshot with right-sized files (Delta OPTIMIZE):
+    every merge snapshot inherits the shuffle's file count, so a
+    frequently-merged target accumulates small files that tax the scan's
+    split planning at scale. Values are untouched — only file layout.
+    The rewrite is itself a new snapshot + atomic repoint, so readers
+    never block."""
+    current = read_current(spark, target_path)
+    if current is None:
+        return
+    n = current.count()
+    files = max(1, -(-n // target_rows_per_file))
+    _write_snapshot_and_repoint(current.repartition(files), target_path)
+
+
+def vacuum_snapshots(target_path: str, keep_last: int = 2) -> list[str]:
+    """Delete all but the newest ``keep_last`` snapshot directories
+    (Delta VACUUM), never the one ``_CURRENT`` points at. Returns removed
+    paths. Bounds time-travel retention the same way Delta's retention
+    window does."""
+    import shutil
+
+    pointer = os.path.join(target_path, "_CURRENT")
+    live = None
+    if os.path.exists(pointer):
+        with open(pointer) as fh:
+            live = fh.read().strip()
+    snaps = list_snapshots(target_path)
+    keep = set(snaps[-keep_last:]) if keep_last > 0 else set()
+    if live is not None:
+        keep.add(os.path.join(target_path, live))
+    removed = []
+    for s in snaps:
+        if s not in keep:
+            shutil.rmtree(s)
+            removed.append(s)
+    return removed
 
 
 def read_current(spark: SparkSession, target_path: str) -> DataFrame | None:

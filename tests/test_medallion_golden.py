@@ -114,3 +114,65 @@ def test_driver_standings_points_golden(lake, spark):
         "Last2": (18.0, 0, 2),
         "Last4": (6.0, 0, 3),
     }
+
+
+def test_incremental_refresh_equals_full_rebuild(spark, tmp_path):
+    """CDC golden: crawl season A, refresh; crawl A+B, refresh again
+    (merge). The merged silver must equal a from-scratch full rebuild of
+    A+B on every business column (ingestionDate audit stamps differ by
+    design), and gold built off merged silver must match too. A third
+    refresh of an unchanged snapshot must skip every endpoint."""
+    from formula_1_spark.config import EngineConfig
+    from formula_1_spark.plans.medallion import (
+        build_driver_standings,
+        build_race_results,
+        clean_bronze,
+        incremental_silver_refresh,
+        read_silver,
+    )
+    from formula_1_spark.plans.schema_spec import SPECS
+    from formula_1_spark.sources.ingest import fixture_fetchers, run_snapshot
+
+    inc_cfg = EngineConfig(lake_root=str(tmp_path / "inc"))
+    run_snapshot(inc_cfg, fixture_fetchers(seasons=[2011]), limit=4)
+    r1 = incremental_silver_refresh(spark, cfg=inc_cfg)
+    assert set(r1.values()) == {"merged"}
+
+    import time
+
+    time.sleep(1.1)  # distinct snapshot_name (second resolution)
+    snap2 = run_snapshot(inc_cfg, fixture_fetchers(seasons=[2011, 2023]), limit=4)
+    r2 = incremental_silver_refresh(spark, snapshot_dir=snap2, cfg=inc_cfg)
+    assert "merged" in r2.values()
+
+    full_cfg = EngineConfig(lake_root=str(tmp_path / "full"))
+    snap_full = run_snapshot(full_cfg, fixture_fetchers(seasons=[2011, 2023]), limit=4)
+    clean_bronze(spark, snapshot_dir=snap_full, cfg=full_cfg)
+
+    def business_rows(df):
+        cols = sorted(c for c in df.columns if c != "ingestionDate")
+        return {tuple(str(v) for v in r) for r in df.select(*cols).collect()}
+
+    datasets = sorted(set(r2) & set(SPECS))
+    assert len(datasets) == 10  # fixture crawl covers 10 endpoints
+    for name in datasets:
+        inc = read_silver(spark, inc_cfg, name)
+        full = read_silver(spark, full_cfg, name)
+        assert business_rows(inc) == business_rows(full), name
+
+    # gold equivalence off the two silver modes
+    def gold(cfg):
+        rr = build_race_results(
+            read_silver(spark, cfg, "results"),
+            read_silver(spark, cfg, "drivers"),
+            read_silver(spark, cfg, "constructors"),
+            read_silver(spark, cfg, "circuits"),
+            read_silver(spark, cfg, "pitstops"),
+        )
+        return business_rows(build_driver_standings(rr))
+
+    assert gold(inc_cfg) == gold(full_cfg)
+
+    # re-refresh of the SAME snapshot: everything skips
+    r3 = incremental_silver_refresh(spark, snapshot_dir=snap2, cfg=inc_cfg)
+    assert set(r3.values()) == {"skipped"}

@@ -4,6 +4,8 @@ time travel across merge snapshots."""
 import os
 import time
 
+from pyspark.sql import functions as F
+
 from formula_1_spark.sources.io import merge_upsert, read_current
 
 
@@ -50,3 +52,92 @@ def test_merge_is_idempotent_on_rerun(spark, tmp_path):
     time.sleep(1.1)
     merge_upsert(spark, target, upd, ["k"])  # re-run of the same merge
     assert _rows(read_current(spark, target)) == {(1, "z")}
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    from formula_1_spark.sources.io import merge_upsert, read_current
+
+    target = str(tmp_path / "tgt_evolve")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    merge_upsert(spark, target, base, ["k"])
+    # update adds a column and touches one key: old rows NULL-fill it
+    upd = spark.createDataFrame([(2, "B", 9.5)], ["k", "v", "score"])
+    merge_upsert(spark, target, upd, ["k"])
+    got = {tuple(r) for r in read_current(spark, target).select("k", "v", "score").collect()}
+    assert got == {(1, "a", None), (2, "B", 9.5)}
+
+
+def test_merge_schema_enforcement_raises(spark, tmp_path):
+    import pytest
+
+    from formula_1_spark.sources.io import merge_upsert
+
+    target = str(tmp_path / "tgt_enforce")
+    merge_upsert(spark, target, spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"])
+    upd = spark.createDataFrame([(2, "b", 1.0)], ["k", "v", "extra"])
+    with pytest.raises(TypeError, match="drifted"):
+        merge_upsert(spark, target, upd, ["k"], evolve_schema=False)
+
+
+def test_merge_numeric_widening(spark, tmp_path):
+    from formula_1_spark.sources.io import merge_upsert, read_current
+
+    target = str(tmp_path / "tgt_widen")
+    merge_upsert(
+        spark, target, spark.createDataFrame([(1, 10)], "k long, n int"), ["k"]
+    )
+    merge_upsert(
+        spark, target, spark.createDataFrame([(2, 2.5)], "k long, n double"), ["k"]
+    )
+    cur = read_current(spark, target)
+    assert dict(cur.dtypes)["n"] == "double"
+    assert {tuple(r) for r in cur.collect()} == {(1, 10.0), (2, 2.5)}
+
+
+def test_compact_and_vacuum(spark, tmp_path):
+    import glob
+    import os
+
+    from formula_1_spark.sources.io import (
+        compact_current,
+        list_snapshots,
+        merge_upsert,
+        read_current,
+        vacuum_snapshots,
+    )
+
+    target = str(tmp_path / "tgt_compact")
+    df = spark.range(0, 1000).select("id", (F.col("id") % 7).alias("v"))
+    merge_upsert(spark, target, df.repartition(16), ["id"])
+    merge_upsert(
+        spark, target, spark.createDataFrame([(5, 99)], "id long, v long"), ["id"]
+    )
+    before = {tuple(r) for r in read_current(spark, target).collect()}
+
+    compact_current(spark, target)  # 1001 rows -> 1 file
+    live = read_current(spark, target)
+    snaps = list_snapshots(target)
+    files = glob.glob(os.path.join(snaps[-1], "part-*.parquet"))
+    assert len(files) == 1
+    assert {tuple(r) for r in live.collect()} == before
+
+    removed = vacuum_snapshots(target, keep_last=1)
+    assert len(removed) == 2  # the two pre-compaction snapshots
+    assert {tuple(r) for r in read_current(spark, target).collect()} == before
+
+
+def test_concurrent_merge_raises(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from formula_1_spark.sources.io import ConcurrentMergeError, merge_upsert
+
+    target = str(tmp_path / "tgt_lock")
+    merge_upsert(spark, target, spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"])
+    os.makedirs(target, exist_ok=True)
+    open(os.path.join(target, "_LOCK"), "w").close()  # simulate a live writer
+    with pytest.raises(ConcurrentMergeError):
+        merge_upsert(spark, target, spark.createDataFrame([(2, "b")], ["k", "v"]), ["k"])
+    os.remove(os.path.join(target, "_LOCK"))
+    merge_upsert(spark, target, spark.createDataFrame([(2, "b")], ["k", "v"]), ["k"])
