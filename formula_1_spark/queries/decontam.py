@@ -1,0 +1,254 @@
+"""Benchmark decontamination and repetition-removal quality signals —
+the two curation gates every LLM training pipeline runs that the round-1
+surface lacked (SURVEY.md §7.1(7) extension family; reference has no
+analog — these extend the pipeline the way `Transform Silver Data.py`
+extends bronze→silver, as declarative DataFrame stages).
+
+* ``benchmark_decontamination`` — flag training-split documents that
+  share any 13-gram with the held-out split (the GPT-3/Pile-style
+  n-gram-overlap decontamination rule). Scale shape: the eval side of a
+  real pipeline is a fixed benchmark suite (MBs, not TBs), so its
+  distinct hashed 13-grams are BROADCAST and the training corpus is
+  probed map-side — zero shuffle of the 100 TB side; the only wide op is
+  the per-doc hit count, partially aggregated map-side.
+* ``repetition_profile`` — Gopher-style repetition signals (top-2/3/4-gram
+  token fraction, duplicated-5-gram fraction) as pure
+  explode→count→conditional-agg over the shared token relation; flags
+  docs breaching the published Gopher thresholds.
+
+Both are exactly replicated in ANSI SQL (DuckDB oracle): the n-gram
+generation, 32-bit md5 hashing, and int-ratio arithmetic are
+engine-portable by construction.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from formula_1_spark.operators.dedup import md5_int32, shingles_from_tokens, tokenized
+from formula_1_spark.queries.registry import register
+from formula_1_spark.sources.tables import load_table
+
+DECONTAM_N = 13  # the standard n-gram-overlap decontamination width
+
+
+def split_bucket(id_col: str | Column = "doc_id") -> Column:
+    """Deterministic 0-9 split bucket: first 32 bits of md5(id) mod 10
+    (the same content-stable rule as ``dataset_hash_split`` — buckets
+    0-7 train, 8-9 held out)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint") % 10
+    )
+
+
+_BUCKET_SQL = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10"
+
+_DECONTAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,
+         {_BUCKET_SQL} AS b
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, b, t,
+         unnest(range(0, greatest(len(t) - {DECONTAM_N - 1}, 0))) AS i
+  FROM toks
+),
+grams AS (
+  SELECT DISTINCT doc_id, b,
+         ('0x' || substr(md5(array_to_string(
+            list_slice(t, i + 1, i + {DECONTAM_N}), ' ')), 1, 8))::BIGINT AS g
+  FROM idx
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE b >= 8),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams WHERE b < 8 GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_shared
+  FROM grams
+  WHERE b < 8 AND g IN (SELECT g FROM ev)
+  GROUP BY doc_id
+)
+SELECT h.doc_id,
+       CAST(h.n_shared AS BIGINT) AS n_shared_13grams,
+       h.n_shared / t.n_grams AS contam_frac
+FROM hits h JOIN tot t USING (doc_id)
+"""
+
+
+@register(
+    "benchmark_decontamination",
+    ops="EXT-decontam,J-semi,A1 (broadcast eval-gram probe)",
+    doc=f"GPT-3-style eval decontamination: training docs (split buckets "
+    f"0-7) sharing any {DECONTAM_N}-gram with the held-out split (8-9), "
+    f"with the shared-gram count and contaminated fraction per doc.",
+    oracle=_DECONTAM_ORACLE,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate(load_table(spark, sf_dir, "documents"))
+
+
+def decontaminate(docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
+    """Core decontamination DAG over any (doc_id, text) relation."""
+    sh = shingles_from_tokens(tokenized(docs).persist(), n)
+    grams = sh.select(
+        "doc_id",
+        split_bucket("doc_id").alias("b"),
+        F.size("sh").alias("n_grams"),
+        F.explode("sh").alias("g"),
+    ).persist()
+    # The held-out side is a fixed benchmark suite in production — small
+    # by design — so its distinct gram hashes broadcast and the training
+    # corpus never shuffles.
+    ev = grams.filter(F.col("b") >= 8).select("g").distinct()
+    hits = (
+        grams.filter(F.col("b") < 8)
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_13grams"),
+            F.max("n_grams").alias("n_grams"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        "n_shared_13grams",
+        (F.col("n_shared_13grams") / F.col("n_grams")).alias("contam_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals
+# ---------------------------------------------------------------------------
+
+# Published Gopher thresholds: top-2-gram 0.20, top-3-gram 0.18,
+# top-4-gram 0.16, duplicated-5-gram fraction 0.15.
+TOP2_MAX, TOP3_MAX, TOP4_MAX, DUP5_MAX = 0.20, 0.18, 0.16, 0.15
+
+
+def ngrams_all(toks: Column, n: int) -> Column:
+    """ALL word n-grams (duplicates kept — frequency is the signal here,
+    unlike the dedup shingles which are set-valued)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+           AS n_tokens
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, n_tokens, t, n.n AS n,
+         unnest(range(0, greatest(len(t) - n.n + 1, 0))) AS i
+  FROM toks, (VALUES (2), (3), (4), (5)) n(n)
+),
+grams AS (
+  SELECT doc_id, n_tokens, n,
+         array_to_string(list_slice(t, i + 1, i + n), ' ') AS g
+  FROM idx
+),
+counts AS (
+  SELECT doc_id, n_tokens, n, g, COUNT(*) AS c
+  FROM grams GROUP BY doc_id, n_tokens, n, g
+),
+stats AS (
+  SELECT doc_id, n_tokens, n,
+         CAST(MAX(c) AS BIGINT) AS topc,
+         CAST(SUM(c) AS BIGINT) AS totc,
+         CAST(COUNT(*) AS BIGINT) AS dist
+  FROM counts GROUP BY doc_id, n_tokens, n
+),
+wide AS (
+  SELECT doc_id, n_tokens,
+         MAX(CASE WHEN n = 2 THEN topc END) AS top2,
+         MAX(CASE WHEN n = 3 THEN topc END) AS top3,
+         MAX(CASE WHEN n = 4 THEN topc END) AS top4,
+         MAX(CASE WHEN n = 5 THEN totc END) AS tot5,
+         MAX(CASE WHEN n = 5 THEN dist END) AS dist5
+  FROM stats GROUP BY doc_id, n_tokens
+)
+SELECT doc_id, n_tokens,
+       COALESCE(top2 * 2 / n_tokens, 0.0) AS top2_frac,
+       COALESCE(top3 * 3 / n_tokens, 0.0) AS top3_frac,
+       COALESCE(top4 * 4 / n_tokens, 0.0) AS top4_frac,
+       COALESCE((tot5 - dist5) / tot5, 0.0) AS dup5_frac,
+       (COALESCE(top2 * 2 / n_tokens, 0.0) > 0.20
+        OR COALESCE(top3 * 3 / n_tokens, 0.0) > 0.18
+        OR COALESCE(top4 * 4 / n_tokens, 0.0) > 0.16
+        OR COALESCE((tot5 - dist5) / tot5, 0.0) > 0.15) AS rep_flag
+FROM wide
+"""
+
+
+@register(
+    "repetition_profile",
+    ops="EXT-quality,A3,A5 (explode -> partial-agg frequency profile)",
+    doc="Gopher-style repetition removal signals per document: top-2/3/4"
+    "-gram token fractions and duplicated-5-gram fraction, flagged at the "
+    "published thresholds. Map-side partial aggregation keeps the exploded "
+    "n-gram stream narrow; all arithmetic is int-ratio (engine-exact).",
+    oracle=_REPETITION_ORACLE,
+)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Core repetition-signal DAG over any (doc_id, text) relation."""
+    tok = tokenized(docs).persist()
+    base = tok.select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+    parts = [
+        base.select(
+            "doc_id",
+            "n_tokens",
+            F.lit(n).alias("n"),
+            F.explode(ngrams_all(F.col("toks"), n)).alias("g"),
+        )
+        for n in (2, 3, 4, 5)
+    ]
+    exploded = reduce(DataFrame.unionByName, parts)
+    counts = exploded.groupBy("doc_id", "n_tokens", "n", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = counts.groupBy("doc_id", "n_tokens", "n").agg(
+        F.max("c").alias("topc"),
+        F.sum("c").alias("totc"),
+        F.count(F.lit(1)).alias("dist"),
+    )
+    wide = stats.groupBy("doc_id", "n_tokens").agg(
+        F.max(F.when(F.col("n") == 2, F.col("topc"))).alias("top2"),
+        F.max(F.when(F.col("n") == 3, F.col("topc"))).alias("top3"),
+        F.max(F.when(F.col("n") == 4, F.col("topc"))).alias("top4"),
+        F.max(F.when(F.col("n") == 5, F.col("totc"))).alias("tot5"),
+        F.max(F.when(F.col("n") == 5, F.col("dist"))).alias("dist5"),
+    )
+    frac = lambda num, den: F.coalesce(num / den, F.lit(0.0))  # noqa: E731
+    top2 = frac(F.col("top2") * 2, F.col("n_tokens"))
+    top3 = frac(F.col("top3") * 3, F.col("n_tokens"))
+    top4 = frac(F.col("top4") * 4, F.col("n_tokens"))
+    dup5 = frac(F.col("tot5") - F.col("dist5"), F.col("tot5"))
+    return wide.select(
+        "doc_id",
+        "n_tokens",
+        top2.alias("top2_frac"),
+        top3.alias("top3_frac"),
+        top4.alias("top4_frac"),
+        dup5.alias("dup5_frac"),
+        (
+            (top2 > TOP2_MAX)
+            | (top3 > TOP3_MAX)
+            | (top4 > TOP4_MAX)
+            | (dup5 > DUP5_MAX)
+        ).alias("rep_flag"),
+    )

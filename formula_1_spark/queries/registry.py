@@ -68,6 +68,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.window_frames",
         "formula_1_spark.queries.pipeline_ops",
         "formula_1_spark.queries.sampling_stats",
+        "formula_1_spark.queries.decontam",
     ):
         try:
             __import__(mod)
