@@ -9,11 +9,19 @@ skipping the ``db/`` folder), S7 (overwrite parquet sink,
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
+from bisect import bisect_left
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+MANIFEST = "_MANIFEST.json"
+# Above this many distinct update keys, prune on the [min, max] range
+# instead of the exact key set (the collect must stay scalar-ish).
+PRUNE_KEY_CAP = 100_000
 
 
 def snapshot_name(ts: datetime | None = None) -> str:
@@ -93,6 +101,130 @@ def save_as_table(df: DataFrame, table: str, fmt: str = "parquet") -> None:
     df.write.mode("overwrite").format(fmt).saveAsTable(table)
 
 
+# ---------------------------------------------------------------------------
+# File-level data skipping: per-snapshot manifest of parquet-footer stats
+# ---------------------------------------------------------------------------
+
+
+def _file_stats(path: str, key_col: str) -> dict:
+    """Min/max/null presence for ``key_col`` straight from the parquet
+    footer (no data read). ``min is None`` marks the file unprunable —
+    missing stats, missing column, or a key type the manifest doesn't
+    range-compare (only int/str keys prune)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    out = {"rows": md.num_rows, "min": None, "max": None, "nulls": True}
+    if key_col not in names:
+        return out
+    j = names.index(key_col)
+    mins: list = []
+    maxs: list = []
+    nulls = False
+    for i in range(md.num_row_groups):
+        st = md.row_group(i).column(j).statistics
+        if st is None or not st.has_min_max:
+            return out
+        if not isinstance(st.min, (int, str)) or isinstance(st.min, bool):
+            return out
+        mins.append(st.min)
+        maxs.append(st.max)
+        if st.null_count is None or st.null_count > 0:
+            nulls = True
+    if mins:
+        out.update(min=min(mins), max=max(maxs), nulls=nulls)
+    else:  # zero row groups = empty file: prunable, matches nothing
+        out.update(nulls=False)
+    return out
+
+
+def write_manifest(snapshot_dir: str, key_cols: list[str]) -> dict:
+    """Write ``_MANIFEST.json`` for a snapshot: per-file footer stats on
+    the leading merge key (the underscore prefix keeps Spark's parquet
+    reader from picking it up as data)."""
+    files = sorted(f for f in os.listdir(snapshot_dir) if f.endswith(".parquet"))
+    manifest = {
+        "key_cols": list(key_cols),
+        "files": {
+            f: _file_stats(os.path.join(snapshot_dir, f), key_cols[0])
+            for f in files
+        },
+    }
+    tmp = os.path.join(snapshot_dir, MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(snapshot_dir, MANIFEST))
+    return manifest
+
+
+def read_manifest(snapshot_dir: str) -> dict | None:
+    path = os.path.join(snapshot_dir, MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _update_key_profile(updates: DataFrame, key_col: str):
+    """(sorted exact keys | None, (min, max) | None, has_null) for the
+    update side's leading merge key. Collects at most ``PRUNE_KEY_CAP``
+    scalars (past the cap it falls back to the [min, max] range — at true
+    scale this is where a bloom filter would slot in); data rows are never
+    collected."""
+    rows = (
+        updates.select(F.col(key_col).alias("k"))
+        .distinct()
+        .limit(PRUNE_KEY_CAP + 1)
+        .collect()
+    )
+    vals = [r.k for r in rows]
+    has_null = any(v is None for v in vals)
+    vals = [v for v in vals if v is not None]
+    if not all(isinstance(v, (int, str)) and not isinstance(v, bool) for v in vals):
+        return None, None, True  # unprunable key type: touch everything
+    if len(rows) > PRUNE_KEY_CAP:
+        agg = updates.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).collect()[0]
+        return None, (agg.lo, agg.hi), True  # range-only; nulls unknown
+    return sorted(vals), None, has_null
+
+
+def _split_files(
+    manifest: dict, keys: list | None, rng: tuple | None, upd_has_null: bool
+) -> tuple[list[str], list[str]]:
+    """Partition a snapshot's files into (touched, untouched) against the
+    update key profile. Conservative: any doubt → touched."""
+    touched, untouched = [], []
+    for fname, st in manifest["files"].items():
+        if st["min"] is None:
+            touched.append(fname)
+            continue
+        if upd_has_null and st["nulls"]:
+            touched.append(fname)
+            continue
+        try:
+            if keys is not None:
+                i = bisect_left(keys, st["min"])
+                hit = i < len(keys) and keys[i] <= st["max"]
+            else:
+                hit = rng is not None and not (
+                    rng[1] < st["min"] or rng[0] > st["max"]
+                )
+        except TypeError:  # update key type vs stats type mismatch
+            hit = True
+        (touched if hit else untouched).append(fname)
+    return touched, untouched
+
+
+def _link_or_copy(src: str, dst: str) -> None:
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)
+
+
 class ConcurrentMergeError(RuntimeError):
     """A second writer attempted to merge into a locked target."""
 
@@ -165,12 +297,29 @@ def merge_upsert(
       writer's rows (see :class:`ConcurrentMergeError`).
     * Small-file hygiene lives in :func:`compact_current` /
       :func:`vacuum_snapshots`.
+    * **File-level data skipping**: every merge snapshot carries a
+      ``_MANIFEST.json`` of parquet-footer min/max stats on the leading
+      key. The next merge rewrites ONLY the files whose key range
+      overlaps the update keys; untouched files are hardlinked into the
+      new snapshot unchanged (Delta/Iceberg copy-on-write file pruning —
+      a 100-key merge into a 100 TB table rewrites a few files, not the
+      table). Schema-evolving merges fall back to a full rewrite so a
+      snapshot directory never mixes schemas.
     """
     from formula_1_spark.plans.evolution import union_evolving
 
     with _merge_lock(target_path):
         current = read_current(spark, target_path)
         upd_cols = [c for c in updates.columns if c != delete_col]
+        if current is not None and sorted(current.columns) == sorted(upd_cols):
+            snap_dir = current_snapshot_dir(target_path)
+            manifest = read_manifest(snap_dir) if snap_dir else None
+            if manifest is not None and manifest["key_cols"] == list(key_cols):
+                _merge_pruned(
+                    spark, target_path, snap_dir, manifest, updates,
+                    key_cols, delete_col,
+                )
+                return
         if current is not None:
             # Null-safe key match (Delta MERGE `ON t.k <=> u.k`): an
             # equi-join would let NULL-key target rows survive forever
@@ -207,10 +356,56 @@ def merge_upsert(
                 )
             merged = survivors.select(*upd_cols).union(incoming)
 
-        _write_snapshot_and_repoint(merged, target_path)
+        _write_snapshot_and_repoint(merged, target_path, key_cols=key_cols)
 
 
-def _write_snapshot_and_repoint(df: DataFrame, target_path: str) -> str:
+def _merge_pruned(
+    spark: SparkSession,
+    target_path: str,
+    snap_dir: str,
+    manifest: dict,
+    updates: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None,
+) -> None:
+    """Copy-on-write merge that rewrites only key-overlapping files (see
+    :func:`merge_upsert`). Caller holds the merge lock and has verified
+    schema + manifest compatibility."""
+    from functools import reduce
+
+    upd_cols = [c for c in updates.columns if c != delete_col]
+    keys, rng, has_null = _update_key_profile(updates, key_cols[0])
+    touched, untouched = _split_files(manifest, keys, rng, has_null)
+
+    incoming = updates
+    if delete_col is not None:
+        incoming = incoming.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+    incoming = incoming.select(*upd_cols)
+
+    if touched:
+        tdf = spark.read.parquet(*[os.path.join(snap_dir, f) for f in touched])
+        u = updates.select(*key_cols).dropDuplicates(key_cols).alias("_u")
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"_t.{k}").eqNullSafe(F.col(f"_u.{k}")) for k in key_cols],
+        )
+        survivors = tdf.alias("_t").join(u, cond, "left_anti").select(*upd_cols)
+        merged = survivors.union(incoming)
+    else:
+        merged = incoming
+
+    out = _new_snapshot_dir(target_path)
+    merged.write.mode("overwrite").parquet(out)
+    for f in untouched:
+        dst = os.path.join(out, f)
+        if os.path.exists(dst):  # part-name collision (practically never)
+            dst = os.path.join(out, "linked-" + f)
+        _link_or_copy(os.path.join(snap_dir, f), dst)
+    write_manifest(out, key_cols)
+    _repoint(target_path, os.path.basename(out))
+
+
+def _new_snapshot_dir(target_path: str) -> str:
     # Merge snapshots need sub-second uniqueness (bronze ingest snapshots
     # keep the reference's second-resolution name; merges can land
     # back-to-back): suffix until the directory name is fresh.
@@ -219,13 +414,25 @@ def _write_snapshot_and_repoint(df: DataFrame, target_path: str) -> str:
     while os.path.exists(os.path.join(target_path, snap)):
         seq += 1
         snap = f"{snapshot_name()}_{seq:02d}"
-    out = os.path.join(target_path, snap)
-    df.write.mode("overwrite").parquet(out)
+    return os.path.join(target_path, snap)
+
+
+def _repoint(target_path: str, snap: str) -> None:
     pointer_tmp = os.path.join(target_path, "_CURRENT.tmp")
     with open(pointer_tmp, "w") as fh:
         fh.write(snap)
     os.replace(pointer_tmp, os.path.join(target_path, "_CURRENT"))
-    return snap
+
+
+def _write_snapshot_and_repoint(
+    df: DataFrame, target_path: str, key_cols: list[str] | None = None
+) -> str:
+    out = _new_snapshot_dir(target_path)
+    df.write.mode("overwrite").parquet(out)
+    if key_cols:
+        write_manifest(out, key_cols)
+    _repoint(target_path, os.path.basename(out))
+    return os.path.basename(out)
 
 
 def compact_current(
@@ -242,9 +449,15 @@ def compact_current(
     current = read_current(spark, target_path)
     if current is None:
         return
+    snap_dir = current_snapshot_dir(target_path)
+    manifest = read_manifest(snap_dir) if snap_dir else None
     n = current.count()
     files = max(1, -(-n // target_rows_per_file))
-    _write_snapshot_and_repoint(current.repartition(files), target_path)
+    _write_snapshot_and_repoint(
+        current.repartition(files),
+        target_path,
+        key_cols=manifest["key_cols"] if manifest else None,
+    )
 
 
 def vacuum_snapshots(target_path: str, keep_last: int = 2) -> list[str]:
@@ -271,12 +484,19 @@ def vacuum_snapshots(target_path: str, keep_last: int = 2) -> list[str]:
     return removed
 
 
-def read_current(spark: SparkSession, target_path: str) -> DataFrame | None:
-    """Resolve a merge target's live snapshot via its ``_CURRENT``
-    pointer; None when the target doesn't exist yet."""
+def current_snapshot_dir(target_path: str) -> str | None:
+    """Path of the live snapshot directory (via ``_CURRENT``), or None."""
     pointer = os.path.join(target_path, "_CURRENT")
     if not os.path.exists(pointer):
         return None
     with open(pointer) as fh:
-        snap = fh.read().strip()
-    return spark.read.parquet(os.path.join(target_path, snap))
+        return os.path.join(target_path, fh.read().strip())
+
+
+def read_current(spark: SparkSession, target_path: str) -> DataFrame | None:
+    """Resolve a merge target's live snapshot via its ``_CURRENT``
+    pointer; None when the target doesn't exist yet."""
+    snap_dir = current_snapshot_dir(target_path)
+    if snap_dir is None:
+        return None
+    return spark.read.parquet(snap_dir)

@@ -141,3 +141,72 @@ def test_concurrent_merge_raises(spark, tmp_path):
         merge_upsert(spark, target, spark.createDataFrame([(2, "b")], ["k", "v"]), ["k"])
     os.remove(os.path.join(target, "_LOCK"))
     merge_upsert(spark, target, spark.createDataFrame([(2, "b")], ["k", "v"]), ["k"])
+
+
+def test_merge_prunes_unaffected_files(spark, tmp_path):
+    from formula_1_spark.sources.io import current_snapshot_dir, read_manifest
+
+    target = str(tmp_path / "pruned")
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(100)], ["k", "v"])
+    merge_upsert(spark, target, base.repartitionByRange(4, "k"), ["k"])
+    snap1 = current_snapshot_dir(target)
+    m1 = read_manifest(snap1)
+    assert m1 is not None and len(m1["files"]) == 4
+
+    time.sleep(1.1)
+    upd = spark.createDataFrame([(7, "Z")], ["k", "v"])
+    merge_upsert(spark, target, upd, ["k"])
+    snap2 = current_snapshot_dir(target)
+    m2 = read_manifest(snap2)
+
+    rows = _rows(read_current(spark, target))
+    assert rows == {(i, f"v{i}") for i in range(100) if i != 7} | {(7, "Z")}
+
+    # 3 of the 4 range-partitioned files carried over by hardlink
+    carried = set(m1["files"]) & set(m2["files"])
+    assert len(carried) == 3
+    for f in carried:
+        assert os.path.samefile(os.path.join(snap1, f), os.path.join(snap2, f))
+
+
+def test_pruned_delete_only_touches_overlapping_file(spark, tmp_path):
+    from formula_1_spark.sources.io import current_snapshot_dir, read_manifest
+
+    target = str(tmp_path / "pruned_del")
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(40)], ["k", "v"])
+    merge_upsert(spark, target, base.repartitionByRange(4, "k"), ["k"])
+    snap1 = current_snapshot_dir(target)
+    time.sleep(1.1)
+    dels = spark.createDataFrame([(3, "x", True)], ["k", "v", "is_delete"])
+    merge_upsert(spark, target, dels, ["k"], delete_col="is_delete")
+    rows = _rows(read_current(spark, target))
+    assert rows == {(i, f"v{i}") for i in range(40) if i != 3}
+    m1, m2 = read_manifest(snap1), read_manifest(current_snapshot_dir(target))
+    assert len(set(m1["files"]) & set(m2["files"])) == 3
+
+
+def test_schema_evolving_merge_falls_back_to_full_rewrite(spark, tmp_path):
+    from formula_1_spark.sources.io import current_snapshot_dir, read_manifest
+
+    target = str(tmp_path / "pruned_evolve")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    merge_upsert(spark, target, base.repartition(2), ["k"])
+    snap1 = current_snapshot_dir(target)
+    time.sleep(1.1)
+    upd = spark.createDataFrame([(1, "A", 9)], ["k", "v", "extra"])
+    merge_upsert(spark, target, upd, ["k"])  # adds a column -> full path
+    snap2 = current_snapshot_dir(target)
+    got = {(r.k, r.v, r.extra) for r in read_current(spark, target).collect()}
+    assert got == {(1, "A", 9), (2, "b", None)}
+    # no file carried: evolving merges rewrite so one snapshot = one schema
+    assert not (set(read_manifest(snap1)["files"]) & set(read_manifest(snap2)["files"]))
+
+
+def test_pruned_merge_with_null_key_is_conservative(spark, tmp_path):
+    target = str(tmp_path / "pruned_null")
+    base = spark.createDataFrame([(1, "a"), (None, "n")], "k int, v string")
+    merge_upsert(spark, target, base.repartition(2), ["k"])
+    time.sleep(1.1)
+    upd = spark.createDataFrame([(None, "N2")], "k int, v string")
+    merge_upsert(spark, target, upd, ["k"])
+    assert _rows(read_current(spark, target)) == {(1, "a"), (None, "N2")}
