@@ -1,0 +1,105 @@
+"""Streaming-CDC-merge end-to-end exposed through the driver contract:
+a change stream (updates + tombstones + late inserts over ``orders``)
+is merged micro-batch-by-micro-batch into a snapshot-pointer table via
+``stream_merge_into``; the query returns the final table state.
+
+The oracle never sees the fixture lake — the change set is a pure
+function of ``orders``, so the expected final state is recomputable as
+static ANSI SQL over the driver's own view. That makes this a full
+hash-checked E2E of: foreachBatch sink -> CDC seq resolution ->
+manifest-pruned MERGE -> snapshot pointer read-back.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from formula_1_spark.queries.registry import register
+from formula_1_spark.sources.tables import load_table
+
+_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 3 <> 0
+)
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 1 THEN '1-CDC2' ELSE o_orderpriority END
+         AS o_orderpriority,
+       o_totalprice
+FROM base WHERE o_orderkey % 10 <> 4
+UNION ALL
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 = 0
+"""
+
+_CDC_SCHEMA = [
+    "o_orderkey",
+    "o_orderpriority",
+    "o_totalprice",
+    "seq",
+    "is_delete",
+]
+
+
+@register(
+    "cdc_stream_merge_orders",
+    ops="EXT-cdc,S7,§2.9 (foreachBatch MERGE sink, seq resolution, pruned COW)",
+    doc="Streaming CDC upsert E2E: base table, then a change stream "
+    "(two same-key updates resolved by sequence, tombstone deletes, "
+    "inserts) merged via foreachBatch into the manifest-pruned snapshot "
+    "table; returns the final state, hash-checked against a closed-form "
+    "oracle over orders.",
+    oracle=_ORACLE,
+)
+def cdc_stream_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.sources.io import merge_upsert, read_current
+    from formula_1_spark.streaming.sink import stream_merge_into
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), "cdc_stream_lake_v1", tag)
+    target = os.path.join(root, "target")
+
+    if not os.path.exists(os.path.join(target, "_CURRENT")):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        base = orders.filter(F.col("o_orderkey") % 3 != 0)
+        merge_upsert(spark, target, base.repartitionByRange(4, "o_orderkey"),
+                     ["o_orderkey"])
+
+        key = F.col("o_orderkey")
+        upd1 = base.filter(key % 10 == 1).select(
+            key, F.lit("0-CDC1"), "o_totalprice", F.lit(1), F.lit(False)
+        ).toDF(*_CDC_SCHEMA)
+        upd2 = base.filter(key % 10 == 1).select(
+            key, F.lit("1-CDC2"), "o_totalprice", F.lit(2), F.lit(False)
+        ).toDF(*_CDC_SCHEMA)
+        dels = base.filter(key % 10 == 4).select(
+            key, "o_orderpriority", "o_totalprice", F.lit(3), F.lit(True)
+        ).toDF(*_CDC_SCHEMA)
+        ins = orders.filter((key % 3 == 0) & (key % 10 == 0)).select(
+            key, "o_orderpriority", "o_totalprice", F.lit(1), F.lit(False)
+        ).toDF(*_CDC_SCHEMA)
+        changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+
+        src = os.path.join(root, "changes")
+        changes.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(changes.schema).parquet(src)
+        q = stream_merge_into(
+            stream,
+            target,
+            checkpoint=os.path.join(root, "ckpt"),
+            key_cols=["o_orderkey"],
+            seq_col="seq",
+            delete_col="is_delete",
+        )
+        q.awaitTermination(300)
+
+    return read_current(spark, target)

@@ -69,6 +69,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.pipeline_ops",
         "formula_1_spark.queries.sampling_stats",
         "formula_1_spark.queries.decontam",
+        "formula_1_spark.queries.cdc_stream",
     ):
         try:
             __import__(mod)
