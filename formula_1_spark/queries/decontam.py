@@ -88,12 +88,24 @@ FROM hits h JOIN tot t USING (doc_id)
     oracle=_DECONTAM_ORACLE,
 )
 def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decontaminate(load_table(spark, sf_dir, "documents"))
+    # Reuse the dedup family's cached token relation — an independent
+    # persist of the same tokenization doubles cache memory and evicts
+    # the shared pipeline mid-suite (measured: dedup_clusters 8->25 s).
+    from formula_1_spark.queries.dedup import _shared_relations
+
+    return decontaminate(tok=_shared_relations(spark, sf_dir)["tok"])
 
 
-def decontaminate(docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
-    """Core decontamination DAG over any (doc_id, text) relation."""
-    sh = shingles_from_tokens(tokenized(docs).persist(), n)
+def decontaminate(
+    docs: DataFrame | None = None,
+    n: int = DECONTAM_N,
+    tok: DataFrame | None = None,
+) -> DataFrame:
+    """Core decontamination DAG over any (doc_id, text) relation (or a
+    pre-tokenized (doc_id, toks) relation via ``tok``)."""
+    if tok is None:
+        tok = tokenized(docs).persist()
+    sh = shingles_from_tokens(tok, n)
     grams = sh.select(
         "doc_id",
         split_bucket("doc_id").alias("b"),
@@ -201,12 +213,18 @@ FROM wide
     oracle=_REPETITION_ORACLE,
 )
 def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return repetition_signals(load_table(spark, sf_dir, "documents"))
+    from formula_1_spark.queries.dedup import _shared_relations
+
+    return repetition_signals(tok=_shared_relations(spark, sf_dir)["tok"])
 
 
-def repetition_signals(docs: DataFrame) -> DataFrame:
-    """Core repetition-signal DAG over any (doc_id, text) relation."""
-    tok = tokenized(docs).persist()
+def repetition_signals(
+    docs: DataFrame | None = None, tok: DataFrame | None = None
+) -> DataFrame:
+    """Core repetition-signal DAG over any (doc_id, text) relation (or a
+    pre-tokenized (doc_id, toks) relation via ``tok``)."""
+    if tok is None:
+        tok = tokenized(docs).persist()
     base = tok.select("doc_id", "toks", F.size("toks").alias("n_tokens"))
     parts = [
         base.select(
