@@ -182,6 +182,66 @@ def cosine_near_dup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    threshold: float = 0.45,
+    dims: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster the embedding space with
+    deterministic k-means, then compare pairs ONLY within a cluster
+    (exact cosine >= ``threshold``). The clustering bounds the quadratic
+    verify the way the paper's k-means sharding does — per-cell pair
+    count is (n/n_cells)^2-ish, and ``n_cells`` grows with the corpus so
+    per-cell work stays constant at scale. Complements the hyperplane-LSH
+    candidate path (:func:`cosine_near_dup_pairs`): k-means cells adapt
+    to the data distribution where LSH bands are data-oblivious.
+
+    Deterministic end-to-end (seeded k-means, argmax-with-tie-break
+    assignment, left-fold cosine), hence exactly oracle-checkable.
+    """
+    cents = kmeans_centroids(emb, n_cells=n_cells, iters=iters).persist()
+    base = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("na")
+    ).persist()
+    scored = fan_out(base).join(F.broadcast(cents), F.lit(True)).withColumn(
+        "cell_cos", cosine(F.col("embedding"), F.col("cent"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell_id"))
+    assign = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "cell_id")
+    )
+    # Bucket pattern: one shuffle on cell_id, pairs explode in-cell.
+    buckets = (
+        assign.groupBy("cell_id")
+        .agg(F.collect_set("vec_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        buckets.select("cell_id", F.explode("ids").alias("vec_id_1"), F.col("ids"))
+        .select("cell_id", "vec_id_1", F.explode("ids").alias("vec_id_2"))
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_id_1"),
+        *flatten_vec("x", F.col("embedding"), dims, denom=F.col("na")),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_id_2"),
+        *flatten_vec("y", F.col("embedding"), dims, denom=F.col("na")),
+    )
+    return (
+        cand.join(a, "vec_id_1")
+        .join(b, "vec_id_2")
+        .withColumn("cos", flat_dot("x", "y", dims))
+        .filter(F.col("cos") >= threshold)
+        .select("cell_id", "vec_id_1", "vec_id_2", "cos")
+    )
+
+
 KMEANS_SCALE = 1000000.0  # component quantization grid for exact means
 
 

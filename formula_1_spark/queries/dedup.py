@@ -331,3 +331,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the banded candidate set exactly, so the check is still hash-exact.
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return cosine_near_dup_pairs(emb, threshold=0.45)
+
+
+# SemDeDup-style semantic dedup: k-means cells as candidate buckets,
+# exact cosine verify within a cell. Reuses the similarity module's
+# deterministic k-means CTE chain so the oracle replicates the exact
+# cell assignment (and therefore the exact candidate set).
+from formula_1_spark.queries.similarity import _COS, _kmeans_ctes  # noqa: E402
+
+
+@register(
+    "dedup_semantic_clusters",
+    ops="EXT-dedup-semantic,A1,J4,W1 (k-means bucketed pairwise verify)",
+    doc="SemDeDup-style semantic dedup: embeddings clustered by 2 "
+    "deterministic spherical k-means iterations (8 cells), pairwise "
+    "exact cosine ONLY within a cell (>= 0.45). The cluster count is the "
+    "scale knob: per-cell pair work stays bounded as n_cells grows with "
+    "the corpus.",
+    oracle=f"""
+WITH {_kmeans_ctes(n_cells=8, iters=2)},
+scored AS (
+  SELECT e.vec_id, c.cell_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY {_COS.format(a="e.embedding", b="c.cent")} DESC,
+                    c.cell_id ASC) AS r
+  FROM embeddings e, centroids c
+),
+cells AS (SELECT vec_id, cell_id FROM scored WHERE r = 1),
+unit AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)
+           / sqrt(list_reduce(
+               list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+               (acc, v) -> acc + v))) AS u
+  FROM embeddings
+),
+pairs AS (
+  SELECT x.cell_id, x.vec_id AS vec_id_1, y.vec_id AS vec_id_2
+  FROM cells x JOIN cells y
+    ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+)
+SELECT p.cell_id, p.vec_id_1, p.vec_id_2,
+       list_reduce(list_transform(list_zip(a.u, b.u), x -> x[1] * x[2]),
+                   (acc, v) -> acc + v) AS cos
+FROM pairs p
+JOIN unit a ON a.vec_id = p.vec_id_1
+JOIN unit b ON b.vec_id = p.vec_id_2
+WHERE list_reduce(list_transform(list_zip(a.u, b.u), x -> x[1] * x[2]),
+                  (acc, v) -> acc + v) >= 0.45
+""",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, n_cells=8, iters=2, threshold=0.45)

@@ -127,3 +127,68 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         segs.alias("bpe_segments"),
         (segs / token_count("text")).alias("segs_per_word"),
     )
+
+
+# The quality expression as reusable SQL (mirrors functions.text
+# .quality_score op-for-op; also used inline by the funnel oracle).
+_QUALITY_SQL = f"""
+       len(regexp_extract_all(text, '{_EN}'))
+         / len(regexp_split_to_array(trim(text), '\\s+')) * 0.4
+       + least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.3
+       + (1.0 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+              / length(text)) * 0.3"""
+
+
+@register(
+    "source_quality_rollup",
+    ops="EXT-source-reputation,A1,A3,A5 (two-level rollup + join-back)",
+    doc="Per-source reputation rollup (the RefinedWeb-style source "
+    "scoring gate): doc count, exact mean quality (floor-quantized "
+    "integer sum, order-independent), mean tokens, low-quality fraction, "
+    "and within-source duplicate fraction from fingerprint multiplicity.",
+    oracle=f"""
+WITH base AS (
+  SELECT source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         CAST(FLOOR(({_QUALITY_SQL}) * 1000000000.0) AS BIGINT) AS q9,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS ntok,
+         CASE WHEN ({_QUALITY_SQL}) < 0.3 THEN 1 ELSE 0 END AS lowq
+  FROM documents
+),
+fpc AS (SELECT source, fp, COUNT(1) AS c FROM base GROUP BY source, fp),
+dup AS (SELECT source, CAST(SUM(c - 1) AS BIGINT) AS n_dup FROM fpc GROUP BY source),
+agg AS (
+  SELECT source, COUNT(1) AS n_docs,
+         CAST(SUM(q9) AS DOUBLE) / (1000000000.0 * COUNT(1)) AS avg_quality,
+         CAST(SUM(ntok) AS BIGINT) / COUNT(1) AS avg_tokens,
+         CAST(SUM(lowq) AS BIGINT) / COUNT(1) AS low_q_frac
+  FROM base GROUP BY source
+)
+SELECT a.source, a.n_docs, a.avg_quality, a.avg_tokens, a.low_q_frac,
+       d.n_dup / a.n_docs AS dup_frac
+FROM agg a JOIN dup d USING (source)
+""",
+)
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score("text")
+    n = F.count(F.lit(1))
+    base = docs.select(
+        "source",
+        fingerprint("text").alias("fp"),
+        F.floor(q * F.lit(1000000000.0)).cast("bigint").alias("q9"),
+        token_count("text").alias("ntok"),
+        (q < F.lit(0.3)).cast("int").alias("lowq"),
+    )
+    fpc = base.groupBy("source", "fp").agg(F.count(F.lit(1)).alias("c"))
+    dup = fpc.groupBy("source").agg(F.sum(F.col("c") - 1).alias("n_dup"))
+    agg = base.groupBy("source").agg(
+        n.alias("n_docs"),
+        (F.sum("q9").cast("double") / (F.lit(1000000000.0) * n)).alias("avg_quality"),
+        (F.sum("ntok") / n).alias("avg_tokens"),
+        (F.sum("lowq") / n).alias("low_q_frac"),
+    )
+    return agg.join(dup, "source").select(
+        "source", "n_docs", "avg_quality", "avg_tokens", "low_q_frac",
+        (F.col("n_dup") / F.col("n_docs")).alias("dup_frac"),
+    )

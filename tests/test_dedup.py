@@ -107,3 +107,31 @@ def test_embedding_lsh_recall_on_planted_near_dups(spark):
     assert recall >= 0.95, f"planted near-dup recall {recall}"
     # random gaussian pairs sit near cos 0 — none should clear 0.9
     assert got <= planted or len(got - planted) <= 1
+
+
+def test_semantic_dedup_recall_on_planted_near_dups(spark):
+    """SemDeDup k-means bucketing at its design point: a perturbed copy
+    (cos ~0.99) lands in the same cell as its source with near-certainty
+    (the cells are Voronoi regions; near-identical vectors share one), so
+    planted pairs are recovered within-cell and verified exactly."""
+    import random
+
+    from formula_1_spark.operators.similarity import semantic_dedup_pairs
+
+    rnd = random.Random(11)
+    rows = []
+    for i in range(50):
+        v = [rnd.gauss(0.0, 1.0) for _ in range(64)]
+        w = [x + rnd.gauss(0.0, 0.05) for x in v]
+        rows.append((i * 2, [float(x) for x in v]))
+        rows.append((i * 2 + 1, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r.vec_id_1, r.vec_id_2)
+        for r in semantic_dedup_pairs(emb, n_cells=8, iters=2, threshold=0.9).collect()
+    }
+    planted = {(i * 2, i * 2 + 1) for i in range(50)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.95, f"planted near-dup recall {recall}"
+    assert got <= planted or len(got - planted) <= 1

@@ -21,6 +21,7 @@ PANDAS_OK = {"media_feature_extract"}
 BNLJ_OK = {
     "similarity_topk_bruteforce",
     "similarity_ann_ivf",
+    "dedup_semantic_clusters",  # same k-means centroid broadcast as IVF
     "tpch_q22_global_sales_opportunity",
 }
 
