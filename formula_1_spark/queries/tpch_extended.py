@@ -1,4 +1,5 @@
-"""TPC-H-shaped extended battery (Q4/Q7/Q8/Q10/Q13/Q17/Q18/Q22 shapes
+"""TPC-H-shaped extended battery (Q4/Q7/Q8/Q10/Q12/Q13/Q14/Q15/Q17/
+Q18/Q19/Q21/Q22 shapes
 adapted to the driver schema, which has no partsupp/commitdate/shipmode/
 container columns) — relational breadth: EXISTS semi-joins, nation-pair
 multi-joins, conditional-ratio aggregates, zero-preserving outer-join
@@ -391,4 +392,221 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             .cast("double")
             .alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "tpch_q12_late_shipment_priority",
+    ops="J1,A3,F4 (TPC-H Q12 shape)",
+    doc="Late-shipment priority audit (Q12 without shipmode/receiptdate: "
+    "lateness = shipped > 90 days after order date, classed by return "
+    "flag): conditional high/low-priority line counts per class.",
+    oracle="""
+SELECT l.l_returnflag AS ship_class,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY l.l_returnflag
+""",
+)
+def tpch_q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    ops="J1,A3,F5 (TPC-H Q14 shape)",
+    doc="Promotion-effect ratio: share of one month's revenue from PROMO "
+    "parts; both sums decimal-exact so the percentage is bit-stable.",
+    oracle="""
+SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+              AS DOUBLE) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1998-06-01'
+  AND l.l_shipdate < TIMESTAMP '1998-07-01'
+""",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1998-06-01") & (F.col("l_shipdate") < "1998-07-01")
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    ops="A1,W2,J1 (TPC-H Q15 shape)",
+    doc="Top supplier(s) by quarterly revenue: pre-aggregated revenue "
+    "relation, global max via scalar comparison (the Q15 view + MAX "
+    "subquery), supplier dim join-back. The global window runs on the "
+    "POST-aggregation relation (one row per supplier) — the W2-safe shape.",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1998-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    w = Window.partitionBy()
+    top = rev.withColumn("mx", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("mx")
+    )
+    return top.join(F.broadcast(sup), top.l_suppkey == sup.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    ops="J1,P7,F3 (TPC-H Q19 shape)",
+    doc="Discounted revenue under an OR-of-ANDs predicate (brand x size "
+    "x quantity bands — Q19 without container/shipmode); exercises "
+    "disjunctive predicate planning over a joined dim.",
+    oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    def band(brand, s_lo, s_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(
+            band("Brand#1", 1, 15, 1, 11)
+            | band("Brand#2", 10, 30, 10, 20)
+            | band("Brand#9", 20, 50, 20, 30)
+        )
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    ops="J-semi,J-anti,A1 (TPC-H Q21 shape)",
+    doc="Suppliers who alone shipped late on finished multi-supplier "
+    "orders (Q21's EXISTS + NOT EXISTS pair, lateness = shipped > 60 "
+    "days after order date): distinct-order count per supplier.",
+    oracle="""
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+late AS (
+  SELECT * FROM lo WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+FROM late l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lo l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY s.s_name
+""",
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    lo = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    )
+    late = lo.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    others = lo.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(sup), waiting.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
     )
