@@ -460,6 +460,33 @@ def compact_current(
     )
 
 
+def cluster_current(
+    spark: SparkSession,
+    target_path: str,
+    n_files: int | None = None,
+    target_rows_per_file: int = 1_000_000,
+) -> None:
+    """Rewrite the live snapshot range-clustered on the merge key (Delta
+    ``OPTIMIZE ZORDER BY (key)`` for the single-key case): files get
+    DISJOINT key ranges, so the manifest's min/max stats prune maximally
+    — after clustering, a point merge rewrites exactly one file. Run it
+    like compaction: periodically, after merge churn has interleaved key
+    ranges across files. Values untouched; atomic repoint as always."""
+    manifest_dir = current_snapshot_dir(target_path)
+    manifest = read_manifest(manifest_dir) if manifest_dir else None
+    if manifest is None:
+        raise ValueError(
+            f"cluster_current needs a manifest (merge key) at {target_path}"
+        )
+    current = read_current(spark, target_path)
+    key = manifest["key_cols"][0]
+    if n_files is None:
+        n = current.count()
+        n_files = max(1, -(-n // target_rows_per_file))
+    clustered = current.repartitionByRange(n_files, F.col(key)).sortWithinPartitions(key)
+    _write_snapshot_and_repoint(clustered, target_path, key_cols=manifest["key_cols"])
+
+
 def vacuum_snapshots(target_path: str, keep_last: int = 2) -> list[str]:
     """Delete all but the newest ``keep_last`` snapshot directories
     (Delta VACUUM), never the one ``_CURRENT`` points at. Returns removed

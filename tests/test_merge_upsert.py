@@ -210,3 +210,37 @@ def test_pruned_merge_with_null_key_is_conservative(spark, tmp_path):
     upd = spark.createDataFrame([(None, "N2")], "k int, v string")
     merge_upsert(spark, target, upd, ["k"])
     assert _rows(read_current(spark, target)) == {(1, "a"), (None, "N2")}
+
+
+def test_cluster_current_restores_pruning(spark, tmp_path):
+    from formula_1_spark.sources.io import (
+        cluster_current,
+        current_snapshot_dir,
+        read_manifest,
+    )
+
+    target = str(tmp_path / "clustered")
+    # Hash-partitioned initial write -> every file spans the full key
+    # range -> a point merge must touch all files.
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(200)], ["k", "v"])
+    merge_upsert(spark, target, base.repartition(4, "k"), ["k"])
+    m0 = read_manifest(current_snapshot_dir(target))
+    spans = [(st["min"], st["max"]) for st in m0["files"].values()]
+    assert sum(1 for lo, hi in spans if lo <= 100 <= hi) == len(spans)
+
+    time.sleep(1.1)
+    cluster_current(spark, target, n_files=4)
+    m1 = read_manifest(current_snapshot_dir(target))
+    spans = sorted((st["min"], st["max"]) for st in m1["files"].values())
+    assert len(spans) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, f"overlapping clustered ranges {spans}"
+
+    # point merge after clustering rewrites exactly one file
+    time.sleep(1.1)
+    merge_upsert(spark, target, spark.createDataFrame([(100, "X")], ["k", "v"]), ["k"])
+    m2 = read_manifest(current_snapshot_dir(target))
+    carried = set(m1["files"]) & set(m2["files"])
+    assert len(carried) == 3
+    rows = {(r.k, r.v) for r in read_current(spark, target).collect()}
+    assert rows == {(i, f"v{i}") for i in range(200) if i != 100} | {(100, "X")}
