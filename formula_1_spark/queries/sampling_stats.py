@@ -156,3 +156,168 @@ def corpus_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("lang_guess", "bigram", "n_occurrences", "doc_freq", "rk")
     )
+
+
+CONTEXT_TOKENS = 512  # packing budget per training sequence
+
+
+@register(
+    "sequence_packing",
+    ops="EXT-packing,W1,A5 (per-shard greedy packing via window cumsum)",
+    doc=f"Sequence packing for training: docs are packed in doc_id order "
+    f"into {CONTEXT_TOKENS}-token bins PER SOURCE (a doc joins the bin "
+    f"its cumulative offset starts in). Per-shard windows keep the "
+    f"cumsum parallel at scale — packing is embarrassingly shardable, "
+    f"a GLOBAL packing order would serialize the corpus.",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS ntok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, ntok,
+         SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id) AS cumtok
+  FROM base
+),
+binned AS (
+  SELECT source,
+         CAST(FLOOR((cumtok - ntok) / {CONTEXT_TOKENS}.0) AS BIGINT) AS bin_id,
+         ntok
+  FROM cum
+)
+SELECT source, bin_id,
+       COUNT(1) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS bin_tokens,
+       CAST(SUM(ntok) AS BIGINT) / {CONTEXT_TOKENS}.0 AS fill_ratio
+FROM binned GROUP BY source, bin_id
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.size(tokens("text")).alias("ntok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = base.withColumn("cumtok", F.sum("ntok").over(w))
+    binned = cum.select(
+        "source",
+        F.floor((F.col("cumtok") - F.col("ntok")) / F.lit(float(CONTEXT_TOKENS)))
+        .cast("bigint")
+        .alias("bin_id"),
+        "ntok",
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("bin_tokens"),
+        (F.sum("ntok") / F.lit(float(CONTEXT_TOKENS))).alias("fill_ratio"),
+    )
+
+
+# Target language mixture for the sampled training corpus, as a share of
+# a token budget set to 30% of the corpus.
+_MIX_TARGETS = {"en": 0.5, "es": 0.2, "de": 0.2, "und": 0.1}
+_MIX_BUDGET_FRAC = 0.3
+
+_TARGET_CASE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in _MIX_TARGETS.items())
+    + " ELSE 0.0 END"
+)
+
+
+@register(
+    "corpus_mixture_plan",
+    ops="EXT-mixture,A1,W2,J1 (two-phase plan: aggregate -> broadcast -> apply)",
+    doc="Mixture balancing: per-language keep rates computed IN-PLAN "
+    "(rate = min(1, budget*share/lang_tokens), budget = 30% of corpus "
+    "tokens via a post-aggregation global window), broadcast back onto "
+    "the corpus, applied with the deterministic sampling hash; reports "
+    "planned rate and achieved kept docs/tokens per language — no "
+    "driver-side collect anywhere.",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {_LANG_CASE} AS lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS ntok
+  FROM documents
+),
+totals AS (
+  SELECT lang, COUNT(1) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS lang_tokens
+  FROM base GROUP BY lang
+),
+plan AS (
+  SELECT lang, n_docs, lang_tokens,
+         CAST({_TARGET_CASE} AS DOUBLE) AS target_share,
+         least(1.0, CAST({_MIX_BUDGET_FRAC} AS DOUBLE)
+                    * CAST(SUM(lang_tokens) OVER () AS DOUBLE)
+                    * CAST(({_TARGET_CASE}) AS DOUBLE)
+                    / CAST(lang_tokens AS DOUBLE)) AS keep_rate
+  FROM totals
+),
+kept AS (
+  SELECT b.lang, COUNT(1) AS kept_docs, CAST(SUM(b.ntok) AS BIGINT) AS kept_tokens
+  FROM base b JOIN plan p ON b.lang = p.lang
+  WHERE {hash_uniform_sql("b.doc_id", "mix")} < p.keep_rate
+  GROUP BY b.lang
+)
+SELECT p.lang, p.n_docs, p.lang_tokens, p.target_share, p.keep_rate,
+       COALESCE(k.kept_docs, 0) AS kept_docs,
+       COALESCE(k.kept_tokens, 0) AS kept_tokens
+FROM plan p LEFT JOIN kept k ON p.lang = k.lang
+""",
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from formula_1_spark.operators.sampling import hash_uniform
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        lang_guess("text").alias("lang"),
+        F.size(tokens("text")).alias("ntok"),
+    )
+    totals = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("ntok").alias("lang_tokens")
+    )
+    share = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in _MIX_TARGETS.items()
+        ],
+        F.lit(0.0),
+    )
+    wall = Window.partitionBy()
+    plan = totals.select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        share.alias("target_share"),
+        F.least(
+            F.lit(1.0),
+            F.lit(_MIX_BUDGET_FRAC)
+            * F.sum("lang_tokens").over(wall)
+            * share
+            / F.col("lang_tokens"),
+        ).alias("keep_rate"),
+    )
+    kept = (
+        base.join(F.broadcast(plan.select("lang", "keep_rate")), "lang")
+        .filter(hash_uniform(F.col("doc_id"), "mix") < F.col("keep_rate"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("ntok").alias("kept_tokens"),
+        )
+    )
+    return plan.join(kept, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        "target_share",
+        "keep_rate",
+        F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+    )
