@@ -103,3 +103,84 @@ def cdc_stream_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
 
     return read_current(spark, target)
+
+
+_MATVIEW_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+final AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 1 THEN '1-CDC2' ELSE o_orderpriority END
+           AS o_orderpriority,
+         o_totalprice
+  FROM base WHERE o_orderkey % 10 <> 4
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 = 0
+)
+SELECT o_orderpriority, COUNT(1) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM final GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "matview_incremental_orders",
+    ops="EXT-matview,A1,A5 (delta-maintained aggregate under MERGE churn)",
+    doc="Materialized-view maintenance E2E: an aggregate table over the "
+    "orders merge target is delta-refreshed through four merge rounds "
+    "(two priority updates, tombstone deletes, inserts) without ever "
+    "rescanning the base; the final maintained state hash-checks against "
+    "a closed-form recompute over orders. Sums ride an exact DECIMAL so "
+    "incremental +/- deltas equal the recompute bit-for-bit.",
+    oracle=_MATVIEW_ORACLE,
+)
+def matview_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.plans.matview import merge_with_agg_refresh
+    from formula_1_spark.sources.io import read_current
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), "matview_lake_v1", tag)
+    base_path = os.path.join(root, "base")
+    agg_path = os.path.join(root, "agg")
+
+    if not os.path.exists(os.path.join(agg_path, "_CURRENT")):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        )
+        key = F.col("o_orderkey")
+        base = orders.filter(key % 3 != 0)
+
+        def refresh(upd, **kw):
+            merge_with_agg_refresh(
+                spark, base_path, agg_path, upd,
+                key_cols=["o_orderkey"],
+                dims=["o_orderpriority"],
+                sum_cols=["o_totalprice"],
+                **kw,
+            )
+
+        refresh(base.repartitionByRange(4, "o_orderkey"))
+        refresh(
+            base.filter(key % 10 == 1).withColumn("o_orderpriority", F.lit("0-CDC1"))
+        )
+        refresh(
+            base.filter(key % 10 == 1).withColumn("o_orderpriority", F.lit("1-CDC2"))
+        )
+        refresh(
+            base.filter(key % 10 == 4).withColumn("is_delete", F.lit(True)),
+            delete_col="is_delete",
+        )
+        refresh(orders.filter((key % 3 == 0) & (key % 10 == 0)))
+
+    return read_current(spark, agg_path).select(
+        "o_orderpriority",
+        "n_rows",
+        F.col("sum_o_totalprice").cast("double").alias("sum_price"),
+    )
