@@ -63,6 +63,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.catalog_f1",
         "formula_1_spark.queries.tpch_classic",
         "formula_1_spark.queries.tpch_extended",
+        "formula_1_spark.queries.tpch_supply",
         "formula_1_spark.queries.join_types",
         "formula_1_spark.queries.functions_breadth",
         "formula_1_spark.queries.window_frames",
