@@ -213,6 +213,53 @@ def minhash_signatures(
     )
 
 
+def lsh_band_rows(sigs: DataFrame, bands: int, r: int) -> DataFrame:
+    """Explode (doc_id, sigs) into (doc_id, band_id, band_key) rows —
+    band_key is the comma-joined slice of ``r`` signature values."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.concat_ws(",", F.slice("sigs", j * r + 1, r)).alias("band_key"),
+            )
+            for j in range(bands)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_key"
+    )
+
+
+def minhash_lsh_cross_pairs(
+    sh: DataFrame,
+    base_pred,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric (base-corpus vs incoming) MinHash-LSH near-dup: pair a
+    base doc with an incoming doc sharing any band bucket, then verify
+    exact Jaccard on the full shingle sets.
+
+    ``base_pred`` is a Column predicate over ``doc_id`` deciding the base
+    side; the complement is the incoming side. This is the incremental
+    flavor of ``minhash_lsh_pairs``: at scale the base side's band rows
+    are a precomputed index (append-only, partitioned by band), and each
+    new batch joins its bands against that index instead of re-pairing
+    the whole corpus — candidate work is O(batch x bucket), independent
+    of corpus size."""
+    sigs = minhash_signatures(sh, k)
+    rows = lsh_band_rows(sigs, bands, k // bands)
+    base = rows.filter(base_pred).select(
+        F.col("doc_id").alias("a"), "band_id", "band_key"
+    )
+    incoming = rows.filter(~base_pred).select(
+        F.col("doc_id").alias("b"), "band_id", "band_key"
+    )
+    cand = base.join(incoming, ["band_id", "band_key"]).select("a", "b").distinct()
+    return _verify_jaccard(cand, sh, threshold)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -237,18 +284,7 @@ def minhash_lsh_pairs(
     if sh is None:
         sh = _shingled(docs, id_col, text_col, n).persist()
     sigs = minhash_signatures(sh, k)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_id"),
-                F.concat_ws(",", F.slice("sigs", j * r + 1, r)).alias("band_key"),
-            )
-            for j in range(bands)
-        ]
-    )
-    bands_df = sigs.select(
-        "doc_id", F.explode(band_structs).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
+    bands_df = lsh_band_rows(sigs, bands, r)
 
     # Bucket pattern instead of a bands⋈bands self-join: ONE shuffle
     # groups each (band_id, band_key) bucket, pairs explode in-bucket.

@@ -386,3 +386,56 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup_pairs(emb, n_cells=8, iters=2, threshold=0.45)
+
+
+@register(
+    "dedup_incremental_minhash",
+    ops="EXT-dedup-incremental,J4",
+    doc="Incremental (cross-corpus) near-dup: incoming docs (odd doc_id) "
+    "checked against the base corpus (even doc_id) via asymmetric "
+    "MinHash-LSH band join, exact-Jaccard verified >= 0.5. The batch "
+    "never self-pairs — candidate work is O(batch x bucket), not "
+    "O(corpus^2), the shape of deduping a new crawl against an existing "
+    "100 TB corpus index.",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+base AS (
+  SELECT doc_id, shingle % {MINHASH_P} AS x
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM shf)
+),
+sigagg AS (
+  SELECT doc_id,
+{_MINHASH_MINS}
+  FROM base GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, {_SIG_ARRAY} AS sigs FROM sigagg),
+bands AS (
+  SELECT doc_id, j.j AS band_id,
+         array_to_string(list_slice(sigs, j.j * 4 + 1, j.j * 4 + 4), ',') AS band_key
+  FROM sigs, (SELECT unnest(range(0, 8)) AS j) j
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x
+  JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+),
+verified AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.sh, sb.sh))
+           / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN shf sa ON sa.doc_id = c.a
+  JOIN shf sb ON sb.doc_id = c.b
+)
+SELECT a AS doc_id_1, b AS doc_id_2, jaccard
+FROM verified WHERE jaccard >= 0.5
+""",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.dedup import minhash_lsh_cross_pairs
+
+    shared = _shared_relations(spark, sf_dir)
+    return minhash_lsh_cross_pairs(
+        shared["sh"], base_pred=F.col("doc_id") % 2 == 0, threshold=0.5
+    )
