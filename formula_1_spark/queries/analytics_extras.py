@@ -231,3 +231,69 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_suppliers"),
     )
+
+
+@register(
+    "funnel_staged_conversion",
+    ops="EXT-funnel,A1,J1 (ordered-sequence analytic)",
+    doc="Ordered conversion funnel view -> click -> purchase: per user, "
+    "the first view, the first click strictly after it, and the first "
+    "purchase strictly after that. Three co-partitioned aggregations on "
+    "user_id (the staged decorrelation of a sequence-pattern match); "
+    "only fully-converted users survive.",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(v.t_view) AS t_view, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(c.t_view) AS t_view, MIN(c.t_click) AS t_click,
+         MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT user_id, epoch_us(t_view) AS view_us, epoch_us(t_click) AS click_us,
+       epoch_us(t_purchase) AS purchase_us
+FROM p
+""",
+)
+def funnel_staged_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str, out: str, carry: list[str]) -> DataFrame:
+        # every stage keys on user_id: the aggregations and joins share one
+        # hash partitioning, so stages 2-3 add no new shuffle of the fact
+        nxt = events.filter(F.col("event_type") == etype).select(
+            F.col("user_id").alias("u"), "ts"
+        )
+        gate = carry[-1]
+        return (
+            nxt.join(prev, nxt.u == prev.user_id)
+            .filter(F.col("ts") > F.col(gate))
+            .groupBy("user_id")
+            .agg(
+                *[F.min(col).alias(col) for col in carry],
+                F.min("ts").alias(out),
+            )
+        )
+
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = first_after(v, "click", "t_click", ["t_view"])
+    p = first_after(c, "purchase", "t_purchase", ["t_view", "t_click"])
+    return p.select(
+        "user_id",
+        F.unix_micros("t_view").alias("view_us"),
+        F.unix_micros("t_click").alias("click_us"),
+        F.unix_micros("t_purchase").alias("purchase_us"),
+    )

@@ -68,3 +68,40 @@ def customers_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders98, customer.c_custkey == orders98.o_custkey, "left_anti"
     ).select("c_custkey", F.lit("dormant").alias("segment"))
     return semi.unionAll(anti)
+
+
+@register(
+    "skew_salted_join",
+    ops="EXT-skew-salting,J4,A5",
+    doc="Skew-mitigated join: lineitem keyed by l_returnflag (3 values — "
+    "a pathologically skewed key where every row lands on one of three "
+    "reducers) joined to a tiny flag-description dim through salted_join "
+    "(16 salts spread each hot key across reducers), then re-aggregated. "
+    "Salting is value-neutral: the oracle is the plain join.",
+    oracle="""
+SELECT v.flag_label,
+       COUNT(1) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM lineitem l
+JOIN (VALUES ('A', 'accepted'), ('N', 'open'), ('R', 'returned'))
+     v(l_returnflag, flag_label)
+  ON v.l_returnflag = l.l_returnflag
+GROUP BY v.flag_label
+""",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    flag_dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "open"), ("R", "returned")],
+        ["l_returnflag", "flag_label"],
+    )
+    joined = salted_join(li, flag_dim, key="l_returnflag", n_salts=16)
+    return joined.groupBy("flag_label").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
