@@ -219,3 +219,101 @@ QUALIFY rank <= 10
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10))
+
+
+@register(
+    "embedding_quantization",
+    ops="EXT-embedding-quantization,A1,F-HOF",
+    doc="Int8 scalar quantization of the embedding column: per-dimension "
+    "corpus min/max (one 64-group aggregate) -> affine uint8 codes -> "
+    "dequantized reconstruction, reporting per-vector cosine(original, "
+    "reconstruction) and max absolute error. The 4x storage cut is the "
+    "standard ANN-at-scale move; the error report is the audit that the "
+    "cut is safe. floor(x + 0.5) rounding and left-fold sums keep both "
+    "engines bit-identical.",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, i.i AS dim, CAST(embedding[i.i + 1] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(range(0, 64)) AS i) i
+),
+stats AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY dim),
+srow AS (
+  SELECT list(mn ORDER BY dim) AS mns,
+         list(mx - mn ORDER BY dim) AS rngs
+  FROM stats
+),
+vecs AS (
+  SELECT e.vec_id,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS orig,
+         s.mns, s.rngs
+  FROM embeddings e, srow s
+),
+coded AS (
+  SELECT vec_id, orig, mns, rngs,
+         list_transform(
+           list_zip(list_transform(list_zip(orig, mns), p -> p[1] - p[2]), rngs),
+           p -> CASE WHEN p[2] > 0 THEN floor(p[1] / p[2] * 255 + 0.5)
+                     ELSE 0 END) AS codes
+  FROM vecs
+),
+deq AS (
+  SELECT vec_id, orig,
+         list_transform(
+           list_zip(list_transform(list_zip(codes, rngs),
+                                   p -> p[1] * p[2] / 255.0), mns),
+           p -> p[1] + p[2]) AS rec
+  FROM coded
+)
+SELECT vec_id,
+       list_reduce(list_transform(list_zip(orig, rec), p -> p[1] * p[2]),
+                   (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(orig, x -> x * x), (a, b) -> a + b))
+            * sqrt(list_reduce(list_transform(rec, x -> x * x), (a, b) -> a + b)))
+         AS cos_rec,
+       list_max(list_transform(list_zip(orig, rec), p -> abs(p[1] - p[2])))
+         AS max_abs_err
+FROM deq
+""",
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = 64
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "vf")
+    ).select("vec_id", "dim", F.col("vf").cast("double").alias("v"))
+    stats = ex.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    # 64 rows -> one broadcast row of dim-ordered stat arrays
+    srow = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))),
+            lambda s: s["mx"] - s["mn"],
+        ).alias("rngs"),
+    )
+    orig = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vecs = emb.join(F.broadcast(srow), F.lit(True)).select(
+        "vec_id", orig.alias("orig"), "mns", "rngs"
+    )
+    codes = F.zip_with(
+        F.zip_with(F.col("orig"), F.col("mns"), lambda v, mn: v - mn),
+        F.col("rngs"),
+        lambda d, r: F.when(r > 0, F.floor(d / r * 255 + 0.5)).otherwise(F.lit(0)),
+    )
+    coded = vecs.select("vec_id", "orig", "mns", "rngs", codes.alias("codes"))
+    rec = F.zip_with(
+        F.zip_with(F.col("codes"), F.col("rngs"), lambda c, r: c * r / 255.0),
+        F.col("mns"),
+        lambda d, mn: d + mn,
+    )
+    deq = coded.select("vec_id", "orig", rec.alias("rec"))
+    return deq.select(
+        "vec_id",
+        cosine(F.col("orig"), F.col("rec")).alias("cos_rec"),
+        F.array_max(
+            F.zip_with(F.col("orig"), F.col("rec"), lambda a, b: F.abs(a - b))
+        ).alias("max_abs_err"),
+    )
