@@ -297,3 +297,46 @@ def funnel_staged_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("t_click").alias("click_us"),
         F.unix_micros("t_purchase").alias("purchase_us"),
     )
+
+
+@register(
+    "cohort_retention_matrix",
+    ops="EXT-cohort-retention,A1,J1,A4",
+    doc="Cohort retention: customers bucketed by first-order month, "
+    "counted distinct in each subsequent activity month. Both "
+    "aggregations and the join key on o_custkey, so the fact shuffles "
+    "once; month arithmetic is integer (year*12+month deltas), never "
+    "fractional months_between.",
+    oracle="""
+WITH first_order AS (
+  SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort_month
+  FROM orders GROUP BY o_custkey
+)
+SELECT strftime(f.cohort_month, '%Y-%m') AS cohort,
+       (year(o.o_orderdate) - year(f.cohort_month)) * 12
+         + (month(o.o_orderdate) - month(f.cohort_month)) AS months_since,
+       COUNT(DISTINCT o.o_custkey) AS active_customers
+FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+GROUP BY 1, 2
+""",
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    first_order = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort_month")
+    )
+    fo = first_order.select(
+        F.col("o_custkey").alias("fo_custkey"), "cohort_month"
+    )
+    months_since = (
+        (F.year("o_orderdate") - F.year("cohort_month")) * 12
+        + (F.month("o_orderdate") - F.month("cohort_month"))
+    )
+    return (
+        orders.join(fo, orders.o_custkey == fo.fo_custkey)
+        .groupBy(
+            F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
+            months_since.alias("months_since"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("active_customers"))
+    )
