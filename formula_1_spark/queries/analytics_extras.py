@@ -340,3 +340,38 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("o_custkey").alias("active_customers"))
     )
+
+
+@register(
+    "lineitem_unpivot_metrics",
+    ops="EXT-unpivot,P1",
+    doc="UNPIVOT (melt): one month of lineitem wide metric columns "
+    "(quantity, extendedprice, discount) rotated into (metric, value) "
+    "rows via DataFrame.unpivot — the long-form reshape feeding "
+    "metric-generic downstream aggregation; oracled as the equivalent "
+    "UNION ALL.",
+    oracle="""
+WITH month AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+    AND l_shipdate < TIMESTAMP '1998-07-01'
+)
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+FROM month
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM month
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM month
+""",
+)
+def lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-06-01") & (F.col("l_shipdate") < "1998-07-01")
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -192,3 +192,67 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "avg_quality", "avg_tokens", "low_q_frac",
         (F.col("n_dup") / F.col("n_docs")).alias("dup_frac"),
     )
+
+
+_QUALITY_SQL = f"""len(regexp_extract_all(text, '{_EN}'))
+         / len(regexp_split_to_array(trim(text), '\\s+')) * 0.4
+       + least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.3
+       + (1.0 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+              / length(text)) * 0.3"""
+
+
+@register(
+    "filter_cascade_audit",
+    ops="EXT-filter-cascade,A5,F1 (pipeline observability)",
+    doc="Curation-filter cascade audit: each document is attributed to "
+    "the FIRST filter it fails (too_short -> low_quality -> unknown_lang "
+    "-> pass), rolled up per (source, verdict) with doc counts and the "
+    "group's worst quality. The single-scan CASE cascade is how a "
+    "100 TB curation run explains its kill rates without re-running "
+    "filters; min/max aggregates keep doubles order-independent.",
+    oracle=f"""
+WITH scored AS (
+  SELECT source,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         {_QUALITY_SQL} AS quality,
+         {_LANG_CASE} AS lang_guess
+  FROM documents
+),
+verdicts AS (
+  SELECT source,
+         CASE WHEN n_tokens < 20 THEN 'too_short'
+              WHEN quality < 0.40 THEN 'low_quality'
+              WHEN lang_guess = 'und' THEN 'unknown_lang'
+              ELSE 'pass' END AS verdict,
+         quality
+  FROM scored
+)
+SELECT source, verdict, COUNT(1) AS n_docs,
+       MIN(quality) AS min_quality, MAX(quality) AS max_quality
+FROM verdicts
+GROUP BY source, verdict
+""",
+)
+def filter_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        lang_guess("text").alias("lang_guess"),
+    )
+    verdict = (
+        F.when(F.col("n_tokens") < 20, "too_short")
+        .when(F.col("quality") < 0.40, "low_quality")
+        .when(F.col("lang_guess") == "und", "unknown_lang")
+        .otherwise("pass")
+    )
+    return (
+        scored.select("source", verdict.alias("verdict"), "quality")
+        .groupBy("source", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+    )
