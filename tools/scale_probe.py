@@ -1,0 +1,94 @@
+"""10x scale probe: replicate the sf0.1 fact tables 10 times (consistent
+key offsets — orders/lineitem share the orderkey offset so joins stay
+valid, dims untouched) into /tmp/sfx1, then time a representative query
+slate warm at both scales.
+
+Evidence for the scale-up story in PERF.md: if a plan hides quadratic
+work or a driver-side bottleneck, 10x data shows it immediately;
+shuffle/scan-bound plans land well under 10x wall.
+
+Usage: python tools/scale_probe.py [--build]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from formula_1_spark.queries.registry import load_all
+from formula_1_spark.session import get_spark
+from formula_1_spark.sources.tables import load_table
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sfx1"
+REPLICAS = 10
+
+SLATE = [
+    "tpch_q1_pricing_summary", "tpch_q9_product_profit",
+    "tpch_q13_order_histogram", "tpch_q18_large_orders",
+    "tpch_q21_waiting_supplier", "tpch_q2_min_cost_supplier",
+    "events_tumbling_window", "asof_join_events",
+    "funnel_staged_conversion", "cohort_retention_matrix",
+    "skew_salted_join", "lineitem_unpivot_metrics",
+]
+
+
+def build(spark) -> None:
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST)
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "documents", "embeddings"]:
+        load_table(spark, SRC, t).write.mode("overwrite").parquet(
+            f"{DST}/{t}.parquet"
+        )
+
+    def replicate(df, key: str):
+        off = int(df.agg(F.max(key)).collect()[0][0]) + 1
+        out = df
+        for i in range(1, REPLICAS):
+            out = out.unionByName(df.withColumn(key, F.col(key) + F.lit(i * off)))
+        return out
+
+    orders = load_table(spark, SRC, "orders")
+    # orders and lineitem must share the orderkey offset space
+    off = int(orders.agg(F.max("o_orderkey")).collect()[0][0]) + 1
+    big_o = orders
+    big_l = load_table(spark, SRC, "lineitem")
+    li = big_l
+    for i in range(1, REPLICAS):
+        big_o = big_o.unionByName(
+            orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * off))
+        )
+        big_l = big_l.unionByName(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * off))
+        )
+    big_o.write.mode("overwrite").parquet(f"{DST}/orders.parquet")
+    big_l.write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+    replicate(load_table(spark, SRC, "events"), "event_id").write.mode(
+        "overwrite"
+    ).parquet(f"{DST}/events.parquet")
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale_probe")
+    reg = load_all()
+    if "--build" in sys.argv or not os.path.isdir(DST):
+        build(spark)
+    for n in SLATE:  # warmup: JIT + code cache
+        reg[n].fn(spark, SRC).write.format("noop").mode("overwrite").save()
+    for sf in [SRC, DST]:
+        print(f"== {sf}")
+        for n in SLATE:
+            t0 = time.perf_counter()
+            reg[n].fn(spark, sf).write.format("noop").mode("overwrite").save()
+            print(f"  {n}: {time.perf_counter() - t0:.2f}s")
+
+
+if __name__ == "__main__":
+    main()
