@@ -36,6 +36,8 @@ SLATE = [
     "events_tumbling_window", "asof_join_events",
     "funnel_staged_conversion", "cohort_retention_matrix",
     "skew_salted_join", "lineitem_unpivot_metrics",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_clusters", "dedup_incremental_minhash",
 ]
 
 
@@ -43,10 +45,26 @@ def build(spark) -> None:
     shutil.rmtree(DST, ignore_errors=True)
     os.makedirs(DST)
     for t in ["region", "nation", "customer", "supplier", "part",
-              "documents", "embeddings"]:
+              "embeddings"]:
         load_table(spark, SRC, t).write.mode("overwrite").parquet(
             f"{DST}/{t}.parquet"
         )
+
+    # documents scale 10x with every token suffixed by the replica index:
+    # replicas share NO shingles, so the near-dup pair structure repeats
+    # per replica (10x docs -> 10x buckets of unchanged size) instead of
+    # exploding cross-replica — the honest dedup scale-up.
+    docs = load_table(spark, SRC, "documents")
+    doff = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+    big_d = docs
+    for i in range(1, REPLICAS):
+        big_d = big_d.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * doff))
+            .withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", rf"$1_{i}")
+            )
+        )
+    big_d.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
 
     def replicate(df, key: str):
         off = int(df.agg(F.max(key)).collect()[0][0]) + 1
