@@ -142,6 +142,39 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def resize_plan(media: DataFrame, target: int = 224) -> DataFrame:
+    """Fit-within-``target`` resize planning, Catalyst-side: integer-exact
+    output dimensions preserving aspect ratio (no upscaling — frames
+    already inside the box keep native size). Like
+    :func:`frame_sample_plan`, the point is that multimodal *planning* is
+    relational work; only the pixel resample needs the (stubbed) Arrow
+    kernel, and it receives exact target dims per row."""
+    w = F.col("meta_width").cast("bigint")
+    h = F.col("meta_height").cast("bigint")
+    longest = F.greatest(w, h)
+    out_w = F.expr(
+        f"CAST(meta_width AS BIGINT) * {target}"
+        " div greatest(CAST(meta_width AS BIGINT), CAST(meta_height AS BIGINT))"
+    )
+    out_h = F.expr(
+        f"CAST(meta_height AS BIGINT) * {target}"
+        " div greatest(CAST(meta_width AS BIGINT), CAST(meta_height AS BIGINT))"
+    )
+    return (
+        media.filter(
+            F.col("media_type").isin("image", "video") & (w > 0) & (h > 0)
+        )
+        .select(
+            "media_id",
+            "media_type",
+            w.alias("in_width"),
+            h.alias("in_height"),
+            F.when(longest > target, out_w).otherwise(w).alias("out_width"),
+            F.when(longest > target, out_h).otherwise(h).alias("out_height"),
+        )
+    )
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as opaque payloads (the testdata
     has no real media) with deterministic synthetic metadata. Keeps every

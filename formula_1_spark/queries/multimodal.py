@@ -87,3 +87,34 @@ def media_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media).select(
         "media_id", F.col("frame_ts_ms").cast("bigint")
     )
+
+
+@register(
+    "media_resize_plan",
+    ops="EXT-multimodal-resize,P6,P7",
+    doc="Fit-within-224 resize planning over image/video rows: "
+    "aspect-preserving integer output dims (BIGINT div on both engines), "
+    "no upscaling. The multimodal counterpart of frame sampling — the "
+    "plan is relational; only the pixel resample needs the Arrow kernel.",
+    oracle=f"""
+WITH {_MEDIA_CTE}
+SELECT media_id, media_type,
+       CAST(meta_width AS BIGINT) AS in_width,
+       CAST(meta_height AS BIGINT) AS in_height,
+       CASE WHEN greatest(meta_width, meta_height) > 224
+            THEN (CAST(meta_width AS BIGINT) * 224)
+                 // greatest(CAST(meta_width AS BIGINT), CAST(meta_height AS BIGINT))
+            ELSE CAST(meta_width AS BIGINT) END AS out_width,
+       CASE WHEN greatest(meta_width, meta_height) > 224
+            THEN (CAST(meta_height AS BIGINT) * 224)
+                 // greatest(CAST(meta_width AS BIGINT), CAST(meta_height AS BIGINT))
+            ELSE CAST(meta_height AS BIGINT) END AS out_height
+FROM media
+WHERE media_type IN ('image', 'video') AND meta_width > 0 AND meta_height > 0
+""",
+)
+def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.multimodal import resize_plan
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return resize_plan(media, target=224)
