@@ -67,3 +67,35 @@ def test_stream_to_parquet_lake_partitioned(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(lake).count() == events.count()
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on the partition column must reach the scan as a
+    PartitionFilter (directory pruning — the mechanism that turns a
+    100 TB scan into a single-day scan), not a post-scan predicate."""
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from formula_1_spark.sources.io import write_parquet
+    from formula_1_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_date")
+    write_parquet(events, path, partition_by=["event_date"])
+
+    one_day = events.select(F.min(F.to_date("ts"))).collect()[0][0]
+    df = spark.read.parquet(path).filter(F.col("event_date") == F.lit(one_day))
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the partition predicate must be IN the partition filters, and the
+    # row-group data filters must not need it
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "event_date" in pf_line
+    assert df.count() > 0
