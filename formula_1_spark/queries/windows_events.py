@@ -123,3 +123,70 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula_1_spark.streaming.joins import click_purchase_attribution
 
     return click_purchase_attribution(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "timeseries_gap_fill",
+    ops="EXT-gap-fill,A5,J-left,F5 (dense-grid generation)",
+    doc="Time-series gap filling: an hourly grid generated from the "
+    "corpus bounds (sequence explode off a 1-row aggregate) left-joined "
+    "to hourly event rollups, zero-filling silent hours and flagging "
+    "them. The grid side is generated, never scanned — at 100 TB the "
+    "dense axis costs O(hours), not O(events).",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+  FROM events
+),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+  FROM bounds
+),
+counts AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+         COUNT(1) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1
+)
+SELECT epoch_us(g.hour_ts) AS hour_us,
+       COALESCE(c.n_events, 0) AS n_events,
+       COALESCE(c.total_value, 0.0) AS total_value,
+       (c.hour_ts IS NULL) AS is_gap
+FROM grid g LEFT JOIN counts c ON c.hour_ts = g.hour_ts
+""",
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hour_ts")
+    )
+    counts = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    c = counts.select(
+        F.col("hour_ts").alias("c_hour_ts"), "n_events", "total_value"
+    )
+    return (
+        grid.join(c, grid.hour_ts == c.c_hour_ts, "left")
+        .select(
+            F.unix_micros("hour_ts").alias("hour_us"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+            F.col("c_hour_ts").isNull().alias("is_gap"),
+        )
+    )
