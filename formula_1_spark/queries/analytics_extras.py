@@ -375,3 +375,78 @@ def lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "referential_integrity_audit",
+    ops="EXT-dq-audit,J-anti,A5 (data-quality gate)",
+    doc="Data-quality audit across the lake in one result: orphaned "
+    "foreign keys (anti-joins), null key counts, and primary-key "
+    "duplicate counts per table — the dbt-test-style gate a pipeline "
+    "runs before promoting a snapshot. Each check is a counting "
+    "aggregate; the union is a constant number of small rows.",
+    oracle="""
+SELECT 'orders_custkey_orphans' AS check_name,
+       (SELECT COUNT(1) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS n_violations
+UNION ALL
+SELECT 'lineitem_orderkey_orphans',
+       (SELECT COUNT(1) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem_partkey_orphans',
+       (SELECT COUNT(1) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'customer_pk_duplicates',
+       (SELECT COUNT(1) FROM (
+          SELECT c_custkey FROM customer
+          GROUP BY c_custkey HAVING COUNT(1) > 1))
+UNION ALL
+SELECT 'orders_null_custkey',
+       (SELECT COUNT(1) FROM orders WHERE o_custkey IS NULL)
+""",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    def count_df(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    checks = [
+        count_df(
+            "orders_custkey_orphans",
+            orders.join(
+                customer, orders.o_custkey == customer.c_custkey, "left_anti"
+            ),
+        ),
+        count_df(
+            "lineitem_orderkey_orphans",
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti"),
+        ),
+        count_df(
+            "lineitem_partkey_orphans",
+            li.join(part, li.l_partkey == part.p_partkey, "left_anti"),
+        ),
+        count_df(
+            "customer_pk_duplicates",
+            customer.groupBy("c_custkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1),
+        ),
+        count_df(
+            "orders_null_custkey", orders.filter(F.col("o_custkey").isNull())
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

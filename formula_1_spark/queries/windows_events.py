@@ -190,3 +190,38 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_hour_ts").isNull().alias("is_gap"),
         )
     )
+
+
+@register(
+    "event_transition_matrix",
+    ops="EXT-transitions,W1,A5 (lag-based sequential counting)",
+    doc="Per-user event-type transition counts (Markov matrix): lag over "
+    "the (ts, event_id)-ordered per-user stream pairs each event with "
+    "its predecessor type; one window + one aggregation, no self-join.",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(1) AS n_transitions
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
