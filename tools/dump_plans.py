@@ -1,0 +1,64 @@
+"""Regenerate PLANS.md: formatted physical plans for the headline
+queries, so plan-level claims (pushdown, broadcasts, no cartesians, band
+bucket joins) are auditable without running anything.
+
+Usage: python tools/dump_plans.py  (writes PLANS.md at the repo root)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from formula_1_spark.queries.registry import load_all
+from formula_1_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SLATE = {
+    "filter_scan_project": "predicate pushdown + column pruning reach the scan",
+    "race_results_denorm": "every dim join is a BroadcastHashJoin",
+    "tpch_q2_min_cost_supplier": "derived supply agg + broadcast min join-back",
+    "tpch_q9_product_profit": "dims broadcast; only the orders join shuffles",
+    "dedup_minhash_lsh": "signature agg + single bucket shuffle, no self-join",
+    "dedup_embedding_cosine": "id-only band buckets; vectors join back by id",
+    "dedup_incremental_minhash": "asymmetric base/incoming band join",
+    "similarity_ann_lsh": "band buckets + exact re-rank, no cross join",
+    "asof_join_events": "union-scan as-of: one shuffle, zero joins",
+    "global_topk_two_phase": "per-partition prune before the tiny global merge",
+    "timeseries_gap_fill": "generated grid side, counts broadcast",
+    "skew_salted_join": "16-way salt spread of a 3-value hot key",
+}
+
+
+def main() -> None:
+    spark = get_spark(app_name="dump_plans")
+    reg = load_all()
+    out = [
+        "# PLANS — headline physical plans (sf0.001, regenerate via "
+        "`python tools/dump_plans.py`)",
+        "",
+        "What to look for: `PushedFilters`/`ReadSchema` on scans, "
+        "`BroadcastHashJoin` on dims, `WholeStageCodegen` spans around "
+        "expression work, and the ABSENCE of `CartesianProduct` / "
+        "`BatchEvalPython` anywhere.",
+        "",
+    ]
+    for name, why in SLATE.items():
+        df = reg[name].fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        out.append(f"## {name}\n\n*{why}*\n\n```\n{buf.getvalue().strip()}\n```\n")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w") as fh:
+        fh.write("\n".join(out))
+    print(f"wrote PLANS.md ({len(SLATE)} plans)")
+
+
+if __name__ == "__main__":
+    main()
