@@ -52,6 +52,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Integer DIV — a double division here rounds at 1e15-magnitude
             # epoch-nanos and shifts some timestamps by 1 us.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
+            # Generator writes naive timestamp[us]; Spark infers
+            # TIMESTAMP_NTZ, which part of the timestamp function surface
+            # (unix_micros, ...) rejects. The session timezone is pinned
+            # UTC, so casting to TIMESTAMP preserves the wall-clock value
+            # and matches the DuckDB oracle's naive semantics exactly.
+            # Date-like columns (o_orderdate, l_shipdate, ...) stay NTZ:
+            # they are only compared against literals — which NTZ handles —
+            # and an uncast column keeps parquet predicate pushdown.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
