@@ -74,6 +74,62 @@ def stratified_sample(
     return df.filter(hash_uniform(F.col(key_col), salt) < rate)
 
 
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "prio",
+) -> DataFrame:
+    """Weighted sampling without replacement via priority sampling
+    (Duffield–Lund–Thorup): each row gets priority q = w / u with u a
+    deterministic hash-uniform in (0, 1]; the sample is the top-k by
+    priority, and tau (the (k+1)-th priority) yields the Horvitz-Thompson
+    subset-sum estimator ``est_weight = max(w, tau)`` whose sum is an
+    unbiased estimate of the total weight.
+
+    Exactness across engines: u = (h % GRID + 1) / GRID, so
+    q = w * GRID / (h % GRID + 1) is ONE IEEE division of two exact
+    integers — bit-identical in Spark and ANSI SQL, which makes the
+    sampled set, tau, and the estimates oracle-checkable with no float
+    drift. Ties are impossible-by-construction to matter: ordering is
+    (q DESC, key ASC), a total order.
+
+    Scale: top-(k+1) runs two-phase (per-partition rank prune → tiny
+    global merge) — no global sort of the raw data. One pass, one
+    bounded shuffle.
+    """
+    from formula_1_spark.operators.windows import two_phase_global_topk
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    q = (F.col(weight_col).cast("bigint") * GRID) / (h % GRID + 1)
+    ranked = two_phase_global_topk(
+        df.withColumn("priority", q),
+        [F.col("priority").desc(), F.col(key_col).asc()],
+        k + 1,
+        alias="rk",
+    )
+    # tau = the (k+1)-th priority (or 0 when the relation has <= k rows:
+    # then every row is sampled and est_weight = w exactly).
+    tau = F.min(F.when(F.col("rk") == k + 1, F.col("priority"))).over(
+        Window.partitionBy()
+    )
+    return (
+        ranked.withColumn("tau", F.coalesce(tau, F.lit(0.0)))
+        .filter(F.col("rk") <= k)
+        .withColumn(
+            "est_weight",
+            F.greatest(F.col(weight_col).cast("double"), F.col("tau")),
+        )
+    )
+
+
 def fixed_n_per_stratum(
     df: DataFrame,
     stratum_col: str,

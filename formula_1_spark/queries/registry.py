@@ -71,6 +71,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.sampling_stats",
         "formula_1_spark.queries.decontam",
         "formula_1_spark.queries.cdc_stream",
+        "formula_1_spark.queries.quality_ops",
     ):
         try:
             __import__(mod)
