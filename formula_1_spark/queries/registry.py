@@ -72,6 +72,8 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.decontam",
         "formula_1_spark.queries.cdc_stream",
         "formula_1_spark.queries.quality_ops",
+        "formula_1_spark.queries.sql_modern",
+        "formula_1_spark.queries.custom_source",
     ):
         try:
             __import__(mod)

@@ -1,0 +1,80 @@
+"""Modern SQL surface: recursive CTEs and correlated LATERAL subqueries
+(both Spark 4 features), each with an exact DuckDB oracle.
+
+Scale notes:
+
+* The recursive CTE executes as an iterative chain of equi-joins (one per
+  level — depth is log2(n) for the binary containment tree), each a plain
+  hash join Catalyst optimizes like any other; no driver-side recursion.
+  The recursion step joins on ``child DIV 2 = node`` — an EQUI join on an
+  expression, never an IN/OR non-equi condition that would degrade to a
+  nested-loop join.
+* The LATERAL top-k decorrelates: Catalyst rewrites the per-row ORDER BY
+  .. LIMIT subquery into a window rank over a single co-partitioned join —
+  one shuffle on the correlation key, map-side WindowGroupLimit pruning.
+  (Same physical shape as the two-phase top-k operator; this query proves
+  the SQL-level spelling of it.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from formula_1_spark.queries.registry import register
+from formula_1_spark.sources.tables import load_tables
+
+_HIERARCHY_SQL = """
+WITH RECURSIVE d(root, node, lvl) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey BETWEEN 1 AND 7
+  UNION ALL
+  SELECT d.root, c.p_partkey, d.lvl + 1
+  FROM d JOIN part c ON (c.p_partkey {div} 2) = d.node AND c.p_partkey > d.node
+)
+SELECT d.root,
+       COUNT(1) AS subtree_size,
+       CAST(MAX(d.lvl) AS INTEGER) AS depth,
+       CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS subtree_price
+FROM d JOIN part p ON p.p_partkey = d.node
+GROUP BY d.root
+"""
+
+
+@register(
+    "part_hierarchy_rollup",
+    ops="EXT-recursive-cte,A1,J1 (iterative equi-join closure)",
+    doc="Recursive CTE (WITH RECURSIVE, Spark 4): transitive closure of "
+    "the binary part-containment tree (child keys 2k/2k+1) from 7 roots, "
+    "rolled up to subtree size/depth/price. Each recursion level is one "
+    "hash equi-join on child DIV 2 = node; depth = log2(|part|).",
+    oracle=_HIERARCHY_SQL.format(div="//"),
+)
+def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["part"], register=True)
+    return spark.sql(_HIERARCHY_SQL.format(div="DIV"))
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 3
+) l
+"""
+
+
+@register(
+    "lateral_top_orders",
+    ops="EXT-lateral-join,O3,W1 (decorrelated per-key top-k)",
+    doc="Correlated LATERAL subquery (Spark 4): top-3 orders by price per "
+    "customer, deterministic orderkey tie-break. Catalyst decorrelates "
+    "the per-row LIMIT into a windowed rank over one co-partitioned "
+    "join — no per-customer re-execution.",
+    oracle=_LATERAL_SQL,
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["customer", "orders"], register=True)
+    return spark.sql(_LATERAL_SQL)
