@@ -78,3 +78,35 @@ LATERAL (
 def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, ["customer", "orders"], register=True)
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "events_variant_extract",
+    ops="EXT-variant,P3,F-json (open-schema semi-structured type)",
+    doc="Spark 4 VARIANT path over semi-structured props: parse_json into "
+    "an open-schema VARIANT column, typed try_variant_get extraction with "
+    "path misses as NULL — the schema-on-read alternative to the rigid "
+    "from_json/StructType path (events_from_json_typed). VARIANT's binary "
+    "encoding keeps extraction JVM-side and column-prunable; at 100 TB "
+    "the parse happens once at ingest, extractions many times after.",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       CAST(json_extract(props, '$.missing') AS BIGINT) AS absent_val
+FROM events
+""",
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from formula_1_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    v = events.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.try_variant_get("v", "$.k", "bigint").alias("k_val"),
+        (F.try_variant_get("v", "$.k", "bigint") % 10).alias("k_bucket"),
+        F.try_variant_get("v", "$.missing", "bigint").alias("absent_val"),
+    )

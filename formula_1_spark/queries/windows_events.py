@@ -126,6 +126,33 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stream_static_enrich",
+    ops="EXT-stream-static-join,J1,A1 (broadcast dim into micro-batches)",
+    doc="Stream-static enrichment rollup: events left-joined to the "
+    "static customer dimension (user_id = c_custkey, dim BROADCAST — on "
+    "the streaming path it ships into every micro-batch with no state "
+    "store), aggregated to (segment, event_type). The SAME transform "
+    "runs over readStream (tests/test_stream_join.py proves stream == "
+    "batch); this entry oracle-checks the batch semantics.",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       e.event_type,
+       COUNT(1) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e
+LEFT JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+""",
+)
+def events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.streaming.joins import segment_event_rollup
+
+    return segment_event_rollup(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+
+
+@register(
     "timeseries_gap_fill",
     ops="EXT-gap-fill,A5,J-left,F5 (dense-grid generation)",
     doc="Time-series gap filling: an hourly grid generated from the "

@@ -19,6 +19,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment: events (stream OR batch) joined to the
+    static customer dimension on ``user_id = c_custkey``.
+
+    On the streaming path this is Structured Streaming's stream-static
+    join: the static side is planned once and BROADCAST into every
+    micro-batch — no state store, no watermark needed, the stream never
+    shuffles for the lookup. That is exactly the 100 TB dim-enrichment
+    pattern: facts flow, dims ship to the executors. Left join keeps
+    events whose user has no dim row (segment NULL) — enrichment must
+    never drop facts.
+    """
+    dim = F.broadcast(
+        customer.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+    )
+    return events.join(dim, "user_id", "left")
+
+
+def segment_event_rollup(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """(segment, event_type, n_events, total_value) — the enrichment's
+    aggregate surface (what a live dashboard would maintain)."""
+    return (
+        enrich_with_customer(events, customer)
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 def click_purchase_attribution(
     events: DataFrame,
     horizon_minutes: int = 30,

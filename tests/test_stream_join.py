@@ -34,3 +34,34 @@ def test_stream_join_equals_batch(spark, events_dir):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM join_mem").collect()}
     assert got == expected
+
+
+def test_stream_static_enrich_equals_batch(spark, sf_dir, events_dir):
+    from formula_1_spark.streaming.joins import segment_event_rollup
+
+    customer = load_table(spark, sf_dir, "customer")
+    batch_events = spark.read.parquet(events_dir)
+    expected = {tuple(r) for r in segment_event_rollup(batch_events, customer).collect()}
+    assert expected
+
+    stream = stream_from_parquet_dir(spark, events_dir, batch_events.schema)
+    result = segment_event_rollup(stream, customer)
+    assert result.isStreaming
+    q = run_stream_to_memory(result, "enrich_mem", mode="complete")
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM enrich_mem").collect()}
+    assert got == expected
+
+
+def test_stream_static_dim_is_broadcast(spark, sf_dir):
+    from formula_1_spark.streaming.joins import enrich_with_customer
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    plan = (
+        enrich_with_customer(events, customer)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
