@@ -81,6 +81,40 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cogroup_order_reconciliation",
+    ops="EXT-cogroup-arrow,UDF-pandas (two-sided Arrow kernel, bucketed key)",
+    doc="Cogrouped applyInPandas E2E: orders and lineitem cogrouped on a "
+    "64-way bucket key (one kernel call per bucket, NOT per order — "
+    "per-group Python overhead amortizes across thousands of orders); "
+    "the kernel folds each order's line terms sequentially in "
+    "l_linenumber order, so the oracle replicates line_total bit-for-bit "
+    "with an ordered list_reduce.",
+    oracle="""
+WITH lt AS (
+  SELECT l_orderkey,
+         list_reduce(
+           list_prepend(0.0, list((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)
+                                  ORDER BY l_linenumber)),
+           (acc, v) -> acc + v) AS line_total,
+         COUNT(1) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+       COALESCE(lt.line_total, 0.0) AS line_total,
+       COALESCE(lt.n_lines, 0) AS n_lines
+FROM orders o LEFT JOIN lt ON lt.l_orderkey = o.o_orderkey
+""",
+)
+def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.cogroup import order_reconciliation
+    from formula_1_spark.sources.tables import load_table
+
+    return order_reconciliation(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
     "events_variant_extract",
     ops="EXT-variant,P3,F-json (open-schema semi-structured type)",
     doc="Spark 4 VARIANT path over semi-structured props: parse_json into "

@@ -11,8 +11,9 @@ from formula_1_spark.queries.registry import load_all
 
 REGISTRY = load_all()
 
-# Queries allowed to run Python kernels (Arrow-batched mapInPandas only).
-PANDAS_OK = {"media_feature_extract"}
+# Queries allowed to run Python kernels (Arrow-batched mapInPandas /
+# cogrouped applyInPandas only).
+PANDAS_OK = {"media_feature_extract", "cogroup_order_reconciliation"}
 # Broadcast nested-loop is the intended strategy for the brute-force
 # similarity baseline, the IVF centroid assignment (tiny broadcast
 # side against the corpus), and the 1-row scalar-subquery broadcast in
@@ -45,9 +46,11 @@ def test_no_slow_path_in_plan(spark, name):
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     if name not in PANDAS_OK:
-        assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, (
-            f"{name}: unexpected Python stage"
-        )
+        assert (
+            "MapInPandas" not in plan
+            and "ArrowEvalPython" not in plan
+            and "InPandas" not in plan  # cogroup/grouped-map variants
+        ), f"{name}: unexpected Python stage"
     if name not in BNLJ_OK:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: unplanned nested-loop join"

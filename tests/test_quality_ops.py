@@ -96,3 +96,37 @@ def test_priority_sample_small_relation_all_rows(spark):
     assert len(s) == 5
     # Fewer rows than k: tau = 0 and the estimator is exact.
     assert all(r.tau == 0.0 and r.est_weight == float(r.w) for r in s)
+
+
+def test_cogroup_reconciliation_matches_relational(spark, sf_dir):
+    """The cogrouped Arrow kernel must agree with the pure-relational
+    recompute on every integer column, and on line_total within float
+    refold tolerance (the relational sum is not order-pinned)."""
+    from formula_1_spark.operators.cogroup import order_reconciliation
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    got = order_reconciliation(orders, li, n_buckets=16)
+    lt = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * (F.lit(1.0) + F.col("l_tax"))
+        ).alias("line_total_rel"),
+        F.count(F.lit(1)).alias("n_lines_rel"),
+    )
+    joined = got.join(lt, got.o_orderkey == lt.l_orderkey, "left").select(
+        "o_orderkey",
+        "n_lines",
+        F.coalesce("n_lines_rel", F.lit(0)).alias("n_lines_rel"),
+        "line_total",
+        F.coalesce("line_total_rel", F.lit(0.0)).alias("line_total_rel"),
+    )
+    assert joined.filter(F.col("n_lines") != F.col("n_lines_rel")).count() == 0
+    assert (
+        joined.filter(
+            F.abs(F.col("line_total") - F.col("line_total_rel")) > 1e-6
+        ).count()
+        == 0
+    )
+    assert got.count() == orders.count()
