@@ -32,6 +32,11 @@ SLATE = {
     "global_topk_two_phase": "per-partition prune before the tiny global merge",
     "timeseries_gap_fill": "generated grid side, counts broadcast",
     "skew_salted_join": "16-way salt spread of a 3-value hot key",
+    "data_quality_expectations": "every rule folds into ONE aggregation pass over one scan",
+    "sample_weighted_priority": "two-phase top-k: per-partition rank prune, no global sort",
+    "lateral_top_orders": "LATERAL LIMIT decorrelated to a windowed co-partitioned join",
+    "events_stream_static_enrich": "static dim broadcast; fact side never shuffles",
+    "cogroup_order_reconciliation": "one co-shuffle on the bucket key into the Arrow kernel",
 }
 
 

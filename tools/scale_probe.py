@@ -40,6 +40,13 @@ SLATE = [
     "dedup_simhash", "dedup_clusters", "dedup_incremental_minhash",
     "similarity_topk_bruteforce", "similarity_ann_lsh",
     "dedup_embedding_cosine", "embedding_quantization",
+    # round-2 additions: Arrow cogroup, weighted sampling, one-pass
+    # expectations, decorrelated LATERAL, recursive closure, stream-static
+    # broadcast enrichment, custom Python source ingest
+    "cogroup_order_reconciliation", "sample_weighted_priority",
+    "data_quality_expectations", "lateral_top_orders",
+    "part_hierarchy_rollup", "events_stream_static_enrich",
+    "paged_api_source_ingest",
 ]
 
 
@@ -121,6 +128,12 @@ def main() -> None:
     reg = load_all()
     if "--build" in sys.argv or not os.path.isdir(DST):
         build(spark)
+    # Pre-build the paged-API fixtures at both scales so the timed runs
+    # measure the SOURCE read, not the one-time fixture serialization.
+    from formula_1_spark.queries.custom_source import _pages_fixture
+
+    for d in (SRC, DST):
+        _pages_fixture(spark, d)
     for n in SLATE:  # warmup: JIT + code cache
         reg[n].fn(spark, SRC).write.format("noop").mode("overwrite").save()
     for sf in [SRC, DST]:
