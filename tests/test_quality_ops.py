@@ -130,3 +130,34 @@ def test_cogroup_reconciliation_matches_relational(spark, sf_dir):
         == 0
     )
     assert got.count() == orders.count()
+
+
+def test_write_parquet_audited_single_pass(spark, sf_dir, tmp_path):
+    """Metrics observed during the write must equal a direct recount —
+    with zero extra scans of the input."""
+    from formula_1_spark.operators.quality import DROP, WARN, Expectation
+    from formula_1_spark.plans.observability import write_parquet_audited
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 4)
+    rules = [
+        Expectation("qty_small", F.col("l_quantity") <= 10, WARN),
+        Expectation("price_positive", F.col("l_extendedprice") > 0, DROP),
+    ]
+    out = str(tmp_path / "audited")
+    # Observed metrics reject DISTINCT aggregates (single-pass contract);
+    # the observability idiom for cardinality is the HLL sketch.
+    metrics = write_parquet_audited(
+        li,
+        out,
+        rules,
+        extra_metrics=[
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("n_orders")
+        ],
+    )
+    n = li.count()
+    assert metrics["n_rows"] == n
+    assert metrics["viol_qty_small"] == li.filter(~(F.col("l_quantity") <= 10)).count()
+    assert metrics["viol_price_positive"] == 0
+    exact_orders = li.select("l_orderkey").distinct().count()
+    assert abs(metrics["n_orders"] - exact_orders) <= 0.05 * exact_orders
+    assert spark.read.parquet(out).count() == n
