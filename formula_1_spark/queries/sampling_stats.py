@@ -321,3 +321,73 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
         F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
     )
+
+
+@register(
+    "doc_rarity_filter",
+    ops="EXT-text-rarity,A1,W1 (doc-vs-corpus statistic, join-free)",
+    doc="CCNet-style rarity filter: each document scored against the "
+    "CORPUS bigram distribution — fraction of its bigrams whose global "
+    "occurrence count is <= 2, on an exact integer ppm grid, flagged at "
+    ">= 50%. The corpus count attaches via a window over the bigram key "
+    "(one shuffle) instead of a counts-table self-join (two shuffles + "
+    "join); the doc-level re-aggregation is the only other shuffle. All "
+    "outputs are exact integers — no log-prob floats to drift.",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+                i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))) AS bigram
+  FROM toks
+),
+occ AS (
+  SELECT doc_id, COUNT(1) OVER (PARTITION BY bigram) AS n_occ FROM grams
+),
+doc AS (
+  SELECT doc_id, COUNT(1) AS n_bigrams,
+         SUM(CASE WHEN n_occ <= 2 THEN 1 ELSE 0 END)::BIGINT AS n_rare
+  FROM occ GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, n_rare,
+       (n_rare * 1000000) // n_bigrams AS rare_ppm,
+       (n_rare * 1000000) // n_bigrams >= 500000 AS flag_suspect
+FROM doc
+""",
+)
+def doc_rarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from formula_1_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", tokens("text").alias("toks"))
+    grams = tok.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - F.lit(2)),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    occ = grams.select(
+        "doc_id", F.count(F.lit(1)).over(Window.partitionBy("bigram")).alias("n_occ")
+    )
+    doc = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum((F.col("n_occ") <= 2).cast("bigint")).alias("n_rare"),
+    )
+    rare_ppm = F.expr("(n_rare * 1000000) DIV n_bigrams")
+    return doc.select(
+        "doc_id",
+        "n_bigrams",
+        "n_rare",
+        rare_ppm.alias("rare_ppm"),
+        (rare_ppm >= 500000).alias("flag_suspect"),
+    )
