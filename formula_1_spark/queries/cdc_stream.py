@@ -184,3 +184,80 @@ def matview_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("sum_o_totalprice").cast("double").alias("sum_price"),
     )
+
+
+@register(
+    "orders_time_travel_diff",
+    ops="EXT-time-travel,S8,A5 (versioned snapshot reads)",
+    doc="Snapshot time travel through the driver gate: a merge target "
+    "built in three rounds (base load -> priority update -> tombstone "
+    "delete), then BOTH version 0 (snapshot_at, Delta versionAsOf "
+    "analog) and the live _CURRENT state read back and aggregated per "
+    "priority under a snapshot label. The oracle recomputes both "
+    "versions closed-form from orders, so a wrong version resolution, a "
+    "leaked update into v0, or a missed delete in the live state all "
+    "red the row.",
+    oracle="""
+SELECT 'v0' AS snapshot, o_orderpriority,
+       COUNT(1) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderpriority
+UNION ALL
+SELECT 'current' AS snapshot,
+       CASE WHEN o_orderkey % 7 = 2 THEN '0-TTRAVEL' ELSE o_orderpriority END
+         AS o_orderpriority,
+       COUNT(1) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderkey % 5 <> 3
+GROUP BY 1, 2
+""",
+)
+def orders_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.sources.io import merge_upsert, read_current, snapshot_at
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), "time_travel_lake_v1", tag)
+    target = os.path.join(root, "target")
+    done = os.path.join(root, "_FIXTURE_DONE")
+
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        )
+        key = F.col("o_orderkey")
+        merge_upsert(
+            spark, target, orders.repartitionByRange(4, "o_orderkey"), ["o_orderkey"]
+        )
+        merge_upsert(
+            spark,
+            target,
+            orders.filter(key % 7 == 2).withColumn(
+                "o_orderpriority", F.lit("0-TTRAVEL")
+            ),
+            ["o_orderkey"],
+        )
+        merge_upsert(
+            spark,
+            target,
+            orders.filter(key % 5 == 3).withColumn("is_delete", F.lit(True)),
+            ["o_orderkey"],
+            delete_col="is_delete",
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    def rollup(df: DataFrame, label: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_totalprice").cast("double").alias("total_price"),
+        ).select(F.lit(label).alias("snapshot"), "*")
+
+    v0 = spark.read.parquet(snapshot_at(target, 0))
+    cur = read_current(spark, target)
+    return rollup(v0, "v0").unionByName(rollup(cur, "current"))
