@@ -1,9 +1,11 @@
 """Custom Python DataSource (Spark 4 DataSource API): a paged-JSON "API"
 read as a first-class, partition-parallel Spark source.
 
-The reference ingests its upstream REST API with a DRIVER-SIDE page loop
-(S1 — `Ingest Bronze Data.py` crawls `?limit=&offset=` pages one HTTP
-call at a time, then drops files for Spark to scan). This source moves
+The reference ingests its upstream REST API with a sequential page loop
+(S1 — the ADF Until-loop in `Data Factory/pipeline/01 - Stage Full
+Datasets.json:146-330` crawls `?limit=&offset=` pages one HTTP call at a
+time, then drops files for Spark to scan; the engine's driver-side
+`sources/ingest.py` mirrors that). This source moves
 the crawl INTO the scan: `partitions()` enumerates page units and each
 Spark task fetches + parses its own pages, so a 1000-executor cluster
 crawls 1000-wide and the rows land directly in the DataFrame — no
