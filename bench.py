@@ -33,6 +33,33 @@ def main() -> None:
         except Exception:
             pass
 
+    # Warm the Python/Arrow worker pool too — otherwise the first
+    # pandas-kernel query is billed ~2-4 s of worker spawn that is
+    # session overhead, not query cost.
+    try:
+        spark.range(64).repartition(32).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
+
+    # ...and the Python DataSource planner/reader pool (separate from the
+    # pandas-UDF pool) with a one-row dummy page.
+    try:
+        import tempfile
+
+        from formula_1_spark.sources.paged_api import PagedJsonApiSource
+
+        spark.dataSource.register(PagedJsonApiSource)
+        d = tempfile.mkdtemp(prefix="bench_warm_api_")
+        with open(os.path.join(d, "page-0.json"), "w") as fh:
+            fh.write('{"k": 1}\n')
+        spark.read.format("paged_json_api").option("path", d).option(
+            "schema_ddl", "k BIGINT"
+        ).load().write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, spec in sorted(registry.items()):
