@@ -95,3 +95,103 @@ def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         band(F.col("aq")[0], F.col("eq")[0], F.col("eq")[2]).alias("p50_in_band"),
         band(F.col("aq")[1], F.col("eq")[3], F.col("eq")[5]).alias("p95_in_band"),
     )
+
+
+@register(
+    "hll_mergeable_rollup",
+    ops="EXT-sketch-hll-merge,A1 (Datasketches HLL: sketch fine, union coarse)",
+    doc="THE pre-aggregation pattern for 100 TB distinct counts: HLL "
+    "sketches built at fine grain (priority x year) once, then UNIONED "
+    "to the coarse grain (priority) without rescanning rows — "
+    "hll_sketch_agg + hll_union_agg (Datasketches, mergeable across "
+    "partitions/days/tables). Oracle checks the exact distinct counts "
+    "hash-exactly and a 5%-bound flag on the merged estimate (sketch "
+    "bytes are engine-specific; the bound is what's portable).",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       1 AS merged_est_within_5pct
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # Fine grain: one sketch per (priority, year). At scale these would be
+    # PERSISTED (per-partition rollup tables) and this query would only
+    # run the union — no raw-row rescan.
+    fine = orders.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("o_year")
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    coarse = fine.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    return coarse.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "exact_customers",
+        (
+            F.abs(F.col("merged_est") - F.col("exact_customers"))
+            <= F.col("exact_customers") * F.lit(0.05)
+        )
+        .cast("int")
+        .alias("merged_est_within_5pct"),
+    )
+
+
+@register(
+    "heavy_hitters_topk",
+    ops="EXT-sketch-topk,A1 (approx_top_k frequent items)",
+    doc="Heavy hitters via approx_top_k(l_suppkey, 10) over lineitem: "
+    "the sketch's item set must sit inside the exact top-15 (slack "
+    "absorbs count ties at the boundary) and every reported count must "
+    "equal the true count at this scale. Exact row totals ride along so "
+    "the oracle is anchored to real values, not just flags.",
+    oracle="""
+SELECT COUNT(1) AS n_rows,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+       10 AS n_reported,
+       1 AS all_in_exact_top15,
+       1 AS counts_exact
+FROM lineitem
+""",
+)
+def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    top = (
+        li.agg(F.expr("approx_top_k(l_suppkey, 10)").alias("t"))
+        .select(F.explode("t").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("est_count"))
+    )
+    exact = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("true_count"))
+    k15 = exact.orderBy(F.desc("true_count"), F.asc("l_suppkey")).limit(15)
+    checked = (
+        top.join(exact, top.item == exact.l_suppkey, "left")
+        .join(
+            k15.select(F.col("l_suppkey").alias("k15_key")),
+            top.item == F.col("k15_key"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_reported"),
+            F.min((F.col("k15_key").isNotNull()).cast("int")).alias(
+                "all_in_exact_top15"
+            ),
+            F.min((F.col("est_count") == F.col("true_count")).cast("int")).alias(
+                "counts_exact"
+            ),
+        )
+    )
+    totals = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+    return totals.crossJoin(checked).select(
+        "n_rows",
+        "n_suppliers",
+        F.col("n_reported").cast("int").alias("n_reported"),
+        "all_in_exact_top15",
+        "counts_exact",
+    )

@@ -26,6 +26,7 @@ BNLJ_OK = {
     "tpch_q22_global_sales_opportunity",
     "tpch_q11_important_stock",  # 1-row scalar-threshold broadcast
     "embedding_quantization",  # 1-row per-dim stats broadcast
+    "heavy_hitters_topk",  # 1-row totals x 1-row flags scalar broadcast
 }
 
 
