@@ -13,13 +13,12 @@ manifest-pruned MERGE -> snapshot pointer read-back.
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from formula_1_spark.queries.registry import register
+from formula_1_spark.sources.fixtures import building_dir, fixture_root, publish
 from formula_1_spark.sources.tables import load_table
 
 _ORACLE = """
@@ -60,18 +59,18 @@ def cdc_stream_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula_1_spark.sources.io import merge_upsert, read_current
     from formula_1_spark.streaming.sink import stream_merge_into
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    root = os.path.join(tempfile.gettempdir(), "cdc_stream_lake_v1", tag)
+    root = fixture_root("cdc_stream_lake_v1", sf_dir, "orders")
     target = os.path.join(root, "target")
 
-    if not os.path.exists(os.path.join(target, "_CURRENT")):
-        shutil.rmtree(root, ignore_errors=True)
-        os.makedirs(root, exist_ok=True)
+    if not os.path.isdir(root):
+        scratch = building_dir(root)
+        os.makedirs(scratch, exist_ok=True)
+        s_target = os.path.join(scratch, "target")
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority", "o_totalprice"
         )
         base = orders.filter(F.col("o_orderkey") % 3 != 0)
-        merge_upsert(spark, target, base.repartitionByRange(4, "o_orderkey"),
+        merge_upsert(spark, s_target, base.repartitionByRange(4, "o_orderkey"),
                      ["o_orderkey"])
 
         key = F.col("o_orderkey")
@@ -89,18 +88,19 @@ def cdc_stream_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).toDF(*_CDC_SCHEMA)
         changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
 
-        src = os.path.join(root, "changes")
+        src = os.path.join(scratch, "changes")
         changes.coalesce(1).write.mode("overwrite").parquet(src)
         stream = spark.readStream.schema(changes.schema).parquet(src)
         q = stream_merge_into(
             stream,
-            target,
-            checkpoint=os.path.join(root, "ckpt"),
+            s_target,
+            checkpoint=os.path.join(scratch, "ckpt"),
             key_cols=["o_orderkey"],
             seq_col="seq",
             delete_col="is_delete",
         )
         q.awaitTermination(300)
+        publish(scratch, root)
 
     return read_current(spark, target)
 
@@ -141,14 +141,14 @@ def matview_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula_1_spark.plans.matview import merge_with_agg_refresh
     from formula_1_spark.sources.io import read_current
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    root = os.path.join(tempfile.gettempdir(), "matview_lake_v1", tag)
-    base_path = os.path.join(root, "base")
+    root = fixture_root("matview_lake_v1", sf_dir, "orders")
     agg_path = os.path.join(root, "agg")
 
-    if not os.path.exists(os.path.join(agg_path, "_CURRENT")):
-        shutil.rmtree(root, ignore_errors=True)
-        os.makedirs(root, exist_ok=True)
+    if not os.path.isdir(root):
+        scratch = building_dir(root)
+        os.makedirs(scratch, exist_ok=True)
+        base_path = os.path.join(scratch, "base")
+        s_agg_path = os.path.join(scratch, "agg")
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey",
             "o_orderpriority",
@@ -159,7 +159,7 @@ def matview_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def refresh(upd, **kw):
             merge_with_agg_refresh(
-                spark, base_path, agg_path, upd,
+                spark, base_path, s_agg_path, upd,
                 key_cols=["o_orderkey"],
                 dims=["o_orderpriority"],
                 sum_cols=["o_totalprice"],
@@ -178,6 +178,7 @@ def matview_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             delete_col="is_delete",
         )
         refresh(orders.filter((key % 3 == 0) & (key % 10 == 0)))
+        publish(scratch, root)
 
     return read_current(spark, agg_path).select(
         "o_orderpriority",
@@ -217,14 +218,13 @@ GROUP BY 1, 2
 def orders_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula_1_spark.sources.io import merge_upsert, read_current, snapshot_at
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    root = os.path.join(tempfile.gettempdir(), "time_travel_lake_v1", tag)
+    root = fixture_root("time_travel_lake_v1", sf_dir, "orders")
     target = os.path.join(root, "target")
-    done = os.path.join(root, "_FIXTURE_DONE")
 
-    if not os.path.exists(done):
-        shutil.rmtree(root, ignore_errors=True)
-        os.makedirs(root, exist_ok=True)
+    if not os.path.isdir(root):
+        scratch = building_dir(root)
+        os.makedirs(scratch, exist_ok=True)
+        s_target = os.path.join(scratch, "target")
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey",
             "o_orderpriority",
@@ -232,11 +232,11 @@ def orders_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         key = F.col("o_orderkey")
         merge_upsert(
-            spark, target, orders.repartitionByRange(4, "o_orderkey"), ["o_orderkey"]
+            spark, s_target, orders.repartitionByRange(4, "o_orderkey"), ["o_orderkey"]
         )
         merge_upsert(
             spark,
-            target,
+            s_target,
             orders.filter(key % 7 == 2).withColumn(
                 "o_orderpriority", F.lit("0-TTRAVEL")
             ),
@@ -244,13 +244,12 @@ def orders_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merge_upsert(
             spark,
-            target,
+            s_target,
             orders.filter(key % 5 == 3).withColumn("is_delete", F.lit(True)),
             ["o_orderkey"],
             delete_col="is_delete",
         )
-        with open(done, "w") as fh:
-            fh.write("ok")
+        publish(scratch, root)
 
     def rollup(df: DataFrame, label: str) -> DataFrame:
         return df.groupBy("o_orderpriority").agg(

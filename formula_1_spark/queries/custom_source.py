@@ -9,13 +9,12 @@ the source reds the driver row.
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from formula_1_spark.queries.registry import register
+from formula_1_spark.sources.fixtures import building_dir, fixture_root, publish
 from formula_1_spark.sources.paged_api import PagedJsonApiSource
 from formula_1_spark.sources.tables import load_table
 
@@ -26,14 +25,16 @@ _SCHEMA_DDL = (
 
 
 def _pages_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Write orders as 16 JSONL 'API pages' once per (host, sf); reuse on
-    later calls. Built to a temp dir and atomically renamed so concurrent
-    sessions never read a half-written fixture."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    root = os.path.join(tempfile.gettempdir(), "paged_api_fixture_v1", tag)
+    """Write orders as 16 JSONL 'API pages' once per (host, source
+    fingerprint); reuse on later calls. The cache key folds in the orders
+    parquet's size+mtime, so a driver testdata regeneration invalidates
+    the fixture instead of silently serving stale pages. Built to a temp
+    dir and atomically renamed so concurrent sessions never read a
+    half-written fixture."""
+    root = fixture_root("paged_api_fixture_v1", sf_dir, "orders")
     if os.path.exists(os.path.join(root, "_SUCCESS")):
         return root
-    building = f"{root}.building-{os.getpid()}"
+    building = building_dir(root)
     (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
@@ -43,11 +44,7 @@ def _pages_fixture(spark: SparkSession, sf_dir: str) -> str:
         .partitionBy("page")
         .json(building)
     )
-    os.makedirs(os.path.dirname(root), exist_ok=True)
-    try:
-        os.rename(building, root)
-    except OSError:  # lost the race — another session landed it first
-        shutil.rmtree(building, ignore_errors=True)
+    publish(building, root)
     return root
 
 

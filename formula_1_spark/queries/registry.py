@@ -48,6 +48,79 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
     return deco
 
 
+# The correctness driver snapshots the FIRST 50 registry entries in
+# iteration order each round. Rotate driver attention by listing the
+# queries that most need a fresh driver row first: round 3 front-loads the
+# 42 never-driver-checked queries, the new round-3 registrations, then the
+# 15 queries whose last driver row predates the round-2 testdata
+# regeneration. Names absent from REGISTRY are skipped; registered names
+# absent from this list keep their registration order after it.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # --- never driver-checked (r1+r2) ---
+    "heavy_hitters_topk",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_relationship",
+    "tpch_q20_promotion_supplier",
+    "customers_semi_anti",
+    "skew_salted_join",
+    "lineitem_rollup",
+    "events_from_json_typed",
+    "string_functions_battery",
+    "date_arithmetic_battery",
+    "window_frames_battery",
+    "array_functions_battery",
+    "doc_chunking",
+    "text_scrub_pii",
+    "dataset_hash_split",
+    "training_data_funnel",
+    "sample_stratified_by_lang",
+    "sample_fixed_per_source",
+    "corpus_ngram_stats",
+    "sequence_packing",
+    "corpus_mixture_plan",
+    "doc_rarity_filter",
+    "benchmark_decontamination",
+    "repetition_profile",
+    "cdc_stream_merge_orders",
+    "matview_incremental_orders",
+    "orders_time_travel_diff",
+    "data_quality_expectations",
+    "sample_weighted_priority",
+    "orders_grouping_sets",
+    "part_hierarchy_rollup",
+    "lateral_top_orders",
+    "cogroup_order_reconciliation",
+    "events_variant_extract",
+    "paged_api_source_ingest",
+    # --- new this round ---
+    "dedup_embedding_cosine_scaled",
+    "orders_zorder_pruned_scan",
+    # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
+    "ctas_priority_summary",
+    "f1_gold_driver_standings",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_priority_exists",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_histogram",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q22_global_sales_opportunity",
+    "customers_left_join_orders",
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module so registration side effects run."""
     import formula_1_spark.queries.parity  # noqa: F401
@@ -79,4 +152,13 @@ def load_all() -> dict[str, QuerySpec]:
             __import__(mod)
         except ImportError:
             pass  # module not built yet (incremental rounds)
+
+    # Reorder in place (callers hold references to REGISTRY itself) so the
+    # driver's first-50 snapshot lands on _DRIVER_PRIORITY.
+    ordered = {n: REGISTRY[n] for n in _DRIVER_PRIORITY if n in REGISTRY}
+    for name, spec in list(REGISTRY.items()):
+        if name not in ordered:
+            ordered[name] = spec
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     return REGISTRY
