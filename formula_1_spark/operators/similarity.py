@@ -119,17 +119,53 @@ def band_keys(
     return keys
 
 
+MAX_BAND_BITS = 16  # plane-index stride per band in the scaled layout
+SCALED_BANDS = 8
+
+
+def scaled_bits(n_vectors: int, target_bucket: int = 32) -> int:
+    """Bits per band sized so expected bucket occupancy stays near
+    ``target_bucket`` regardless of corpus size: bits ~= log2(n/target),
+    clamped to [4, 16]."""
+    import math
+
+    return max(4, min(16, int(math.log2(max(n_vectors, 1) / target_bucket + 1)) + 1))
+
+
 def scaled_banding(n_vectors: int, target_bucket: int = 32) -> tuple[int, int]:
     """(n_planes, n_bands) sized so expected bucket occupancy stays near
     ``target_bucket`` regardless of corpus size: bits = log2(n / target),
     8 bands for recall. In-bucket pair work per band is then
     O(n * target_bucket) — linear in the corpus, the LSH contract that a
     FIXED banding silently breaks at scale."""
-    import math
+    bits = scaled_bits(n_vectors, target_bucket)
+    return bits * SCALED_BANDS, SCALED_BANDS
 
-    bits = max(4, min(16, int(math.log2(max(n_vectors, 1) / target_bucket + 1)) + 1))
-    n_bands = 8
-    return bits * n_bands, n_bands
+
+def strided_band_keys(
+    vec_col: Column,
+    dims: int,
+    bits: int,
+    n_bands: int = SCALED_BANDS,
+    stride: int = MAX_BAND_BITS,
+) -> list[Column]:
+    """Band keys for the CORPUS-SCALED layout: band ``b`` owns the fixed
+    plane range [b*stride, b*stride + stride) and uses its first ``bits``
+    planes. Striding by the max bits (instead of packing planes
+    contiguously as ``band_keys`` does) makes plane ownership independent
+    of the corpus-derived ``bits``, so a STATIC oracle can precompute
+    every possible projection and gate each bit slot on the same
+    count-derived ``bits`` scalar — and a re-run at a different corpus
+    size only widens each band's keyspace, never reshuffles which planes
+    feed which band."""
+    keys = []
+    for b in range(n_bands):
+        key = F.lit(0)
+        for i in range(bits):
+            bit = _projection(vec_col, b * stride + i, dims) > 0
+            key = key + F.when(bit, F.lit(1 << i)).otherwise(F.lit(0))
+        keys.append(key.alias(f"band_{b}"))
+    return keys
 
 
 def _vec_base(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
@@ -196,9 +232,17 @@ def cosine_near_dup_pairs(
         F.col("vec_id"), F.col("embedding"), norm(F.col("embedding")).alias("na")
     ).persist()
     bands = _with_bands(base, "vec_id", "embedding", dims, n_planes, n_bands)
-    # Bucket pattern rather than a bands⋈bands self-join: ONE shuffle
-    # groups each (band_id, band_key) bucket, pairs explode in-bucket,
-    # and bucket size bounds the quadratic work (the LSH contract).
+    return _verify_band_candidates(base, bands, threshold, dims)
+
+
+def _verify_band_candidates(
+    base: DataFrame, bands: DataFrame, threshold: float, dims: int
+) -> DataFrame:
+    """Bucket the (id, band) long form, explode in-bucket pairs, exact
+    cosine re-verify. Bucket pattern rather than a bands⋈bands self-join:
+    ONE shuffle groups each (band_id, band_key) bucket, pairs explode
+    in-bucket, and bucket size bounds the quadratic work (the LSH
+    contract)."""
     buckets = (
         bands.groupBy("band_id", "band_key")
         .agg(F.collect_set("vec_id").alias("ids"))
@@ -225,6 +269,45 @@ def cosine_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("vec_id_1", "vec_id_2", "cos")
     )
+
+
+def cosine_near_dup_pairs_scaled(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    dims: int = 64,
+    target_bucket: int = 32,
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """:func:`cosine_near_dup_pairs` with CORPUS-SCALED banding — the
+    production default. Bits per band = ``scaled_bits(n)`` so expected
+    bucket occupancy stays ~``target_bucket`` at any corpus size, keeping
+    in-bucket pair work linear in the corpus (measured: 10x vectors at
+    the fixed 16-plane banding -> 10x+ wall; scaled -> ~2x). Plane
+    indices are strided (:func:`strided_band_keys`) so the layout is
+    reproducible by a static oracle at any corpus size.
+
+    ``n_vectors`` defaults to a count of ``emb`` — one column-pruned
+    metadata-only scan at plan-build time (parquet row counts come from
+    footers; at 100 TB this is a driver round-trip, not a data read).
+    """
+    n = emb.count() if n_vectors is None else n_vectors
+    bits = scaled_bits(n, target_bucket)
+    base = emb.select(
+        F.col("vec_id"), F.col("embedding"), norm(F.col("embedding")).alias("na")
+    ).persist()
+    withb = base.select(
+        "vec_id", *strided_band_keys(F.col("embedding"), dims, bits)
+    )
+    structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_key"))
+            for b in range(SCALED_BANDS)
+        ]
+    )
+    bands = withb.select("vec_id", F.explode(structs).alias("bk")).select(
+        "vec_id", "bk.band_id", "bk.band_key"
+    )
+    return _verify_band_candidates(base, bands, threshold, dims)
 
 
 def semantic_dedup_pairs(

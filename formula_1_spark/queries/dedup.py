@@ -333,6 +333,79 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, threshold=0.45)
 
 
+@register(
+    "dedup_embedding_cosine_scaled",
+    ops="EXT-dedup-embedding,J4 (corpus-scaled banding — production default)",
+    doc="Embedding-cosine near-dup pairs with CORPUS-SCALED banding: bits "
+    "per band = clamp(log2(n/32)+1, 4, 16) so expected bucket occupancy "
+    "stays ~32 at ANY corpus size (the fixed 16-plane variant's bucket "
+    "size grows linearly with n and its in-bucket pair work "
+    "quadratically — measured 10x data -> 10x+ wall there vs ~2x here). "
+    "Plane indices stride by 16 per band, so the layout is corpus-size "
+    "independent and the oracle derives the SAME md5-parity hyperplane "
+    "signs itself (range(128) x range(64) + md5 — no baked literals) and "
+    "gates each bit slot on the same count-derived bits scalar.",
+    oracle="""
+WITH params AS (
+  SELECT GREATEST(4, LEAST(16,
+           CAST(FLOOR(LOG2(COUNT(1) / 32.0 + 1)) AS INT) + 1)) AS bits
+  FROM embeddings
+),
+planes AS (
+  SELECT p, list(CASE WHEN substr(md5(p || ',' || d), 1, 1)
+                        IN ('1','3','5','7','9','b','d','f')
+                      THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(-1.0 AS DOUBLE) END ORDER BY d) AS signs
+  FROM (SELECT a.range AS p FROM range(128) a),
+       (SELECT b.range AS d FROM range(64) b)
+  GROUP BY p
+),
+proj AS (
+  SELECT e.vec_id, pl.p,
+         list_reduce(list_transform(list_zip(e.embedding, pl.signs),
+                     x -> CAST(x[1] AS DOUBLE) * x[2]),
+                     (acc, v) -> acc + v) AS pr
+  FROM embeddings e, planes pl, params
+  WHERE pl.p % 16 < params.bits
+),
+bands AS (
+  SELECT vec_id, CAST(p // 16 AS INT) AS band_id,
+         SUM(CASE WHEN pr > 0 THEN 1 << (p % 16) ELSE 0 END) AS band_key
+  FROM proj GROUP BY vec_id, band_id
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_id_1, y.vec_id AS vec_id_2
+  FROM bands x
+  JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+  WHERE x.vec_id < y.vec_id
+),
+unit AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)
+           / sqrt(list_reduce(
+               list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+               (acc, v) -> acc + v))) AS u
+  FROM embeddings
+),
+pairs AS (
+  SELECT c.vec_id_1, c.vec_id_2,
+         list_reduce(list_transform(list_zip(a.u, b.u), x -> x[1] * x[2]),
+                     (acc, v) -> acc + v) AS cos
+  FROM cand c
+  JOIN unit a ON a.vec_id = c.vec_id_1
+  JOIN unit b ON b.vec_id = c.vec_id_2
+)
+SELECT vec_id_1, vec_id_2, cos FROM pairs WHERE cos >= 0.45
+""",
+)
+def dedup_embedding_cosine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.similarity import cosine_near_dup_pairs_scaled
+    from formula_1_spark.sources.tables import fan_out
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return cosine_near_dup_pairs_scaled(emb, threshold=0.45)
+
+
 # SemDeDup-style semantic dedup: k-means cells as candidate buckets,
 # exact cosine verify within a cell. Reuses the similarity module's
 # deterministic k-means CTE chain so the oracle replicates the exact
