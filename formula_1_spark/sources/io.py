@@ -167,11 +167,11 @@ def read_manifest(snapshot_dir: str) -> dict | None:
 
 
 def _update_key_profile(updates: DataFrame, key_col: str):
-    """(sorted exact keys | None, (min, max) | None, has_null) for the
-    update side's leading merge key. Collects at most ``PRUNE_KEY_CAP``
-    scalars (past the cap it falls back to the [min, max] range — at true
-    scale this is where a bloom filter would slot in); data rows are never
-    collected."""
+    """(sorted exact keys | None, over_cap, has_null) for the update
+    side's leading merge key. Collects at most ``PRUNE_KEY_CAP`` scalars;
+    past the cap the caller switches to the DISTRIBUTED file-hit probe
+    (:func:`_touched_files_distributed`) instead of collecting anything.
+    Data rows are never collected."""
     rows = (
         updates.select(F.col(key_col).alias("k"))
         .distinct()
@@ -182,20 +182,62 @@ def _update_key_profile(updates: DataFrame, key_col: str):
     has_null = any(v is None for v in vals)
     vals = [v for v in vals if v is not None]
     if not all(isinstance(v, (int, str)) and not isinstance(v, bool) for v in vals):
-        return None, None, True  # unprunable key type: touch everything
+        return None, False, True  # unprunable key type: touch everything
     if len(rows) > PRUNE_KEY_CAP:
-        agg = updates.agg(
-            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
-        ).collect()[0]
-        return None, (agg.lo, agg.hi), True  # range-only; nulls unknown
-    return sorted(vals), None, has_null
+        return None, True, True
+    return sorted(vals), False, has_null
+
+
+def _touched_files_distributed(
+    spark: SparkSession, manifest: dict, updates: DataFrame, key_col: str
+) -> tuple[set, bool]:
+    """(hit file names, update side has a null key) for an OVER-CAP
+    update side, computed distributedly: the manifest's (file, min, max)
+    ranges — O(#files), a few KB — broadcast-join against the update
+    keys, and only the hit file names come back to the driver. One
+    column-pruned pass over updates; the map-side partial
+    ``collect_set`` caps every partition's output at #files rows.
+
+    Exact where the classic driver-side bloom filter is approximate: a
+    bloom still needs the same full pass to build, can only answer
+    point-membership (so range-stats probing degenerates to testing every
+    key in a file's [min, max] span), and its false positives rewrite
+    files a 100 TB merge should have skipped. The broadcast range join is
+    the same shuffle shape with none of those losses."""
+    ranges = [
+        (f, st["min"], st["max"])
+        for f, st in manifest["files"].items()
+        if st["min"] is not None
+    ]
+    profile = updates.select(F.col(key_col).alias("k"))
+    if not ranges:
+        row = profile.agg(F.max(F.col("k").isNull()).alias("hasnull")).collect()[0]
+        return set(), bool(row.hasnull)
+    rdf = spark.createDataFrame(ranges, ["fname", "lo", "hi"])
+    row = (
+        profile.join(
+            F.broadcast(rdf),
+            (F.col("k") >= F.col("lo")) & (F.col("k") <= F.col("hi")),
+            "left",
+        )
+        .agg(
+            F.collect_set("fname").alias("fs"),
+            F.max(F.col("k").isNull()).alias("hasnull"),
+        )
+        .collect()[0]
+    )
+    return set(row.fs), bool(row.hasnull)
 
 
 def _split_files(
-    manifest: dict, keys: list | None, rng: tuple | None, upd_has_null: bool
+    manifest: dict,
+    keys: list | None,
+    upd_has_null: bool,
+    hits: set | None = None,
 ) -> tuple[list[str], list[str]]:
     """Partition a snapshot's files into (touched, untouched) against the
-    update key profile. Conservative: any doubt → touched."""
+    update key profile — either a collected sorted-key list or a
+    distributed hit set. Conservative: any doubt → touched."""
     touched, untouched = [], []
     for fname, st in manifest["files"].items():
         if st["min"] is None:
@@ -209,9 +251,7 @@ def _split_files(
                 i = bisect_left(keys, st["min"])
                 hit = i < len(keys) and keys[i] <= st["max"]
             else:
-                hit = rng is not None and not (
-                    rng[1] < st["min"] or rng[0] > st["max"]
-                )
+                hit = hits is not None and fname in hits
         except TypeError:  # update key type vs stats type mismatch
             hit = True
         (touched if hit else untouched).append(fname)
@@ -374,8 +414,14 @@ def _merge_pruned(
     from functools import reduce
 
     upd_cols = [c for c in updates.columns if c != delete_col]
-    keys, rng, has_null = _update_key_profile(updates, key_cols[0])
-    touched, untouched = _split_files(manifest, keys, rng, has_null)
+    keys, over_cap, has_null = _update_key_profile(updates, key_cols[0])
+    if over_cap:
+        hits, has_null = _touched_files_distributed(
+            spark, manifest, updates, key_cols[0]
+        )
+        touched, untouched = _split_files(manifest, None, has_null, hits=hits)
+    else:
+        touched, untouched = _split_files(manifest, keys, has_null)
 
     incoming = updates
     if delete_col is not None:

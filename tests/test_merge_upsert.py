@@ -202,6 +202,61 @@ def test_schema_evolving_merge_falls_back_to_full_rewrite(spark, tmp_path):
     assert not (set(read_manifest(snap1)["files"]) & set(read_manifest(snap2)["files"]))
 
 
+def test_over_cap_merge_still_prunes_untouched_files(spark, tmp_path, monkeypatch):
+    """Past PRUNE_KEY_CAP the driver collects NO keys — the file-hit set
+    comes from a distributed broadcast range join — and key-disjoint
+    files still carry over by hardlink."""
+    import formula_1_spark.sources.io as io_mod
+    from formula_1_spark.sources.io import current_snapshot_dir, read_manifest
+
+    monkeypatch.setattr(io_mod, "PRUNE_KEY_CAP", 10)
+    target = str(tmp_path / "pruned_overcap")
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(200)], ["k", "v"])
+    merge_upsert(spark, target, base.repartitionByRange(4, "k"), ["k"])
+    snap1 = current_snapshot_dir(target)
+    m1 = read_manifest(snap1)
+    assert len(m1["files"]) == 4
+
+    time.sleep(1.1)
+    # 50 distinct update keys (> patched cap), all inside the first
+    # range-partitioned file's key span
+    upd = spark.createDataFrame([(i, "Z") for i in range(50)], ["k", "v"])
+    merge_upsert(spark, target, upd, ["k"])
+    snap2 = current_snapshot_dir(target)
+    m2 = read_manifest(snap2)
+
+    rows = _rows(read_current(spark, target))
+    assert rows == {(i, "Z") for i in range(50)} | {
+        (i, f"v{i}") for i in range(50, 200)
+    }
+    carried = set(m1["files"]) & set(m2["files"])
+    assert len(carried) == 3  # only the one overlapping file rewritten
+    for f in carried:
+        assert os.path.samefile(os.path.join(snap1, f), os.path.join(snap2, f))
+
+
+def test_over_cap_merge_with_null_key_is_conservative(spark, tmp_path, monkeypatch):
+    """The distributed probe also detects null update keys, so
+    null-carrying files stay in the touched set past the cap."""
+    import formula_1_spark.sources.io as io_mod
+
+    monkeypatch.setattr(io_mod, "PRUNE_KEY_CAP", 5)
+    target = str(tmp_path / "pruned_overcap_null")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)] + [(None, "n")], "k int, v string"
+    )
+    merge_upsert(spark, target, base.repartitionByRange(4, "k"), ["k"])
+    time.sleep(1.1)
+    upd = spark.createDataFrame(
+        [(i, "Z") for i in range(10)] + [(None, "N2")], "k int, v string"
+    )
+    merge_upsert(spark, target, upd, ["k"])
+    rows = _rows(read_current(spark, target))
+    assert rows == {(i, "Z") for i in range(10)} | {
+        (i, f"v{i}") for i in range(10, 40)
+    } | {(None, "N2")}
+
+
 def test_pruned_merge_with_null_key_is_conservative(spark, tmp_path):
     target = str(tmp_path / "pruned_null")
     base = spark.createDataFrame([(1, "a"), (None, "n")], "k int, v string")
