@@ -88,11 +88,16 @@ def priority_sample(
     subset-sum estimator ``est_weight = max(w, tau)`` whose sum is an
     unbiased estimate of the total weight.
 
-    Exactness across engines: u = (h % GRID + 1) / GRID, so
-    q = w * GRID / (h % GRID + 1) is ONE IEEE division of two exact
+    ``weight_col`` MUST be an integral column: the bigint cast is what
+    makes q = w * GRID / (h % GRID + 1) ONE IEEE division of two exact
     integers — bit-identical in Spark and ANSI SQL, which makes the
     sampled set, tau, and the estimates oracle-checkable with no float
-    drift. Ties are impossible-by-construction to matter: ordering is
+    drift. A fractional weight (e.g. a quality score in [0, 1]) would
+    silently truncate to 0 and degenerate the sample, so non-integral
+    weight types raise; pre-scale such weights to integers (e.g.
+    ``(score * 1e6).cast("bigint")``) — the sampling distribution is
+    scale-invariant. Ties are impossible-by-construction to matter:
+    ordering is
     (q DESC, key ASC), a total order.
 
     Scale: top-(k+1) runs two-phase (per-partition rank prune → tiny
@@ -101,6 +106,13 @@ def priority_sample(
     """
     from formula_1_spark.operators.windows import two_phase_global_topk
 
+    wtype = dict(df.dtypes).get(weight_col, "")
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"priority_sample: weight_col '{weight_col}' must be integral "
+            f"(got {wtype or 'missing'}); pre-scale fractional weights, "
+            'e.g. (score * 1e6).cast("bigint")'
+        )
     h = F.conv(
         F.substring(
             F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))), 1, 15

@@ -9,7 +9,7 @@ sketch flips a flag and reds the driver row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from formula_1_spark.queries.registry import register
@@ -144,54 +144,78 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "heavy_hitters_topk",
     ops="EXT-sketch-topk,A1 (approx_top_k frequent items)",
-    doc="Heavy hitters via approx_top_k(l_suppkey, 10) over lineitem: "
-    "the sketch's item set must sit inside the exact top-15 (slack "
-    "absorbs count ties at the boundary) and every reported count must "
-    "equal the true count at this scale. Exact row totals ride along so "
-    "the oracle is anchored to real values, not just flags.",
+    doc="Heavy hitters via approx_top_k(l_suppkey, 10, 100000): the "
+    "explicit maxItemsTracked >= distinct suppliers makes sketch counts "
+    "structurally exact (not incidentally, as the old default-10000 "
+    "variant relied on). The check is TIE-INSENSITIVE and oracle-"
+    "computed end to end: every item whose exact count strictly exceeds "
+    "the 11th-highest count MUST appear in any correct top-10 with its "
+    "exact count, so the query emits exactly those items with the "
+    "sketch's reported count — a dropped item (null) or an inexact "
+    "count hash-mismatches the oracle's exact recompute. No expected "
+    "flags are hardcoded; n_reported/n_rows anchors are computed by "
+    "both engines.",
     oracle="""
-SELECT COUNT(1) AS n_rows,
-       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
-       10 AS n_reported,
-       1 AS all_in_exact_top15,
-       1 AS counts_exact
-FROM lineitem
+WITH exact AS (
+  SELECT l_suppkey, COUNT(1) AS true_count FROM lineitem GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT true_count,
+         ROW_NUMBER() OVER (ORDER BY true_count DESC) AS rn
+  FROM exact
+),
+b AS (SELECT MAX(CASE WHEN rn = 11 THEN true_count END) AS b11 FROM ranked),
+strict AS (
+  SELECT e.l_suppkey, e.true_count
+  FROM exact e, b
+  WHERE e.true_count > COALESCE(b.b11, -1)
+),
+meta AS (
+  SELECT CAST(LEAST(10, COUNT(DISTINCT l_suppkey)) AS INT) AS n_reported,
+         COUNT(1) AS n_rows
+  FROM lineitem
+)
+SELECT s.l_suppkey,
+       CAST(s.true_count AS BIGINT) AS reported_count,
+       m.n_reported, m.n_rows
+FROM strict s, meta m
 """,
 )
 def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     top = (
-        li.agg(F.expr("approx_top_k(l_suppkey, 10)").alias("t"))
+        li.agg(F.expr("approx_top_k(l_suppkey, 10, 100000)").alias("t"))
         .select(F.explode("t").alias("e"))
         .select(F.col("e.item").alias("item"), F.col("e.count").alias("est_count"))
     )
     exact = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("true_count"))
-    k15 = exact.orderBy(F.desc("true_count"), F.asc("l_suppkey")).limit(15)
-    checked = (
-        top.join(exact, top.item == exact.l_suppkey, "left")
-        .join(
-            k15.select(F.col("l_suppkey").alias("k15_key")),
-            top.item == F.col("k15_key"),
-            "left",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_reported"),
-            F.min((F.col("k15_key").isNotNull()).cast("int")).alias(
-                "all_in_exact_top15"
-            ),
-            F.min((F.col("est_count") == F.col("true_count")).cast("int")).alias(
-                "counts_exact"
-            ),
-        )
+    # Boundary = the 11th-highest exact count (tie-order independent: the
+    # VALUE at sorted position 11 is unique even when row_number's tie
+    # break isn't). The window runs over the post-agg supplier relation —
+    # #distinct suppliers rows, not lineitem rows.
+    ranked = exact.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("true_count")))
     )
-    totals = li.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    b = ranked.agg(
+        F.max(F.when(F.col("rn") == 11, F.col("true_count"))).alias("b11")
     )
-    return totals.crossJoin(checked).select(
-        "n_rows",
-        "n_suppliers",
-        F.col("n_reported").cast("int").alias("n_reported"),
-        "all_in_exact_top15",
-        "counts_exact",
+    strict = (
+        exact.crossJoin(F.broadcast(b))
+        .filter(F.col("true_count") > F.coalesce(F.col("b11"), F.lit(-1)))
+        .select("l_suppkey")
+    )
+    # n_reported comes from the SKETCH's actual output row count; the
+    # oracle recomputes the value it must equal (LEAST(10, #distinct)).
+    meta = top.agg(F.count(F.lit(1)).cast("int").alias("n_reported")).crossJoin(
+        li.agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        strict.join(top, strict.l_suppkey == top.item, "left")
+        .crossJoin(F.broadcast(meta))
+        .select(
+            "l_suppkey",
+            F.col("est_count").alias("reported_count"),
+            "n_reported",
+            "n_rows",
+        )
     )

@@ -85,18 +85,27 @@ class _PagedJsonApiReader(DataSourceReader):
         # Arrow fast path: parse each page into ONE RecordBatch and hand
         # it to the JVM wholesale (the DataSource API accepts pyarrow
         # batches) — an order of magnitude less per-row Python/pickle
-        # overhead than tuple-at-a-time yield. Falls back to tuples if
-        # the batch conversion can't represent the schema.
+        # overhead than tuple-at-a-time yield. The schema conversion is
+        # probed ONCE up front (on an empty batch) so ANY conversion
+        # failure — missing pyarrow, a field type to_arrow_schema or
+        # RecordBatch can't represent — selects the tuple path before
+        # the first row is yielded; the per-file loop is single-path and
+        # can never emit a page twice.
+        arrow_schema = None
         try:
             import pyarrow as pa
 
             from pyspark.sql.pandas.types import to_arrow_schema
 
             arrow_schema = to_arrow_schema(self._schema)
+            pa.RecordBatch.from_pylist([], schema=arrow_schema)
+        except Exception:
+            arrow_schema = None
+        if arrow_schema is not None:
             for path in partition.files:
                 records = list(self._read_page(path))
                 yield pa.RecordBatch.from_pylist(records, schema=arrow_schema)
-        except ImportError:
+        else:
             names = [f.name for f in self._schema.fields]
             for path in partition.files:
                 for rec in self._read_page(path):

@@ -69,8 +69,20 @@ def _codes(df: DataFrame, cols: list[str], bits: int) -> list[Column]:
 def zorder_value(codes: list[Column], bits: int) -> Column:
     """Bit-interleave k same-width codes into one BIGINT sort key: bit b
     of code i lands at position ``b * k + i`` — pure shift/mask
-    expression, stays in codegen."""
+    expression, stays in codegen.
+
+    ``bits * k`` must fit the 63 non-sign bits of a BIGINT: position 63
+    would flip the sign (those rows sort FIRST, breaking locality) and
+    Java shifts are mod 64, so 5+ columns at the 16-bit default would
+    silently wrap and corrupt the interleave. Callers with many columns
+    should shrink bits (``63 // len(cols)``)."""
     k = len(codes)
+    if bits * k > 63:
+        raise ValueError(
+            f"zorder_value: {k} columns x {bits} bits = {bits * k} bit "
+            "positions exceeds the 63 usable bits of a BIGINT sort key; "
+            f"use bits <= {63 // k}"
+        )
     z = F.lit(0).cast("bigint")
     for i, code in enumerate(codes):
         for b in range(bits):
@@ -95,6 +107,9 @@ def zorder_current(
     current = read_current(spark, target_path)
     if current is None:
         raise ValueError(f"no live snapshot at {target_path}")
+    # Keep the interleave inside a BIGINT's 63 usable bits at any column
+    # count (4 cols at the 16-bit default would place a bit at the sign).
+    bits = min(bits, 63 // max(1, len(cols)))
     snap_dir = current_snapshot_dir(target_path)
     manifest = read_manifest(snap_dir) if snap_dir else None
     if n_files is None:
