@@ -147,6 +147,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.quality_ops",
         "formula_1_spark.queries.sql_modern",
         "formula_1_spark.queries.custom_source",
+        "formula_1_spark.queries.zorder_scan",
     ):
         try:
             __import__(mod)
