@@ -37,6 +37,55 @@ def global_rank(df: DataFrame, order_cols: Sequence[Column], alias: str = "rank"
     return df.withColumn(alias, F.rank().over(Window.orderBy(*order_cols)))
 
 
+def distributed_global_enumerate(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    alias: str = "rank",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Scale-safe FULL global 1-based enumeration by a total order — the
+    distributed alternative to ``Window.orderBy`` row_number when every
+    row needs its rank (epoch shuffling, stable sharding), not just the
+    top-k.
+
+    Plan: range-partition on the order key, ``row_number`` within each
+    range partition (parallel — one window task per partition), then add
+    the exclusive prefix sum of partition counts. Only #partitions longs
+    travel to the driver; data rows never converge on one task.
+
+    The order key must be a TOTAL order (unique per row) — with ties the
+    rank of tied rows would depend on which side of a range boundary they
+    sampled to. Input is persisted for the two passes (count + rank) so
+    both jobs see identical range boundaries; at 100 TB prefer a
+    checkpointed or already-materialized input.
+    """
+    if n_parts is None:
+        n_parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        n_parts = int(n_parts or 32)
+    parts = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    parts.persist()
+    counts = {r["__pid"]: r["n"] for r in
+              parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
+    )
+    local_w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        parts.withColumn(
+            alias,
+            (F.row_number().over(local_w) + F.element_at(off_map, F.col("__pid")))
+            .cast("bigint"),
+        )
+        .drop("__pid")
+    )
+
+
 def two_phase_global_topk(
     df: DataFrame, order_cols: Sequence[Column], k: int, alias: str = "rank"
 ) -> DataFrame:

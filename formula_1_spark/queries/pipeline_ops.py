@@ -233,3 +233,37 @@ WHERE quality > 0.45
 
 
 REGISTRY["training_data_funnel"].oracle = _funnel_oracle()
+
+
+@register(
+    "training_epoch_shuffle",
+    ops="EXT-epoch-shuffle,W2 (distributed global enumeration)",
+    doc="Deterministic training-epoch shuffle: every document gets a "
+    "unique 1-based position for epoch 7, ordered by "
+    "md5('epoch7:' || doc_id) — content-stable, so the training order "
+    "is reproducible across runs, engines and partitionings. The rank "
+    "is computed by distributed_global_enumerate (range-partition -> "
+    "per-partition row_number + prefix-sum of partition counts), NOT a "
+    "single-partition window — at 100 TB all rows never converge on "
+    "one task; only #partitions longs reach the driver.",
+    oracle="""
+SELECT doc_id,
+       md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5('epoch7:' || CAST(doc_id AS VARCHAR))) AS BIGINT)
+         AS epoch_pos
+FROM documents
+""",
+)
+def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.windows import distributed_global_enumerate
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    return distributed_global_enumerate(
+        docs, [F.col("shuffle_key")], alias="epoch_pos"
+    )

@@ -102,6 +102,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- new this round ---
     "dedup_embedding_cosine_scaled",
     "orders_zorder_pruned_scan",
+    "training_epoch_shuffle",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",

@@ -1,0 +1,137 @@
+"""Paired same-window bench: every registered query on Spark (local[32])
+AND its oracle SQL on DuckDB (32 threads), interleaved run-to-run in one
+process window so host contention hits both engines equally — on this
+noisy shared host the paired ratio is the only meaningful number.
+
+Usage: python tools/paired_bench.py [sf_dir] [--baseline BENCH_rN.json]
+
+Prints one JSON line: {"spark_total": s, "duck_total": s, "ratio": r,
+"queries": {name: {"spark": s, "duck": s}}, "sf": ...} and, with
+--baseline, a per-query >1.5x regression report against the given
+driver bench snapshot on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    baseline_path = None
+    for i, a in enumerate(sys.argv):
+        if a == "--baseline" and i + 1 < len(sys.argv):
+            baseline_path = sys.argv[i + 1]
+
+    import duckdb
+
+    from formula_1_spark.queries.registry import load_all
+    from formula_1_spark.session import get_spark
+
+    spark = get_spark(app_name="paired_bench")
+    registry = load_all()
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    # Same warmups bench.py applies (session overhead is not query cost).
+    from formula_1_spark.sources.tables import load_table
+
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
+    try:
+        spark.range(64).repartition(32).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
+    try:
+        import tempfile
+
+        from formula_1_spark.sources.paged_api import PagedJsonApiSource
+
+        spark.dataSource.register(PagedJsonApiSource)
+        d = tempfile.mkdtemp(prefix="paired_warm_api_")
+        with open(os.path.join(d, "page-0.json"), "w") as fh:
+            fh.write('{"k": 1}\n')
+        spark.read.format("paged_json_api").option("path", d).option(
+            "schema_ddl", "k BIGINT"
+        ).load().write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
+
+    out: dict[str, dict] = {}
+    spark_total = duck_total = 0.0
+    for name, spec in sorted(registry.items()):
+        t0 = time.perf_counter()
+        try:
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            s_dt = time.perf_counter() - t0
+        except Exception as e:
+            print(f"spark {name} FAILED: {e}", file=sys.stderr)
+            s_dt = None
+        d_dt = None
+        if spec.oracle:
+            t0 = time.perf_counter()
+            try:
+                con.execute(spec.oracle).fetchall()
+                d_dt = time.perf_counter() - t0
+            except Exception as e:
+                print(f"duck {name} FAILED: {e}", file=sys.stderr)
+        out[name] = {
+            "spark": round(s_dt, 4) if s_dt is not None else None,
+            "duck": round(d_dt, 4) if d_dt is not None else None,
+        }
+        if s_dt is not None and d_dt is not None:
+            spark_total += s_dt
+            duck_total += d_dt
+
+    if baseline_path:
+        with open(baseline_path) as fh:
+            base = json.load(fh).get("queries", {})
+        regressions = []
+        for name, v in out.items():
+            b = base.get(name)
+            s = v["spark"]
+            if b and s and s > 1.5 * b and s - b > 0.5:
+                regressions.append((name, b, s))
+        if regressions:
+            print("REGRESSIONS (>1.5x vs baseline):", file=sys.stderr)
+            for name, b, s in sorted(regressions, key=lambda x: -x[2] / x[1]):
+                print(f"  {name}: {b:.2f}s -> {s:.2f}s", file=sys.stderr)
+        else:
+            print("regression watch: none >1.5x vs baseline", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "spark_total": round(spark_total, 2),
+        "duck_total": round(duck_total, 2),
+        "ratio": round(spark_total / duck_total, 3) if duck_total else None,
+        "queries": out,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
