@@ -103,6 +103,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine_scaled",
     "orders_zorder_pruned_scan",
     "training_epoch_shuffle",
+    "bucketed_colocated_join",
+    "entity_resolution_fuzzy",
+    "quality_quantile_filter",
+    "crossdoc_ngram_spans",
+    "nation_trade_shortest_path",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",
@@ -149,6 +154,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.sql_modern",
         "formula_1_spark.queries.custom_source",
         "formula_1_spark.queries.zorder_scan",
+        "formula_1_spark.queries.scale_ops",
     ):
         try:
             __import__(mod)
