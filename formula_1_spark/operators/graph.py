@@ -105,6 +105,75 @@ def connected_components(
     )
 
 
+PR_SCALE = 1_000_000_000_000  # pagerank mass grid (1e12): exact in bigint
+
+
+def pagerank_quantized(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 8,
+    damping_pct: int = 85,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "n",
+) -> DataFrame:
+    """Weighted PageRank with EXACT integer arithmetic — bit-identical in
+    any engine and under any aggregation order.
+
+    A float PageRank is accumulation-order-dependent (incoming
+    contributions sum in nondeterministic order), so every quantity here
+    is a scaled bigint on the ``PR_SCALE`` grid: mass starts at
+    ``SCALE div N`` per node; the contribution along edge (u, v) is
+    ``(pr_q(u) * w(u,v)) div out_w(u)`` (floor division — exact);
+    incoming mass is an exact integer SUM; the update is
+    ``tele_q + (damping_pct * in_sum) div 100`` with
+    ``tele_q = ((100 - damping_pct) * (SCALE div N)) div 100``. Dangling
+    mass (nodes without out-edges) is dropped, not redistributed — the
+    standard simplification, identical in the oracle.
+
+    Bounds: pr_q <= SCALE (1e12) and the edge product pr_q * w needs
+    w < 9e6 to stay under 2^63 — holds far past this testdata; at larger
+    weights pre-divide weights by their GCD or lift to decimal(38,0).
+
+    Scale design: each iteration is one join of the rank relation with
+    the (persisted) out-weighted edge list on the source key and one
+    map-side-combined groupBy on the destination — the canonical
+    distributed PageRank shape. Ranks persist per round; the driver sees
+    no data, only the loop counter.
+    """
+    ew = edges.groupBy(src_col).agg(F.sum(weight_col).alias("ow")).join(
+        edges, src_col
+    ).persist()
+
+    n_nodes = nodes.count()
+    tele_q = ((100 - damping_pct) * (PR_SCALE // n_nodes)) // 100
+    base = nodes.select(F.col(node_col).alias("node")).persist()
+    pr = base.withColumn("pr_q", F.lit(PR_SCALE // n_nodes)).persist()
+
+    for _ in range(iters):
+        contrib = ew.join(pr, ew[src_col] == pr.node).select(
+            F.col(dst_col).alias("node"),
+            F.expr(f"(pr_q * {weight_col}) div ow").alias("c"),
+        )
+        insum = contrib.groupBy("node").agg(F.sum("c").alias("m"))
+        nxt = (
+            base.join(insum, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(tele_q)
+                    + F.expr(f"({damping_pct} * coalesce(m, 0L)) div 100")
+                ).alias("pr_q"),
+            )
+            .persist()
+        )
+        pr.unpersist()
+        pr = nxt
+    ew.unpersist()
+    return pr
+
+
 def dedup_cluster_assignment(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

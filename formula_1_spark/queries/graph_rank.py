@@ -1,0 +1,117 @@
+"""Weighted PageRank over the nation trade graph — exact-integer iterate.
+
+Completes the graph-operator family (connected components for dedup
+clusters, frontier BFS for shortest paths) with the canonical iterative
+link-analysis algorithm, kept bit-exact cross-engine by quantized
+integer arithmetic (see ``operators/graph.pagerank_quantized``). The
+oracle unrolls the same ``_ITERS`` iterations as static CTEs.
+
+Reference scope note: the reference (uwe-uffuchs/formula-1) has no graph
+surface; extension operator per SURVEY.md §2's "beyond the reference"
+list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from formula_1_spark.operators.graph import PR_SCALE, pagerank_quantized
+from formula_1_spark.queries.registry import register
+from formula_1_spark.sources.tables import load_table
+
+_ITERS = 8
+_DAMP = 85
+
+_TRADE_CTE = """
+trade AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         CAST(COUNT(1) AS BIGINT) AS n
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+),
+outw AS (SELECT src, CAST(SUM(n) AS BIGINT) AS ow FROM trade GROUP BY src),
+nn AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_nodes FROM nation)
+"""
+
+
+def _pagerank_ctes(iters: int) -> str:
+    """Unrolled per-iteration CTE chain mirroring pagerank_quantized."""
+    tele = (
+        f"(((100 - {_DAMP}) * ({PR_SCALE} // (SELECT n_nodes FROM nn))) // 100)"
+    )
+    parts = [
+        f"pr0 AS (SELECT n_nationkey AS node, "
+        f"{PR_SCALE} // (SELECT n_nodes FROM nn) AS pr_q FROM nation)"
+    ]
+    for i in range(iters):
+        parts.append(
+            f"c{i} AS (\n"
+            f"  SELECT e.dst AS node, CAST(SUM((p.pr_q * e.n) // o.ow) AS BIGINT) AS m\n"
+            f"  FROM trade e JOIN outw o ON o.src = e.src\n"
+            f"  JOIN pr{i} p ON p.node = e.src\n"
+            f"  GROUP BY e.dst\n)"
+        )
+        parts.append(
+            f"pr{i + 1} AS (\n"
+            f"  SELECT p.node,\n"
+            f"         {tele} + ({_DAMP} * COALESCE(c.m, 0)) // 100 AS pr_q\n"
+            f"  FROM pr{i} p LEFT JOIN c{i} c ON c.node = p.node\n)"
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "nation_trade_pagerank",
+    ops="EXT-graph-pagerank,A5,J4,W2 (iterative link analysis)",
+    doc=f"Weighted PageRank ({_ITERS} iterations, damping 0.85) over the "
+    "nation trade graph (edge weight = line count between customer and "
+    "supplier nations). Every iteration is exact scaled-bigint "
+    "arithmetic — floor-divided redistributions and integer sums — so "
+    "the result is bit-identical regardless of engine or aggregation "
+    "order, and the oracle replays the identical unrolled iterations. "
+    "Per iteration: one source-keyed join of the rank relation with the "
+    "persisted out-weighted edges + one map-side-combined groupBy on "
+    "destination — the canonical distributed PageRank shape.",
+    oracle=f"""
+WITH {_TRADE_CTE},
+{_pagerank_ctes(_ITERS)}
+SELECT node, pr_q,
+       CAST(pr_q AS DOUBLE) / {float(PR_SCALE)!r} AS pr,
+       CAST(RANK() OVER (ORDER BY pr_q DESC, node ASC) AS INT) AS rank
+FROM pr{_ITERS}
+""",
+)
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+
+    trade = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pr = pagerank_quantized(nation, trade, iters=_ITERS, damping_pct=_DAMP)
+    return pr.select(
+        "node",
+        "pr_q",
+        (F.col("pr_q").cast("double") / F.lit(float(PR_SCALE))).alias("pr"),
+        F.rank()
+        .over(Window.orderBy(F.desc("pr_q"), F.asc("node")))
+        .cast("int")
+        .alias("rank"),
+    )

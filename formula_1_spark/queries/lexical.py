@@ -1,0 +1,157 @@
+"""Lexical retrieval queries: TF-IDF document similarity and BM25 search.
+
+Complements the embedding-space similarity family
+(``queries/similarity.py``) with the sparse/lexical half of a
+training-data pipeline's retrieval needs. Both queries are exact
+cross-engine (quantized rational IDF, integer dots, fixed-order float
+sums — see ``operators/tfidf.py``), so both carry full value-hash
+oracles.
+
+Reference scope note: the reference (uwe-uffuchs/formula-1) has no text
+retrieval surface; these are extension operators per SURVEY.md §2's
+"beyond the reference" list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from formula_1_spark.operators.tfidf import (
+    BM25_B,
+    BM25_K1,
+    IDF_SCALE,
+    bm25_scores,
+    tfidf_topk_pairs,
+)
+from formula_1_spark.queries.registry import register
+from formula_1_spark.sources.tables import load_table
+
+# Shared CTE prefix: tokenize -> tf -> df -> quantized rational idf.
+_TERMS_CTES = f"""
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(1) AS tf FROM toks GROUP BY doc_id, term),
+nd AS (SELECT COUNT(1) AS n FROM documents),
+dfs AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term, df, ({IDF_SCALE} * (n + 1)) // (df + 1) AS idf_q FROM dfs, nd
+)"""
+
+
+@register(
+    "tfidf_lexical_topk",
+    ops="EXT-tfidf,A1,J4,W1 (sparse lexical similarity top-k)",
+    doc="Exact TF-IDF cosine top-10 lexical neighbors for each query doc "
+    "(doc_id < 10): inverted-index candidate join on shared terms, exact "
+    "bigint sparse dot over ALL shared terms, two window ranks. IDF is "
+    "the quantized rational (SCALE*(N+1)) div (df+1) — floor division in "
+    "both engines — so weights, dots, and norms are exact integers and "
+    "the cosine is a bit-identical IEEE double in Spark and DuckDB. The "
+    "scale knob (not needed on this corpus) is the max_df candidate cap: "
+    "stopword-frequency terms stop generating candidate pairs while "
+    "still contributing to surviving pairs' scores.",
+    oracle=f"""
+WITH {_TERMS_CTES},
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * idf.idf_q AS w
+  FROM tf JOIN idf USING (term)
+),
+norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY doc_id),
+pairs AS (
+  SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS neighbor_id
+  FROM w q JOIN w c USING (term)
+  WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
+),
+dots AS (
+  SELECT p.query_id, p.neighbor_id, SUM(a.w * b.w) AS dot
+  FROM pairs p
+  JOIN w a ON a.doc_id = p.query_id
+  JOIN w b ON b.doc_id = p.neighbor_id AND b.term = a.term
+  GROUP BY p.query_id, p.neighbor_id
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         CAST(d.dot AS DOUBLE)
+           / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.query_id
+  JOIN norms nb ON nb.doc_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 10
+""",
+)
+def tfidf_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk_pairs(docs, F.col("doc_id") < 10, k=10)
+
+
+_QUERY_TERMS = ("spark", "query", "join")
+# Inline the exact Python doubles (repr round-trips) so both engines
+# compute with literally the same IEEE constants.
+_K1P1 = BM25_K1 + 1.0
+_ONE_MINUS_B = 1.0 - BM25_B
+
+
+@register(
+    "bm25_corpus_search",
+    ops="EXT-bm25,A1,J1,W2 (ranked corpus search, two-phase top-k)",
+    doc=f"BM25 top-15 documents for the fixed query {_QUERY_TERMS} "
+    "(k1=1.2, b=0.75, quantized rational IDF). Per-term partial scores "
+    "are doubles built only from exact integers (tf, dl, idf_q, exact "
+    "rational avgdl) and summed in the FIXED literal term order via "
+    "conditional aggregation — never an accumulation-order-dependent "
+    "float SUM — so scores are bit-identical cross-engine. The global "
+    "top-k is the two-phase per-partition-prune -> tiny-merge pattern, "
+    "not a single-partition window.",
+    oracle=f"""
+WITH {_TERMS_CTES},
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+tot AS (SELECT SUM(dl) AS total_len FROM dl),
+matched AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+  FROM tf JOIN dl USING (doc_id)
+  WHERE tf.term IN {_QUERY_TERMS!r}
+),
+part AS (
+  SELECT m.doc_id, m.term, m.dl,
+         CAST(i.idf_q AS DOUBLE)
+           * (CAST(m.tf AS DOUBLE) * CAST({_K1P1!r} AS DOUBLE))
+           / (CAST(m.tf AS DOUBLE)
+              + CAST({BM25_K1!r} AS DOUBLE)
+                * (CAST({_ONE_MINUS_B!r} AS DOUBLE)
+                   + CAST({BM25_B!r} AS DOUBLE) * CAST(m.dl AS DOUBLE)
+                     / (CAST(t.total_len AS DOUBLE) / CAST(n.n AS DOUBLE))))
+           AS part
+  FROM matched m
+  JOIN idf i USING (term), tot t, nd n
+),
+piv AS (
+  SELECT doc_id, dl,
+         MAX(CASE WHEN term = '{_QUERY_TERMS[0]}' THEN part END) AS s_0,
+         MAX(CASE WHEN term = '{_QUERY_TERMS[1]}' THEN part END) AS s_1,
+         MAX(CASE WHEN term = '{_QUERY_TERMS[2]}' THEN part END) AS s_2
+  FROM part GROUP BY doc_id, dl
+),
+scored AS (
+  SELECT doc_id, dl,
+         0.0 + COALESCE(s_0, 0.0) + COALESCE(s_1, 0.0) + COALESCE(s_2, 0.0)
+           AS score
+  FROM piv
+)
+SELECT doc_id, dl, score, CAST(rk AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 15
+""",
+)
+def bm25_corpus_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, list(_QUERY_TERMS), k=15)

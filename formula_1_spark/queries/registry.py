@@ -108,6 +108,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_quantile_filter",
     "crossdoc_ngram_spans",
     "nation_trade_shortest_path",
+    # --- new round-3 additions past the 50-row snapshot window: next in
+    # line for a driver row in round 4, oracle-verified locally meanwhile
+    "tfidf_lexical_topk",
+    "bm25_corpus_search",
+    "nation_trade_pagerank",
+    "sample_temperature_mixture",
+    "runtime_bloom_pruned_join",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",
@@ -155,6 +162,9 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.custom_source",
         "formula_1_spark.queries.zorder_scan",
         "formula_1_spark.queries.scale_ops",
+        "formula_1_spark.queries.lexical",
+        "formula_1_spark.queries.graph_rank",
+        "formula_1_spark.queries.mixture",
     ):
         try:
             __import__(mod)

@@ -126,6 +126,77 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Runtime bloom-filter join pruning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "runtime_bloom_pruned_join",
+    ops="J4,A5,EXT-runtime-filter (bloom semi-join pushdown)",
+    doc="Catalyst runtime bloom-filter injection: a selective dim-side "
+    "filter (URGENT orders) builds a bloom_filter_agg whose "
+    "might_contain probe is pushed into the fact scan, so non-matching "
+    "lineitem rows die before the join shuffle — at 100 TB this is the "
+    "difference between shuffling the whole fact table and shuffling "
+    "the ~20%% that can match. The function RAISES unless the physical "
+    "plan contains BOTH the bloom build and the might_contain probe "
+    "(thresholds are lowered to make injection fire at test scale; at "
+    "production scan sizes the defaults fire on their own), so a green "
+    "driver row proves the runtime filter, not just the join values.",
+    oracle="""
+SELECT l.l_returnflag, COUNT(1) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_returnflag
+""",
+)
+def runtime_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # Test-scale scans are far below the 10 GB production default.
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # The filter only pays off on a shuffle join (a broadcast join
+        # already prunes via the hash relation) — force SMJ for the probe.
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        out = joined.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "bloom_filter_agg" not in plan or "might_contain" not in plan:
+            raise RuntimeError(
+                "runtime bloom filter was not injected into the plan:\n"
+                + plan[:2000]
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Blocked fuzzy entity resolution
 # ---------------------------------------------------------------------------
 

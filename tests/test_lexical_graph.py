@@ -1,0 +1,128 @@
+"""Unit tests for the round-3 lexical (TF-IDF/BM25), PageRank, and
+temperature-mixture operators — behavior beyond the oracle-parity gate."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from formula_1_spark.operators.graph import PR_SCALE, pagerank_quantized
+from formula_1_spark.operators.tfidf import (
+    IDF_SCALE,
+    bm25_scores,
+    doc_terms,
+    idf_table,
+    tfidf_topk_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (0, "spark join query fast fast"),
+        (1, "spark join query fast slow"),
+        (2, "table scan row column column"),
+        (3, "spark spark spark unique"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_doc_terms_counts(tiny_docs):
+    got = {
+        (r.doc_id, r.term): r.tf
+        for r in doc_terms(tiny_docs).collect()
+    }
+    assert got[(0, "fast")] == 2
+    assert got[(3, "spark")] == 3
+    assert (2, "spark") not in got
+
+
+def test_idf_is_floor_division(tiny_docs):
+    idf = {r.term: (r.df, r.idf_q) for r in
+           idf_table(doc_terms(tiny_docs), 4).collect()}
+    # spark appears in 3 docs: (1000*5) // 4 = 1250
+    assert idf["spark"] == (3, 1250)
+    # unique appears in 1 doc: 5000 // 2 = 2500
+    assert idf["unique"] == (1, 2500)
+
+
+def test_tfidf_ranks_near_identical_docs_first(tiny_docs):
+    top = tfidf_topk_pairs(tiny_docs, F.col("doc_id") == 0, k=3).collect()
+    by_rank = {r.rank: r for r in top}
+    # doc 1 shares 4 of 5 tokens with doc 0 — must be the top neighbor.
+    assert by_rank[1].neighbor_id == 1
+    assert by_rank[1].cos > 0.7
+    # cosine values are valid and descending
+    cs = [by_rank[i].cos for i in sorted(by_rank)]
+    assert all(-1e-12 <= c <= 1 + 1e-12 for c in cs)
+    assert cs == sorted(cs, reverse=True)
+
+
+def test_tfidf_max_df_caps_candidates_not_scores(tiny_docs):
+    # With max_df=1 only 'unique'/'slow' (df=1) generate candidates;
+    # doc 3 contains 'unique' but shares 'spark' with doc 0. Querying
+    # doc 1 ('slow'): no other doc has slow -> no candidates at all.
+    got = tfidf_topk_pairs(
+        tiny_docs, F.col("doc_id") == 1, k=3, max_df=1
+    ).collect()
+    assert got == []
+    # Uncapped, doc 1 has neighbors (docs 0 and 3 share terms; doc 2
+    # shares none).
+    got2 = tfidf_topk_pairs(tiny_docs, F.col("doc_id") == 1, k=3).collect()
+    assert {r.neighbor_id for r in got2} == {0, 3}
+
+
+def test_bm25_prefers_term_dense_short_docs(tiny_docs):
+    top = bm25_scores(tiny_docs, ["spark"], k=4).collect()
+    assert top[0].doc_id == 3  # tf=3 of 'spark', shortest dl
+    assert all(r.score > 0 for r in top)
+    # Only docs containing the term are scored.
+    assert {r.doc_id for r in top} == {0, 1, 3}
+
+
+def test_pagerank_conserves_bounded_mass(spark):
+    # Simple 3-cycle: stationary distribution is uniform.
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], ["node"])
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 0, 1)], ["src", "dst", "n"]
+    )
+    pr = {r.node: r.pr_q for r in
+          pagerank_quantized(nodes, edges, iters=8).collect()}
+    assert len(pr) == 3
+    # Uniform stationary state: every node keeps ~SCALE/3 (floor drift
+    # only), and total mass stays within rounding of SCALE.
+    for v in pr.values():
+        assert abs(v - PR_SCALE // 3) < 1e7
+    assert abs(sum(pr.values()) - PR_SCALE) < 1e7
+
+
+def test_pagerank_sink_heavy_node_wins(spark):
+    # Star: 0,1,2 all point at 3. Node 3 must outrank the sources.
+    nodes = spark.createDataFrame([(i,) for i in range(4)], ["node"])
+    edges = spark.createDataFrame(
+        [(0, 3, 1), (1, 3, 1), (2, 3, 1)], ["src", "dst", "n"]
+    )
+    pr = {r.node: r.pr_q for r in
+          pagerank_quantized(nodes, edges, iters=4).collect()}
+    assert pr[3] > pr[0] == pr[1] == pr[2]
+
+
+def test_temperature_mixture_rebalances(spark, sf_dir):
+    from formula_1_spark.queries.mixture import sample_temperature_mixture
+
+    out = sample_temperature_mixture(spark, sf_dir)
+    stats = {
+        r.lang: (r.n_lang, r.kept)
+        for r in out.groupBy("lang", "n_lang")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .collect()
+    }
+    # Rarest language keeps ~everything; dominant language is subsampled
+    # toward sqrt proportionality.
+    n_min = min(n for n, _ in stats.values())
+    for lang, (n, kept) in stats.items():
+        expected = n * math.sqrt(n_min / n)
+        assert kept <= n
+        assert abs(kept - expected) < 0.25 * n + 10, (lang, kept, expected)

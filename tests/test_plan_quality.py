@@ -27,6 +27,8 @@ BNLJ_OK = {
     "tpch_q11_important_stock",  # 1-row scalar-threshold broadcast
     "embedding_quantization",  # 1-row per-dim stats broadcast
     "heavy_hitters_topk",  # 1-row totals x 1-row flags scalar broadcast
+    "bm25_corpus_search",  # 1-row corpus total-length broadcast
+    "sample_temperature_mixture",  # 1-row min-count broadcast
 }
 
 
