@@ -513,3 +513,104 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 8,
+    learn_iters: int = 2,
+    dims: int = 64,
+    n_candidates: int = 20,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC), the memory-bound scale path (Jégou et al. 2011): the vector
+    space splits into ``m`` subspaces, each with its own ``n_codes``-cell
+    deterministic k-means codebook (:func:`kmeans_centroids` on the
+    slice); every corpus vector compresses to ``m`` small codes
+    (log2(n_codes) bits each — a 64-float vector becomes m bytes at
+    rest). A query never touches corpus vectors during candidate
+    generation: it precomputes ``m x n_codes`` subspace dot products
+    (the ADC lookup table, broadcast — tiny), and a candidate's
+    approximate score is the FIXED-ORDER sum of m table lookups, so the
+    approximation is bit-exact cross-engine. Top-``n_candidates`` per
+    query by ADC score then re-rank by exact cosine.
+
+    Scale design: corpus-side work per subspace is one broadcast-
+    centroid assignment (argmax over n_codes, no shuffle beyond the
+    window by vec_id) and the candidate scoring joins the CODES relation
+    (m ints per vector) against broadcast ADC tables — the full-width
+    embedding column is only read again for the final candidate re-rank.
+    """
+    sub = dims // m
+    qv = _vec_base(queries, "query_id", "q_vec")
+    cv = _vec_base(corpus, "neighbor_id", "c_vec")
+
+    def _assign(base: DataFrame, cents: DataFrame, out_col: str) -> DataFrame:
+        scored = base.join(F.broadcast(cents), F.lit(True)).withColumn(
+            "cell_cos", cosine(F.col("embedding"), F.col("cent"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell_id"))
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("vec_id", F.col("cell_id").alias(out_col))
+        )
+
+    codes: DataFrame | None = None
+    adcs: list[DataFrame] = []
+    for s in range(m):
+        sub_corpus = fan_out(corpus).select(
+            "vec_id", F.slice("embedding", s * sub + 1, sub).alias("embedding")
+        )
+        cents = kmeans_centroids(
+            sub_corpus, n_cells=n_codes, iters=learn_iters, dims=sub
+        ).persist()
+        code_s = _assign(sub_corpus, cents, f"code_{s}")
+        codes = code_s if codes is None else codes.join(code_s, "vec_id")
+        q_sub = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.slice("embedding", s * sub + 1, sub).alias("q_sub"),
+        )
+        from formula_1_spark.functions.vectors import dot
+
+        adcs.append(
+            q_sub.join(F.broadcast(cents), F.lit(True)).select(
+                "query_id",
+                F.col("cell_id").alias(f"code_{s}"),
+                dot(F.col("q_sub"), F.col("cent")).alias(f"d_{s}"),
+            )
+        )
+
+    scored = codes.join(
+        F.broadcast(adcs[0]), "code_0"
+    )
+    for s in range(1, m):
+        scored = scored.join(F.broadcast(adcs[s]), ["query_id", f"code_{s}"])
+    approx_col = F.col("d_0")
+    for s in range(1, m):
+        approx_col = approx_col + F.col(f"d_{s}")
+    scored = (
+        scored.filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            approx_col.alias("approx"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    cand = (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

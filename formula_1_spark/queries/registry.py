@@ -115,6 +115,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "nation_trade_pagerank",
     "sample_temperature_mixture",
     "runtime_bloom_pruned_join",
+    "similarity_ann_pq",
+    "map_functions_battery",
+    "csv_quarantine_source",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",
@@ -165,6 +168,8 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.lexical",
         "formula_1_spark.queries.graph_rank",
         "formula_1_spark.queries.mixture",
+        "formula_1_spark.queries.map_ops",
+        "formula_1_spark.queries.csv_source",
     ):
         try:
             __import__(mod)

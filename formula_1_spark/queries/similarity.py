@@ -317,3 +317,147 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with(F.col("orig"), F.col("rec"), lambda a, b: F.abs(a - b))
         ).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (ADC) ANN
+# ---------------------------------------------------------------------------
+
+_DOT = """
+list_reduce(list_transform(list_zip({a}, {b}),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
+"""
+
+_PQ_M = 4
+_PQ_SUB = 16
+_PQ_CODES = 8
+_PQ_ITERS = 2
+_PQ_CAND = 20
+
+
+def _kmeans_ctes_src(prefix: str, src: str, n_cells: int, iters: int, dims: int) -> str:
+    """:func:`_kmeans_ctes` generalized to a named source CTE and a name
+    prefix, so PQ can train one codebook per subspace in one statement."""
+    parts = [
+        f"""{prefix}c0 AS (
+  SELECT vec_id AS cell_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+  FROM {src} WHERE vec_id < {n_cells}
+)"""
+    ]
+    for t in range(1, iters + 1):
+        cos = _COS.format(a="e.embedding", b="c.cent")
+        parts.append(f"""{prefix}a{t} AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos} DESC, c.cell_id ASC) AS r
+    FROM {src} e, {prefix}c{t - 1} c) WHERE r = 1
+)""")
+        parts.append(f"""{prefix}m{t} AS (
+  SELECT cell_id, d.dim AS dim,
+         CAST(SUM(CAST(FLOOR(CAST(a.embedding[d.dim + 1] AS DOUBLE) * 1000000.0)
+                       AS BIGINT)) AS DOUBLE) / (1000000.0 * COUNT(*)) AS comp
+  FROM {prefix}a{t} a, (SELECT unnest(range(0, {dims})) AS dim) d
+  GROUP BY cell_id, d.dim
+)""")
+        parts.append(
+            f"{prefix}c{t} AS (SELECT cell_id, list(comp ORDER BY dim) AS cent "
+            f"FROM {prefix}m{t} GROUP BY cell_id)"
+        )
+    parts.append(f"{prefix}cent AS (SELECT cell_id, cent FROM {prefix}c{iters})")
+    return ",\n".join(parts)
+
+
+def _pq_oracle() -> str:
+    parts = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
+        parts.append(
+            f"sub{s} AS (SELECT vec_id, embedding[{lo}:{hi}] AS embedding "
+            f"FROM embeddings)"
+        )
+        parts.append(_kmeans_ctes_src(f"s{s}", f"sub{s}", _PQ_CODES, _PQ_ITERS, _PQ_SUB))
+        cos = _COS.format(a="e.embedding", b="c.cent")
+        parts.append(f"""s{s}code AS (
+  SELECT vec_id, cell_id AS code_{s} FROM (
+    SELECT e.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos} DESC, c.cell_id ASC) AS r
+    FROM sub{s} e, s{s}cent c) WHERE r = 1
+)""")
+        dotsql = _DOT.format(a="e.embedding", b="c.cent")
+        parts.append(f"""s{s}adc AS (
+  SELECT e.vec_id AS query_id, c.cell_id AS code_{s}, {dotsql} AS d_{s}
+  FROM sub{s} e, s{s}cent c WHERE e.vec_id < 10
+)""")
+    code_join = "s0code c0" + "".join(
+        f" JOIN s{s}code c{s} USING (vec_id)" for s in range(1, _PQ_M)
+    )
+    code_cols = ", ".join(f"c{s}.code_{s}" for s in range(_PQ_M))
+    parts.append(
+        f"codes AS (SELECT c0.vec_id, {code_cols} FROM {code_join})"
+    )
+    adc_joins = "JOIN s0adc a0 ON a0.code_0 = x.code_0" + "".join(
+        f"\n  JOIN s{s}adc a{s} ON a{s}.query_id = a0.query_id "
+        f"AND a{s}.code_{s} = x.code_{s}"
+        for s in range(1, _PQ_M)
+    )
+    approx_sum = " + ".join(f"a{s}.d_{s}" for s in range(_PQ_M))
+    parts.append(f"""approx AS (
+  SELECT a0.query_id, x.vec_id AS neighbor_id, {approx_sum} AS approx
+  FROM codes x
+  {adc_joins}
+  WHERE x.vec_id <> a0.query_id
+)""")
+    parts.append(f"""cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY approx DESC, neighbor_id ASC) AS cr
+    FROM approx) WHERE cr <= {_PQ_CAND}
+)""")
+    final_cos = _COS.format(a="q.embedding", b="x.embedding")
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {final_cos} AS cos
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings x ON x.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, CAST(r AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS r
+  FROM scored
+) WHERE r <= 10
+"""
+    )
+
+
+@register(
+    "similarity_ann_pq",
+    ops="EXT-sim-pq,J4,W1 (product quantization + ADC)",
+    doc=f"Product-quantization ANN top-10 (Jégou et al. 2011): "
+    f"{_PQ_M} subspaces x {_PQ_CODES}-cell codebooks learned by the same "
+    "deterministic spherical k-means as IVF, corpus compressed to "
+    f"{_PQ_M} codes/vector, queries score candidates via a broadcast "
+    "ADC lookup table (fixed-order subspace-dot sum — bit-exact), "
+    f"top-{_PQ_CAND} ADC candidates re-ranked by exact cosine. The "
+    "oracle replays codebook training, encoding, ADC, and re-rank "
+    "bit-for-bit.",
+    oracle=_pq_oracle(),
+)
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=10,
+        m=_PQ_M,
+        n_codes=_PQ_CODES,
+        learn_iters=_PQ_ITERS,
+        n_candidates=_PQ_CAND,
+    )

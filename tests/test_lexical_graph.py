@@ -126,3 +126,27 @@ def test_temperature_mixture_rebalances(spark, sf_dir):
         expected = n * math.sqrt(n_min / n)
         assert kept <= n
         assert abs(kept - expected) < 0.25 * n + 10, (lang, kept, expected)
+
+
+def test_pq_recall_vs_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from formula_1_spark.operators.similarity import brute_force_topk, pq_topk
+    from formula_1_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, q, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(emb, q, k=10).collect()
+    }
+    # ADC over 4x8 codebooks is coarse; require meaningful recall, not
+    # perfection (the oracle pins exactness of the computation itself).
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall
+    # Every query returns a full top-10.
+    assert len(approx) == len(exact) == 100

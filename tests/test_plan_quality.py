@@ -29,6 +29,7 @@ BNLJ_OK = {
     "heavy_hitters_topk",  # 1-row totals x 1-row flags scalar broadcast
     "bm25_corpus_search",  # 1-row corpus total-length broadcast
     "sample_temperature_mixture",  # 1-row min-count broadcast
+    "similarity_ann_pq",  # same tiny-codebook broadcast assigns as IVF
 }
 
 
