@@ -105,3 +105,62 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@register(
+    "customer_yoy_full_outer",
+    ops="J-full,A1,P6 (full-outer reconciliation)",
+    doc="FULL OUTER completes the join matrix (inner/left/semi/anti "
+    "covered elsewhere): per-customer 1997 vs 1998 spend aggregates "
+    "reconciled side-by-side; customers active in only one year surface "
+    "with a NULL side and a churn status derived from which side "
+    "matched. Both inputs pre-aggregate before the join (A1), so the "
+    "full-outer runs on one row per customer per side.",
+    oracle="""
+WITH y97 AS (
+  SELECT o_custkey, CAST(COUNT(1) AS BIGINT) AS n_97,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend_97
+  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey
+),
+y98 AS (
+  SELECT o_custkey, CAST(COUNT(1) AS BIGINT) AS n_98,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend_98
+  FROM orders WHERE year(o_orderdate) = 1998 GROUP BY o_custkey
+)
+SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+       a.n_97, a.spend_97, b.n_98, b.spend_98,
+       CASE WHEN a.o_custkey IS NULL THEN 'new'
+            WHEN b.o_custkey IS NULL THEN 'churned'
+            ELSE 'retained' END AS status
+FROM y97 a FULL OUTER JOIN y98 b ON a.o_custkey = b.o_custkey
+""",
+)
+def customer_yoy_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_agg(y: int, key_col: str, n_col: str, s_col: str) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == y)
+            .groupBy(F.col("o_custkey").alias(key_col))
+            .agg(
+                F.count(F.lit(1)).alias(n_col),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias(s_col),
+            )
+        )
+
+    a = year_agg(1997, "ck_97", "n_97", "spend_97")
+    b = year_agg(1998, "ck_98", "n_98", "spend_98")
+    joined = a.join(b, F.col("ck_97") == F.col("ck_98"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("ck_97"), F.col("ck_98")).alias("custkey"),
+        "n_97",
+        "spend_97",
+        "n_98",
+        "spend_98",
+        F.when(F.col("ck_97").isNull(), F.lit("new"))
+        .when(F.col("ck_98").isNull(), F.lit("churned"))
+        .otherwise(F.lit("retained"))
+        .alias("status"),
+    )

@@ -118,6 +118,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "similarity_ann_pq",
     "map_functions_battery",
     "csv_quarantine_source",
+    "customer_yoy_full_outer",
+    "aqe_skew_split_join",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",

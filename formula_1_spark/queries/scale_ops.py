@@ -197,6 +197,120 @@ def runtime_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# AQE skew-join split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "aqe_skew_split_join",
+    ops="J4,A5,EXT-aqe-skew (adaptive skew-partition splitting)",
+    doc="AQE skew-join handling proven through the gate: a synthetic "
+    "hot key (~96%% of lineitem collapses onto one join key) would pin "
+    "one reducer in a plain sort-merge join; with "
+    "spark.sql.adaptive.skewJoin enabled (thresholds lowered to fire at "
+    "test scale) AQE splits the oversized partition into parallel "
+    "sub-partitions at runtime. The function executes the join and "
+    "RAISES unless the finalized adaptive plan marks the join "
+    "'skew=true', so a green driver row proves the runtime split "
+    "happened — the complement of the static salting in "
+    "skew_salted_join. Values are checked by the oracle on the plain "
+    "join definition.",
+    oracle="""
+WITH keyed AS (
+  SELECT CASE WHEN l_orderkey % 25 < 24 THEN 0
+              ELSE 1 + CAST(l_orderkey % 4 AS BIGINT) END AS skew_key,
+         l_extendedprice
+  FROM lineitem
+),
+dim AS (
+  SELECT CAST(k AS BIGINT) AS skew_key, 'seg_' || CAST(k AS VARCHAR) AS segment
+  FROM (SELECT unnest(range(0, 5)) AS k)
+)
+SELECT d.segment, CAST(COUNT(1) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(k.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+FROM keyed k JOIN dim d ON d.skew_key = k.skew_key
+GROUP BY d.segment
+""",
+)
+def aqe_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F  # noqa: F811
+
+    # Size the detection/split thresholds from the fact row count (a
+    # parquet-footer count) so the hot partition splits into ~8 chunks at
+    # ANY test scale — fixed tiny thresholds over-split large shuffles
+    # into hundreds of micro-tasks (measured 10x wall at sf0.1). The
+    # production defaults (256MB/64MB) achieve the same on real
+    # partitions without tuning; the force flag stops the cost model
+    # vetoing the split because the downstream aggregation re-shuffles
+    # anyway.
+    n_rows = load_table(spark, sf_dir, "lineitem").count()
+    est_hot = max(2048, n_rows * 8)  # ~compressed bytes of the hot key
+    advisory = max(1024, est_hot // 8)
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(
+            advisory * 2
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(advisory),
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": str(
+            max(1024, advisory // 4)
+        ),
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from formula_1_spark.sources.tables import fan_out
+
+        # fan_out: the skew reader splits a hot reduce partition by MAP
+        # output ranges — a one-split scan gives it nothing to split on.
+        li = fan_out(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice"
+            )
+        )
+        keyed = li.select(
+            F.when(F.col("l_orderkey") % 25 < 24, F.lit(0).cast("bigint"))
+            .otherwise(F.lit(1) + (F.col("l_orderkey") % 4).cast("bigint"))
+            .alias("skew_key"),
+            "l_extendedprice",
+        )
+        dim = spark.range(0, 5).select(
+            F.col("id").alias("skew_key"),
+            F.concat(F.lit("seg_"), F.col("id").cast("string")).alias("segment"),
+        )
+        joined = keyed.join(dim.hint("merge"), "skew_key")
+        out = joined.groupBy("segment").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        # AQE finalizes the plan during execution — run THIS Dataset's own
+        # QueryExecution (a writer action would spawn a fresh one and the
+        # inspected plan would never finalize), then assert the split.
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "skew=true" not in plan:
+            raise RuntimeError(
+                "AQE did not mark the skewed join (no 'skew=true'):\n"
+                + plan[:2000]
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Blocked fuzzy entity resolution
 # ---------------------------------------------------------------------------
 

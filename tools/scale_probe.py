@@ -47,6 +47,17 @@ SLATE = [
     "data_quality_expectations", "lateral_top_orders",
     "part_hierarchy_rollup", "events_stream_static_enrich",
     "paged_api_source_ingest",
+    # round-3 additions: lexical retrieval, exact-integer PageRank,
+    # temperature mixture, runtime bloom join, PQ-ADC ANN, map HOFs,
+    # plus the scale-technique queries promoted to the gate this round
+    "tfidf_lexical_topk", "bm25_corpus_search",
+    "nation_trade_pagerank", "sample_temperature_mixture",
+    "runtime_bloom_pruned_join", "similarity_ann_pq",
+    "map_functions_battery",
+    "dedup_embedding_cosine_scaled", "entity_resolution_fuzzy",
+    "crossdoc_ngram_spans", "nation_trade_shortest_path",
+    "training_epoch_shuffle", "bucketed_colocated_join",
+    "aqe_skew_split_join", "customer_yoy_full_outer",
 ]
 
 
