@@ -23,6 +23,7 @@ from formula_1_spark.operators.dedup import (
     simhash_pairs,
     tokenized,
 )
+from formula_1_spark.operators.sampling import hash_uniform_sql
 from formula_1_spark.queries.registry import register
 from formula_1_spark.sources.tables import load_table
 
@@ -511,4 +512,107 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared = _shared_relations(spark, sf_dir)
     return minhash_lsh_cross_pairs(
         shared["sh"], base_pred=F.col("doc_id") % 2 == 0, threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/test split leakage audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_leakage_audit",
+    ops="EXT-leakage-audit,EXT-dedup-jaccard,J4,A5 (cross-split near-dup audit)",
+    doc="Train/test contamination audit — the eval-integrity step after "
+    "dedup: documents split 80/20 by the shared salted-md5 grid, then "
+    "every exact-Jaccard>=0.5 near-dup pair (the shared rare-shingle "
+    "inverted-index pipeline) is classified train-train / test-test / "
+    "LEAK (one side in each split). Reports pair and distinct-document "
+    "counts per category; a nonzero leak row is the signal that the "
+    "test split is contaminated by training near-duplicates. One pass "
+    "over the pair list; the split relation is a broadcast.",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+posting AS (SELECT doc_id, unnest(sh) AS shingle FROM shf),
+rare AS (
+  SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(1) <= 50
+),
+cand AS (
+  SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+  FROM posting p1
+  JOIN rare r ON p1.shingle = r.shingle
+  JOIN posting p2 ON p2.shingle = p1.shingle
+  WHERE p1.doc_id < p2.doc_id
+),
+verified AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.sh, sb.sh))
+           / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN shf sa ON sa.doc_id = c.a
+  JOIN shf sb ON sb.doc_id = c.b
+),
+pairsq AS MATERIALIZED (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+folds AS (
+  SELECT doc_id,
+         CASE WHEN {{u}} < 0.8 THEN 'train' ELSE 'test' END AS fold
+  FROM documents
+),
+cat AS MATERIALIZED (
+  SELECT p.a, p.b,
+         CASE WHEN fa.fold = 'train' AND fb.fold = 'train' THEN 'train-train'
+              WHEN fa.fold = 'test' AND fb.fold = 'test' THEN 'test-test'
+              ELSE 'leak-train-test' END AS category
+  FROM pairsq p
+  JOIN folds fa ON fa.doc_id = p.a
+  JOIN folds fb ON fb.doc_id = p.b
+),
+mem AS (SELECT category, unnest([a, b]) AS d FROM cat)
+SELECT m.category, CAST(x.n_pairs AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT m.d) AS BIGINT) AS n_docs
+FROM mem m
+JOIN (SELECT category, COUNT(1) AS n_pairs FROM cat GROUP BY category) x
+  USING (category)
+GROUP BY m.category, x.n_pairs
+""".format(u=hash_uniform_sql("doc_id", "split")),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.sampling import hash_uniform
+
+    pairs = _shared_relations(spark, sf_dir)["jaccard_pairs"].select(
+        F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b")
+    )
+    folds = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(hash_uniform(F.col("doc_id"), "split") < 0.8, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("fold"),
+    )
+    fa = folds.select(F.col("doc_id").alias("a"), F.col("fold").alias("fold_a"))
+    fb = folds.select(F.col("doc_id").alias("b"), F.col("fold").alias("fold_b"))
+    cat = (
+        pairs.join(F.broadcast(fa), "a")
+        .join(F.broadcast(fb), "b")
+        .select(
+            "a",
+            "b",
+            F.when(
+                (F.col("fold_a") == "train") & (F.col("fold_b") == "train"),
+                F.lit("train-train"),
+            )
+            .when(
+                (F.col("fold_a") == "test") & (F.col("fold_b") == "test"),
+                F.lit("test-test"),
+            )
+            .otherwise(F.lit("leak-train-test"))
+            .alias("category"),
+        )
+    )
+    n_pairs = cat.groupBy("category").agg(F.count(F.lit(1)).alias("n_pairs"))
+    mem = cat.select(
+        "category", F.explode(F.array(F.col("a"), F.col("b"))).alias("d")
+    )
+    n_docs = mem.groupBy("category").agg(F.countDistinct("d").alias("n_docs"))
+    return n_pairs.join(n_docs, "category").select(
+        "category", "n_pairs", "n_docs"
     )

@@ -24,7 +24,7 @@ _ITERS = 8
 _DAMP = 85
 
 _TRADE_CTE = """
-trade AS (
+trade AS MATERIALIZED (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
          CAST(COUNT(1) AS BIGINT) AS n
   FROM lineitem l
@@ -34,7 +34,7 @@ trade AS (
   WHERE c.c_nationkey <> s.s_nationkey
   GROUP BY 1, 2
 ),
-outw AS (SELECT src, CAST(SUM(n) AS BIGINT) AS ow FROM trade GROUP BY src),
+outw AS MATERIALIZED (SELECT src, CAST(SUM(n) AS BIGINT) AS ow FROM trade GROUP BY src),
 nn AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_nodes FROM nation)
 """
 
@@ -45,19 +45,19 @@ def _pagerank_ctes(iters: int) -> str:
         f"(((100 - {_DAMP}) * ({PR_SCALE} // (SELECT n_nodes FROM nn))) // 100)"
     )
     parts = [
-        f"pr0 AS (SELECT n_nationkey AS node, "
+        f"pr0 AS MATERIALIZED (SELECT n_nationkey AS node, "
         f"{PR_SCALE} // (SELECT n_nodes FROM nn) AS pr_q FROM nation)"
     ]
     for i in range(iters):
         parts.append(
-            f"c{i} AS (\n"
+            f"c{i} AS MATERIALIZED (\n"
             f"  SELECT e.dst AS node, CAST(SUM((p.pr_q * e.n) // o.ow) AS BIGINT) AS m\n"
             f"  FROM trade e JOIN outw o ON o.src = e.src\n"
             f"  JOIN pr{i} p ON p.node = e.src\n"
             f"  GROUP BY e.dst\n)"
         )
         parts.append(
-            f"pr{i + 1} AS (\n"
+            f"pr{i + 1} AS MATERIALIZED (\n"
             f"  SELECT p.node,\n"
             f"         {tele} + ({_DAMP} * COALESCE(c.m, 0)) // 100 AS pr_q\n"
             f"  FROM pr{i} p LEFT JOIN c{i} c ON c.node = p.node\n)"

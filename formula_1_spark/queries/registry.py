@@ -120,6 +120,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "csv_quarantine_source",
     "customer_yoy_full_outer",
     "aqe_skew_split_join",
+    "split_leakage_audit",
+    "winsorized_order_stats",
+    "events_rolling_7d",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",
@@ -172,6 +175,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.mixture",
         "formula_1_spark.queries.map_ops",
         "formula_1_spark.queries.csv_source",
+        "formula_1_spark.queries.robust_stats",
     ):
         try:
             __import__(mod)

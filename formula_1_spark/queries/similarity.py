@@ -365,7 +365,7 @@ def _kmeans_ctes_src(prefix: str, src: str, n_cells: int, iters: int, dims: int)
             f"{prefix}c{t} AS (SELECT cell_id, list(comp ORDER BY dim) AS cent "
             f"FROM {prefix}m{t} GROUP BY cell_id)"
         )
-    parts.append(f"{prefix}cent AS (SELECT cell_id, cent FROM {prefix}c{iters})")
+    parts.append(f"{prefix}cent AS MATERIALIZED (SELECT cell_id, cent FROM {prefix}c{iters})")
     return ",\n".join(parts)
 
 
@@ -374,7 +374,7 @@ def _pq_oracle() -> str:
     for s in range(_PQ_M):
         lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
         parts.append(
-            f"sub{s} AS (SELECT vec_id, embedding[{lo}:{hi}] AS embedding "
+            f"sub{s} AS MATERIALIZED (SELECT vec_id, embedding[{lo}:{hi}] AS embedding "
             f"FROM embeddings)"
         )
         parts.append(_kmeans_ctes_src(f"s{s}", f"sub{s}", _PQ_CODES, _PQ_ITERS, _PQ_SUB))

@@ -58,6 +58,7 @@ SLATE = [
     "crossdoc_ngram_spans", "nation_trade_shortest_path",
     "training_epoch_shuffle", "bucketed_colocated_join",
     "aqe_skew_split_join", "customer_yoy_full_outer",
+    "split_leakage_audit", "winsorized_order_stats", "events_rolling_7d",
 ]
 
 
