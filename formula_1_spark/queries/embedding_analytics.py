@@ -1,0 +1,187 @@
+"""Embedding-space analytics: label centroids and hard-negative mining.
+
+* ``label_centroid_cohesion`` — per-label mean embedding on the same
+  floor-quantized exact-integer grid as the k-means operator (a float
+  mean is accumulation-order-dependent; the quantized mean is
+  bit-identical cross-engine), plus per-label cohesion = mean cosine of
+  members to their centroid, computed on the 1e-6 grid so the average
+  itself is exact. The "are my classes tight" audit before training a
+  classifier on frozen embeddings.
+
+* ``hard_negative_mining`` — for each query vector, the top-5 most
+  similar CORPUS vectors with a DIFFERENT label: contrastive-training
+  hard negatives (high-similarity, wrong-class). Exact cosine ranking
+  over the label anti-filter; the broadcast-queries corpus scan never
+  shuffles full vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from formula_1_spark.functions.vectors import cosine
+from formula_1_spark.queries.registry import register
+from formula_1_spark.sources.tables import fan_out, load_table
+
+_Q = 1_000_000.0  # component / cosine quantization grid (1e-6)
+
+
+@register(
+    "label_centroid_cohesion",
+    ops="EXT-embedding-analytics,A1,J1 (exact-grid class centroids)",
+    doc="Per-label embedding centroid (floor-quantized exact-integer "
+    "mean per dimension — the kmeans_centroids determinism contract) "
+    "and class cohesion: mean cosine of members to their own centroid, "
+    "averaged on the same 1e-6 grid so the mean of floats is an exact "
+    "rational. Emits per label: member count, centroid norm, cohesion. "
+    "One posexplode aggregate for centroids (map-side combined), one "
+    "broadcast join back for cohesion.",
+    oracle=f"""
+WITH ex AS (
+  SELECT label, vec_id, d.dim AS dim,
+         CAST(embedding[d.dim + 1] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(range(0, 64)) AS dim) d
+),
+comp AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(FLOOR(v * {_Q}) AS BIGINT)) AS DOUBLE)
+           / ({_Q} * COUNT(*)) AS c
+  FROM ex GROUP BY label, dim
+),
+cents AS (
+  SELECT label, list(c ORDER BY dim) AS cent FROM comp GROUP BY label
+),
+scored AS (
+  SELECT e.label, e.vec_id,
+         FLOOR(({{cos}}) * {_Q}) AS cos_q
+  FROM embeddings e JOIN cents c ON c.label = e.label
+)
+SELECT s.label,
+       CAST(COUNT(1) AS BIGINT) AS n_members,
+       sqrt(list_reduce(list_transform(c.cent, x -> x * x),
+            (a, b) -> a + b)) AS centroid_norm,
+       CAST(SUM(s.cos_q) AS DOUBLE) / ({_Q} * COUNT(1)) AS cohesion
+FROM scored s JOIN cents c ON c.label = s.label
+GROUP BY s.label, c.cent
+""".format(cos="""
+list_reduce(list_transform(list_zip(e.embedding, c.cent),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
+/ (sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        (acc, v) -> acc + v))
+ * sqrt(list_reduce(list_transform(c.cent, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        (acc, v) -> acc + v)))
+"""),
+)
+def label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    long = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select("label", "vec_id", "dim", F.col("v").cast("double").alias("v"))
+    comp = (
+        long.select(
+            "label", "dim", F.floor(F.col("v") * F.lit(_Q)).alias("q")
+        )
+        .groupBy("label", "dim")
+        .agg(
+            (F.sum("q").cast("double") / (F.lit(_Q) * F.count(F.lit(1)))).alias("c")
+        )
+    )
+    cents = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("cent")
+    )
+    scored = emb.join(F.broadcast(cents), "label").select(
+        "label",
+        "vec_id",
+        "cent",
+        F.floor(cosine(F.col("embedding"), F.col("cent")) * F.lit(_Q)).alias(
+            "cos_q"
+        ),
+    )
+    norm_sq = F.aggregate(
+        F.transform(F.col("cent"), lambda x: x * x),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return (
+        scored.groupBy("label", "cent")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (
+                F.sum("cos_q").cast("double") / (F.lit(_Q) * F.count(F.lit(1)))
+            ).alias("cohesion"),
+        )
+        .select(
+            "label",
+            "n_members",
+            F.sqrt(norm_sq).alias("centroid_norm"),
+            "cohesion",
+        )
+    )
+
+
+@register(
+    "hard_negative_mining",
+    ops="EXT-hard-negatives,W1,J1 (contrastive negative selection)",
+    doc="Contrastive hard negatives: for each query vector (vec_id < "
+    "10), the top-5 most-cosine-similar corpus vectors whose LABEL "
+    "differs — exactly the high-similarity wrong-class examples a "
+    "contrastive trainer wants. Exact cosine over the anti-label "
+    "filter; queries broadcast, corpus scan unshuffled, per-query "
+    "window rank.",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS q_label, embedding AS q_vec
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, q.q_label, e.vec_id AS neg_id, e.label AS neg_label,
+         list_reduce(list_transform(list_zip(q.q_vec, e.embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+                     (acc, v) -> acc + v)
+         / (sqrt(list_reduce(list_transform(q.q_vec,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))
+          * sqrt(list_reduce(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)))
+           AS cos
+  FROM embeddings e, q
+  WHERE e.label <> q.q_label
+)
+SELECT query_id, q_label, neg_id, neg_label, cos, CAST(rk AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neg_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    c = fan_out(emb).select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("c_vec"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neg_label") != F.col("q_label")
+    ).withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "q_label",
+            "neg_id",
+            "neg_label",
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

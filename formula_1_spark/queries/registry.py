@@ -123,6 +123,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "split_leakage_audit",
     "winsorized_order_stats",
     "events_rolling_7d",
+    "label_centroid_cohesion",
+    "hard_negative_mining",
+    "events_sessionize_labels",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",
@@ -176,6 +179,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.map_ops",
         "formula_1_spark.queries.csv_source",
         "formula_1_spark.queries.robust_stats",
+        "formula_1_spark.queries.embedding_analytics",
     ):
         try:
             __import__(mod)

@@ -136,3 +136,85 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("sum_7d_cents"),
     )
+
+
+_GAP_US = 1800 * 1_000_000  # 30-minute inactivity gap (micros epoch)
+
+
+@register(
+    "events_sessionize_labels",
+    ops="EXT-sessionize,W1 (gap cumsum session labeling)",
+    doc="Row-level batch sessionization: per user, events ordered by "
+    "time get a session NUMBER via the lag-gap cumulative sum (new "
+    "session when >30 min idle) — the event-level complement of "
+    "F.session_window's aggregated windows. Emits each event's session "
+    "number, its 1-based position in the session, and the session's "
+    "event count. All integer window arithmetic on the micros epoch — "
+    "exact cross-engine; ties ordered by (ts, event_id) total order.",
+    oracle=f"""
+WITH ordered AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS sec,
+         LAG(epoch_us(ts)) OVER w AS prev_sec
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_sec IS NULL
+                   OR sec - prev_sec > {_GAP_US} THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sess AS (
+  SELECT event_id, user_id, ts,
+         CAST(SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY sec, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_no,
+         sec
+  FROM flagged
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       session_no,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY user_id, session_no ORDER BY sec, event_id) AS BIGINT)
+         AS pos_in_session,
+       CAST(COUNT(1) OVER (PARTITION BY user_id, session_no) AS BIGINT)
+         AS session_events
+FROM sess
+""",
+)
+def events_sessionize_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    sec = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(sec, F.col("event_id"))
+    flagged = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        sec.alias("sec"),
+        F.when(
+            F.lag(sec).over(w).isNull()
+            | ((sec - F.lag(sec).over(w)) > _GAP_US),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn(
+        "session_no", F.sum("is_new").over(wr).cast("bigint")
+    )
+    wpos = Window.partitionBy("user_id", "session_no").orderBy("sec", "event_id")
+    wcnt = Window.partitionBy("user_id", "session_no")
+    return sess.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "session_no",
+        F.row_number().over(wpos).cast("bigint").alias("pos_in_session"),
+        F.count(F.lit(1)).over(wcnt).alias("session_events"),
+    )
