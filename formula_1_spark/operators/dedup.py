@@ -396,3 +396,77 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle-set containment (asymmetric near-dup: quotes / partial copies)
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs_from_shingles(
+    sh: DataFrame, threshold: float = 0.8, max_df: int = 50
+) -> DataFrame:
+    """Asymmetric containment pairs: ``C = |A∩B| / min(|A|, |B|)``.
+
+    Jaccard under-scores a short document embedded verbatim inside a long
+    one (the union is dominated by the long side); containment of the
+    smaller set is the standard detector for quotes and partial copies.
+
+    Candidates come from the same rare-shingle inverted index as the
+    Jaccard path; verification uses the POSTING-LIST COUNT formulation
+    rather than broadcast array intersection: postings semi-joined to
+    candidate docs, self-joined on shingle, grouped per pair. That is the
+    scale path named in :func:`_verify_jaccard`'s docstring — no per-doc
+    array ever broadcasts, every shuffle carries only (id, shingle) ints,
+    so it survives corpora whose shingle relation outgrows broadcast.
+    """
+    sized = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    rare = (
+        posting.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"), F.collect_set("doc_id").alias("docs"))
+        .filter(F.col("df") <= max_df)
+    )
+    cand = (
+        rare.select(F.explode("docs").alias("a"), F.col("docs"))
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    cand_ids = (
+        cand.select(F.col("a").alias("doc_id"))
+        .union(cand.select("b"))
+        .distinct()
+    )
+    # Postings pruned to candidate docs before the shingle self-join: the
+    # pair explosion is bounded by candidate-set df, not corpus df.
+    p = posting.join(cand_ids, "doc_id")
+    pa = p.select(F.col("doc_id").alias("a"), "shingle")
+    pb = p.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        pa.join(pb, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .join(cand, ["a", "b"], "left_semi")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sized.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    nb = sized.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .withColumn("containment", F.col("common") / F.least("na", "nb"))
+        .filter(F.col("containment") >= threshold)
+        .withColumn(
+            "jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+        )
+        .select(
+            F.col("a").alias("doc_id_1"),
+            F.col("b").alias("doc_id_2"),
+            "common",
+            "na",
+            "nb",
+            "containment",
+            "jaccard",
+        )
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from formula_1_spark.operators.dedup import (
     MINHASH_P,
+    containment_pairs_from_shingles,
     exact_dedup,
     jaccard_pairs_from_shingles,
     minhash_coeffs,
@@ -616,3 +617,46 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_pairs.join(n_docs, "category").select(
         "category", "n_pairs", "n_docs"
     )
+
+
+@register(
+    "dedup_containment",
+    ops="EXT-dedup-containment,J4,A1 (asymmetric quote/partial-copy pairs)",
+    doc="Shingle-set containment pairs C = |A∩B|/min(|A|,|B|) >= 0.8 — "
+    "the asymmetric detector for a short doc embedded in a long one, "
+    "which symmetric Jaccard under-scores. Candidates from the shared "
+    "rare-shingle inverted index; verification via the posting-list "
+    "COUNT formulation (postings pruned to candidate docs, self-joined "
+    "on shingle, grouped per pair) — the no-broadcast scale path: every "
+    "shuffle carries only (id, shingle) ints.",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+posting AS (SELECT doc_id, unnest(sh) AS shingle FROM shf),
+rare AS (
+  SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(1) <= 50
+),
+cand AS (
+  SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+  FROM posting p1
+  JOIN rare r ON p1.shingle = r.shingle
+  JOIN posting p2 ON p2.shingle = p1.shingle
+  WHERE p1.doc_id < p2.doc_id
+),
+verified AS (
+  SELECT c.a, c.b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS common,
+         CAST(sa.n_sh AS INT) AS na, CAST(sb.n_sh AS INT) AS nb
+  FROM cand c
+  JOIN shf sa ON sa.doc_id = c.a
+  JOIN shf sb ON sb.doc_id = c.b
+)
+SELECT a AS doc_id_1, b AS doc_id_2, common, na, nb,
+       common / least(na, nb) AS containment,
+       common / (na + nb - common) AS jaccard
+FROM verified
+WHERE common / least(na, nb) >= 0.8
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shared_relations(spark, sf_dir)["sh"]
+    return containment_pairs_from_shingles(sh, threshold=0.8, max_df=50)

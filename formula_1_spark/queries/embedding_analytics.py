@@ -185,3 +185,74 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+@register(
+    "knn_label_noise",
+    ops="EXT-knn-label-audit,W1,J1 (mislabeled-example detection)",
+    doc="Label-noise audit: for each probe vector (vec_id < 100), the "
+    "fraction of its k=10 exact-cosine nearest neighbors (self excluded) "
+    "carrying a DIFFERENT label — the standard kNN screen for mislabeled "
+    "training examples. Probes broadcast against the unshuffled corpus "
+    "scan (same plan family as hard_negative_mining); per-probe window "
+    "rank over the scored relation only.",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS q_label, embedding AS q_vec
+  FROM embeddings WHERE vec_id < 100
+),
+scored AS (
+  SELECT q.query_id, q.q_label, e.vec_id AS nb_id, e.label AS nb_label,
+         list_reduce(list_transform(list_zip(q.q_vec, e.embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+                     (acc, v) -> acc + v)
+         / (sqrt(list_reduce(list_transform(q.q_vec,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))
+          * sqrt(list_reduce(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)))
+           AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+),
+knn AS (
+  SELECT query_id, q_label, nb_label
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, nb_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= 10
+)
+SELECT query_id, q_label,
+       CAST(COUNT(1) FILTER (WHERE nb_label <> q_label) AS BIGINT) AS n_diff,
+       COUNT(1) FILTER (WHERE nb_label <> q_label) / 10.0 AS frac_diff,
+       CAST(COUNT(1) FILTER (WHERE nb_label <> q_label) >= 8 AS BOOLEAN)
+         AS flagged_noisy
+FROM knn
+GROUP BY query_id, q_label
+""",
+)
+def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    c = fan_out(emb).select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("label").alias("nb_label"),
+        F.col("embedding").alias("c_vec"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("nb_id") != F.col("query_id")
+    ).withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nb_id"))
+    knn = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 10
+    )
+    n_diff = F.count_if(F.col("nb_label") != F.col("q_label"))
+    return knn.groupBy("query_id", "q_label").agg(
+        n_diff.alias("n_diff"),
+        (n_diff / F.lit(10.0)).alias("frac_diff"),
+        (n_diff >= 8).alias("flagged_noisy"),
+    )

@@ -126,6 +126,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "label_centroid_cohesion",
     "hard_negative_mining",
     "events_sessionize_labels",
+    "dsir_importance_select",
+    "key_skew_profile",
+    "dedup_containment",
+    "knn_label_noise",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",
@@ -180,6 +184,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.csv_source",
         "formula_1_spark.queries.robust_stats",
         "formula_1_spark.queries.embedding_analytics",
+        "formula_1_spark.queries.importance",
     ):
         try:
             __import__(mod)
