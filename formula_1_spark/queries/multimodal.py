@@ -118,3 +118,63 @@ def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return resize_plan(media, target=224)
+
+
+@register(
+    "media_perceptual_buckets",
+    ops="EXT-multimodal-dedup,UDF-pandas,A1 (perceptual-hash bucketing)",
+    doc="Perceptual-bucket media dedup: the mapInPandas feature kernel "
+    "(the stubbed stand-in for a real image/audio encoder) feeds a "
+    "1-bit-per-dimension quantizer — concat of sign bits = an 8-bit "
+    "perceptual hash — and items are grouped by (media_type, phash). "
+    "Same-bucket items are near-dup CANDIDATES exactly as in SimHash "
+    "chunk bucketing; with a real encoder the buckets would be "
+    "perceptually similar frames/clips. One groupBy shuffle on the "
+    "(type, hash) key; member lists emitted as sorted strings so the "
+    "result stays scalar-typed for the driver hasher.",
+    oracle=f"""
+WITH {_MEDIA_CTE},
+feat AS (
+  SELECT media_id, media_type,
+         array_to_string(list_transform(range(0, {FEATURE_DIM}), i ->
+           CAST(FLOOR((('0x' || substr(md5(payload_text || ':' || i), 1, 15))::BIGINT
+                / CAST(1152921504606846976 AS DOUBLE)) * 2) AS INT)), '') AS phash
+  FROM media
+)
+SELECT media_type, phash,
+       CAST(COUNT(1) AS BIGINT) AS n_items,
+       MIN(media_id) AS canonical_id,
+       array_to_string(list_sort(list(media_id)), ',') AS member_ids
+FROM feat
+GROUP BY media_type, phash
+HAVING COUNT(1) > 1
+""",
+)
+def media_perceptual_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media, fake=True)
+    ph = feats.select(
+        "media_id",
+        "media_type",
+        F.concat_ws(
+            "",
+            F.transform(
+                "features", lambda x: F.floor(x * 2).cast("int").cast("string")
+            ),
+        ).alias("phash"),
+    )
+    return (
+        ph.groupBy("media_type", "phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("media_id").alias("canonical_id"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("media_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("member_ids"),
+        )
+        .filter(F.col("n_items") > 1)
+    )

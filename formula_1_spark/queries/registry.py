@@ -130,6 +130,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "key_skew_profile",
     "dedup_containment",
     "knn_label_noise",
+    "media_perceptual_buckets",
+    "nation_trade_triangles",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",
