@@ -132,6 +132,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_label_noise",
     "media_perceptual_buckets",
     "nation_trade_triangles",
+    "orc_roundtrip_summary",
+    "jsonl_roundtrip_events",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",
@@ -187,6 +189,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.robust_stats",
         "formula_1_spark.queries.embedding_analytics",
         "formula_1_spark.queries.importance",
+        "formula_1_spark.queries.format_roundtrip",
     ):
         try:
             __import__(mod)
