@@ -256,3 +256,53 @@ def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_diff / F.lit(10.0)).alias("frac_diff"),
         (n_diff >= 8).alias("flagged_noisy"),
     )
+
+
+@register(
+    "embedding_dim_stats",
+    ops="EXT-embedding-diagnostics,A1 (per-dimension distribution audit)",
+    doc="Per-dimension embedding distribution audit — the collapse / "
+    "dead-dimension screen run before trusting cosine similarity: for "
+    "each of the 64 dims, count, quantized mean, min, max, and "
+    "variance, all from the 1e-6 integer grid: sum and sum-of-squares "
+    "of quantized ints are exact bigints, and the final double "
+    "arithmetic uses an identical operation order in both engines, so "
+    "the moments are bit-identical cross-engine. One posexplode + one "
+    "map-side-combined groupBy; output is 64 rows.",
+    oracle=f"""
+WITH ex AS (
+  SELECT d.dim AS dim,
+         CAST(FLOOR(CAST(embedding[d.dim + 1] AS DOUBLE) * {_Q}) AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(range(0, 64)) AS dim) d
+)
+SELECT dim,
+       CAST(COUNT(1) AS BIGINT) AS n,
+       CAST(SUM(q) AS DOUBLE) / ({_Q} * COUNT(1)) AS mean,
+       CAST(MIN(q) AS DOUBLE) / {_Q} AS min_v,
+       CAST(MAX(q) AS DOUBLE) / {_Q} AS max_v,
+       (CAST(SUM(q * q) AS DOUBLE)
+        - CAST(SUM(q) AS DOUBLE) * SUM(q) / COUNT(1))
+         / ({_Q} * {_Q} * COUNT(1)) AS variance
+FROM ex
+GROUP BY dim
+""",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    ex = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim",
+        F.floor(F.col("v").cast("double") * F.lit(_Q)).alias("q"),
+    )
+    n = F.count(F.lit(1))
+    sq = F.sum("q")
+    sqq = F.sum(F.col("q") * F.col("q"))
+    return ex.groupBy("dim").agg(
+        n.alias("n"),
+        (sq.cast("double") / (F.lit(_Q) * n)).alias("mean"),
+        (F.min("q").cast("double") / F.lit(_Q)).alias("min_v"),
+        (F.max("q").cast("double") / F.lit(_Q)).alias("max_v"),
+        (
+            (sqq.cast("double") - sq.cast("double") * sq / n)
+            / (F.lit(_Q) * F.lit(_Q) * n)
+        ).alias("variance"),
+    )

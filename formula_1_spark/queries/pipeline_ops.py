@@ -267,3 +267,70 @@ def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distributed_global_enumerate(
         docs, [F.col("shuffle_key")], alias="epoch_pos"
     )
+
+
+@register(
+    "grouped_kfold_split",
+    ops="EXT-groupkfold,A1,W2 (leakage-safe group-aware fold assignment)",
+    doc="Group-aware k-fold assignment over events: every USER (the "
+    "group) lands wholly in one of 5 folds via the salted-md5 hash — no "
+    "user's events can straddle train and eval, the group-level leakage "
+    "guarantee GroupKFold gives. Emits the fold-balance audit: users, "
+    "events, event share in ppm, plus the relative imbalance of the "
+    "heaviest fold. Content-stable hash -> identical folds on any "
+    "engine, run, or partitioning.",
+    oracle="""
+WITH ev AS (
+  SELECT user_id,
+         ('0x' || substr(md5('gkf5' || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % 5 AS fold
+  FROM events
+),
+per_fold AS (
+  SELECT fold,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(COUNT(1) AS BIGINT) AS n_events
+  FROM ev GROUP BY fold
+),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total,
+               CAST(MAX(n_events) AS BIGINT) AS mx FROM per_fold)
+SELECT p.fold, p.n_users, p.n_events,
+       (p.n_events * 1000000) // t.total AS share_ppm,
+       (t.mx * 5 * 1000000) // t.total AS max_fold_amplification_ppm
+FROM per_fold p, tot t
+""",
+)
+def grouped_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    # The fold is a PURE function of the group key, so it is computed
+    # per-row in codegen — no distinct-users relation, no join, nothing
+    # to broadcast. This is what makes the split free at 100 TB.
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("gkf5"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 5
+    ).alias("fold")
+    ev = events.select("user_id", fold)
+    per_fold = ev.groupBy("fold").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    tot = per_fold.agg(
+        F.sum("n_events").alias("total"), F.max("n_events").alias("mx")
+    )
+    return per_fold.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        "n_users",
+        "n_events",
+        F.expr("(n_events * 1000000) div total").alias("share_ppm"),
+        F.expr("(mx * 5 * 1000000) div total").alias(
+            "max_fold_amplification_ppm"
+        ),
+    )

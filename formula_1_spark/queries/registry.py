@@ -134,6 +134,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "nation_trade_triangles",
     "orc_roundtrip_summary",
     "jsonl_roundtrip_events",
+    "grouped_kfold_split",
+    "embedding_dim_stats",
+    "token_length_deciles",
+    "bpe_pair_merge_stats",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",

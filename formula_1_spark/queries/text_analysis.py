@@ -256,3 +256,108 @@ def filter_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("quality").alias("max_quality"),
         )
     )
+
+
+@register(
+    "token_length_deciles",
+    ops="EXT-length-profile,W1,A1 (sequence-length decile audit)",
+    doc="Sequence-length decile profile — the audit behind packing/"
+    "truncation decisions: documents ranked by token count into ntile"
+    "(10) deciles (total order (n_toks, doc_id), so tile boundaries are "
+    "engine-independent), then per decile: doc count, min/max token "
+    "count, exact mean on the integer grid, and total tokens. The "
+    "window runs over (doc_id, n_toks) pairs — never over token rows.",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_toks
+  FROM documents
+),
+tiled AS (
+  SELECT doc_id, n_toks,
+         CAST(NTILE(10) OVER (ORDER BY n_toks ASC, doc_id ASC) AS INT)
+           AS decile
+  FROM t
+)
+SELECT decile,
+       CAST(COUNT(1) AS BIGINT) AS n_docs,
+       MIN(n_toks) AS min_toks,
+       MAX(n_toks) AS max_toks,
+       CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+       CAST(SUM(n_toks) AS DOUBLE) / COUNT(1) AS mean_toks
+FROM tiled
+GROUP BY decile
+""",
+)
+def token_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", token_count("text").cast("int").alias("n_toks")
+    )
+    from pyspark.sql import Window
+
+    tiled = t.select(
+        "doc_id",
+        "n_toks",
+        F.ntile(10)
+        .over(Window.orderBy(F.asc("n_toks"), F.asc("doc_id")))
+        .alias("decile"),
+    )
+    n = F.count(F.lit(1))
+    return tiled.groupBy("decile").agg(
+        n.alias("n_docs"),
+        F.min("n_toks").alias("min_toks"),
+        F.max("n_toks").alias("max_toks"),
+        F.sum("n_toks").alias("total_toks"),
+        (F.sum("n_toks").cast("double") / n).alias("mean_toks"),
+    )
+
+
+@register(
+    "bpe_pair_merge_stats",
+    ops="EXT-bpe-induction,A1,O3 (tokenizer merge-candidate ranking)",
+    doc="The first step of BPE tokenizer induction, distributed: within "
+    "every whitespace token, count all adjacent CHARACTER pairs "
+    "(weighted by corpus frequency) and rank the top-20 merge "
+    "candidates — exactly what a byte-pair trainer computes before its "
+    "first merge. Pure expression explode (transform(sequence) over "
+    "substr), one map-side-combined groupBy on the pair; no UDFs.",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> substr(t, i, 2))) AS pair
+  FROM toks
+  WHERE len(t) >= 2
+)
+SELECT pair, CAST(COUNT(1) AS BIGINT) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 20
+""",
+)
+def bpe_pair_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.functions.text import tokens
+    from formula_1_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(tokens("text")).alias("t")).filter(
+        F.length("t") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 1),
+                lambda i: F.substring(F.col("t"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
