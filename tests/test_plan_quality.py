@@ -13,7 +13,11 @@ REGISTRY = load_all()
 
 # Queries allowed to run Python kernels (Arrow-batched mapInPandas /
 # cogrouped applyInPandas only).
-PANDAS_OK = {"media_feature_extract", "cogroup_order_reconciliation"}
+PANDAS_OK = {
+    "media_feature_extract",
+    "cogroup_order_reconciliation",
+    "media_perceptual_buckets",  # same declared feature kernel as extract
+}
 # Broadcast nested-loop is the intended strategy for the brute-force
 # similarity baseline, the IVF centroid assignment (tiny broadcast
 # side against the corpus), and the 1-row scalar-subquery broadcast in
@@ -30,6 +34,11 @@ BNLJ_OK = {
     "bm25_corpus_search",  # 1-row corpus total-length broadcast
     "sample_temperature_mixture",  # 1-row min-count broadcast
     "similarity_ann_pq",  # same tiny-codebook broadcast assigns as IVF
+    "hard_negative_mining",  # probe-broadcast anti-label corpus scan
+    "knn_label_noise",  # probe-broadcast non-equi (self-excluding) scan
+    "dsir_importance_select",  # 1-row token-totals broadcast
+    "key_skew_profile",  # 1-row global-stats broadcast
+    "grouped_kfold_split",  # 1-row fold-totals broadcast
 }
 
 
