@@ -43,7 +43,8 @@ _TOP_K = 50
     doc="DSIR-shaped target-vs-raw document selection: md5-hashed token "
     "buckets (1024), per-bucket integer rate contrast in ppm "
     "(deterministic stand-in for the published log-ratio), per-doc score "
-    "= sum of its tokens' bucket scores, top-50 by (score, doc_id). One "
+    "= sum of its tokens' bucket scores, ranked by per-token mean "
+    "contrast (length-normalized), top-50. One "
     "explode pass feeds both bucket histograms (conditional agg); the "
     "1024-row score table broadcasts back onto the exploded tokens — no "
     "full-corpus shuffle beyond the per-doc sum.",
@@ -79,13 +80,14 @@ doc_score AS (
   SELECT b.doc_id,
          any_value(b.lang) AS lang,
          CAST(COUNT(1) AS BIGINT) AS n_toks,
-         CAST(SUM(s.s) AS BIGINT) AS score_ppm
+         CAST(SUM(s.s) AS BIGINT) AS score_ppm,
+         CAST(SUM(s.s) // COUNT(1) AS BIGINT) AS mean_contrast_ppm
   FROM bt b JOIN score s ON s.bucket = b.bucket
   GROUP BY b.doc_id
 )
-SELECT doc_id, lang, n_toks, score_ppm
+SELECT doc_id, lang, n_toks, score_ppm, mean_contrast_ppm
 FROM doc_score
-ORDER BY score_ppm DESC, doc_id ASC
+ORDER BY mean_contrast_ppm DESC, doc_id ASC
 LIMIT {_TOP_K}
 """,
 )
@@ -123,11 +125,16 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_toks"),
             F.sum("s").alias("score_ppm"),
         )
+        # Length normalization: rank by PER-TOKEN contrast, not the raw
+        # sum — otherwise long documents dominate on volume alone. Both
+        # engines truncate integer division toward zero, so the rank key
+        # is exact for negative contrasts too.
+        .withColumn("mean_contrast_ppm", F.expr("score_ppm div n_toks"))
     )
     return (
-        doc_score.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+        doc_score.orderBy(F.desc("mean_contrast_ppm"), F.asc("doc_id"))
         .limit(_TOP_K)
-        .select("doc_id", "lang", "n_toks", "score_ppm")
+        .select("doc_id", "lang", "n_toks", "score_ppm", "mean_contrast_ppm")
     )
 
 

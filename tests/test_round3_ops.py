@@ -1,0 +1,159 @@
+"""Property tests for the round-3b operator additions: structural
+invariants the oracle value-hash compare can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from formula_1_spark.operators.dedup import (
+    containment_pairs_from_shingles,
+    shingles_from_tokens,
+    tokenized,
+)
+from formula_1_spark.queries.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_containment_detects_embedded_quote(spark):
+    """A short doc embedded verbatim in a long one: containment = 1.0
+    even though Jaccard is far below any near-dup threshold — the
+    asymmetric case the operator exists for."""
+    quote = "alpha beta gamma delta epsilon zeta"
+    long_doc = (
+        "zero one two three four five six seven eight nine ten eleven "
+        + quote
+        + " twelve thirteen fourteen fifteen sixteen seventeen eighteen "
+        "nineteen twenty twentyone twentytwo twentythree twentyfour"
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "unrelated words only here now")],
+        "doc_id long, text string",
+    )
+    sh = shingles_from_tokens(tokenized(docs), n=3).persist()
+    rows = containment_pairs_from_shingles(sh, threshold=0.9, max_df=50).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_id_1, r.doc_id_2) == (1, 2)
+    assert r.containment == 1.0, "full quote must be fully contained"
+    assert r.jaccard < 0.5, "Jaccard must under-score the asymmetric pair"
+
+
+def test_containment_symmetric_matches_jaccard_bound(spark, sf_dir):
+    """On the driver corpus: containment >= jaccard for every reported
+    pair (set algebra: |A∩B|/min >= |A∩B|/|A∪B|)."""
+    from formula_1_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_from_tokens(tokenized(docs), n=3).persist()
+    for r in containment_pairs_from_shingles(sh, threshold=0.8).collect():
+        assert r.containment >= r.jaccard - 1e-12
+
+
+def test_dsir_selects_target_language(spark, sf_dir):
+    """The DSIR-shaped selector must ENRICH for the target distribution:
+    the en share of the top-50 beats the corpus-wide en share. (The
+    synthetic corpus shares much cross-language vocabulary, so the
+    contrast is real but not a hard separator — enrichment, not
+    classification, is the operator's contract.)"""
+    from formula_1_spark.sources.tables import load_table
+
+    out = REGISTRY["dsir_importance_select"].fn(spark, sf_dir).collect()
+    assert len(out) == 50
+    n_en = sum(1 for r in out if r.lang == "en")
+    by_lang = dict(
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    corpus_share = by_lang.get("en", 0) / sum(by_lang.values())
+    assert n_en / 50 > corpus_share, (
+        f"no enrichment: top-50 en share {n_en / 50:.2f} "
+        f"<= corpus {corpus_share:.2f}"
+    )
+
+
+def test_grouped_kfold_is_leakage_free(spark, sf_dir):
+    """Every user's events land in exactly one fold: re-derive the fold
+    per event and count distinct folds per user."""
+    from formula_1_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit("gkf5"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 5
+    )
+    bad = (
+        events.select("user_id", fold.alias("fold"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    """Oriented two-join triangle enumeration equals the brute-force
+    count from the same undirected edge set."""
+    rows = REGISTRY["nation_trade_triangles"].fn(spark, sf_dir)
+    tri = {(r.nation_a, r.nation_b, r.nation_c) for r in rows.collect()}
+    # brute force on the collected edge set (25-node graph)
+    from formula_1_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = {
+        (min(r.c_nationkey, r.s_nationkey), max(r.c_nationkey, r.s_nationkey))
+        for r in (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+            .select("c_nationkey", "s_nationkey")
+            .distinct()
+            .collect()
+        )
+    }
+    nodes = sorted({n for e in edges for n in e})
+    brute = {
+        (a, b, c)
+        for i, a in enumerate(nodes)
+        for b in nodes[i + 1 :]
+        for c in nodes
+        if b < c
+        and (a, b) in edges
+        and (b, c) in edges
+        and (a, c) in edges
+    }
+    assert tri == brute
+
+
+def test_perceptual_buckets_partition_media(spark, sf_dir):
+    """Bucket members are disjoint and each bucket has >1 member with
+    the canonical id equal to the min member."""
+    out = REGISTRY["media_perceptual_buckets"].fn(spark, sf_dir).collect()
+    seen: set[int] = set()
+    for r in out:
+        ids = [int(x) for x in r.member_ids.split(",")]
+        assert r.n_items == len(ids) > 1
+        assert r.canonical_id == min(ids)
+        assert ids == sorted(ids)
+        # a media item belongs to exactly one (type, phash) bucket
+        assert not seen.intersection(ids)
+        seen.update(ids)

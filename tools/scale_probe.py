@@ -59,6 +59,16 @@ SLATE = [
     "training_epoch_shuffle", "bucketed_colocated_join",
     "aqe_skew_split_join", "customer_yoy_full_outer",
     "split_leakage_audit", "winsorized_order_stats", "events_rolling_7d",
+    # round-3b additions: embedding analytics, importance selection,
+    # containment dedup, perceptual buckets, triangles, format round-trips,
+    # group-kfold, text profiling
+    "label_centroid_cohesion", "hard_negative_mining",
+    "events_sessionize_labels", "dsir_importance_select",
+    "key_skew_profile", "dedup_containment", "knn_label_noise",
+    "media_perceptual_buckets", "nation_trade_triangles",
+    "orc_roundtrip_summary", "jsonl_roundtrip_events",
+    "grouped_kfold_split", "embedding_dim_stats",
+    "token_length_deciles", "bpe_pair_merge_stats",
 ]
 
 
@@ -143,9 +153,15 @@ def main() -> None:
     # Pre-build the paged-API fixtures at both scales so the timed runs
     # measure the SOURCE read, not the one-time fixture serialization.
     from formula_1_spark.queries.custom_source import _pages_fixture
+    from formula_1_spark.queries.format_roundtrip import (
+        _jsonl_fixture,
+        _orc_fixture,
+    )
 
     for d in (SRC, DST):
         _pages_fixture(spark, d)
+        _orc_fixture(spark, d)
+        _jsonl_fixture(spark, d)
     for n in SLATE:  # warmup: JIT + code cache
         reg[n].fn(spark, SRC).write.format("noop").mode("overwrite").save()
     for sf in [SRC, DST]:
