@@ -334,3 +334,82 @@ def grouped_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_fold_amplification_ppm"
         ),
     )
+
+
+@register(
+    "temporal_split_audit",
+    ops="EXT-temporal-split,A1,J1 (time-cutoff split with leakage audit)",
+    doc="Time-based train/test split audit: cutoff = min_ts + 80% of the "
+    "observed span (integer micros arithmetic — no sort, no percentile "
+    "estimate), events tagged train (< cutoff) / test (>= cutoff), and "
+    "per split: events, distinct users, share ppm — plus the "
+    "cross-split USER overlap (the population a time split deliberately "
+    "allows but a user-level split would forbid; compare "
+    "grouped_kfold_split). Scalar bounds broadcast; one shuffle per "
+    "distinct-count.",
+    oracle="""
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+),
+tagged AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) < b.mn + ((b.mx - b.mn) * 4) // 5
+              THEN 'train' ELSE 'test' END AS split
+  FROM events, bounds b
+),
+per_split AS (
+  SELECT split,
+         CAST(COUNT(1) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM tagged GROUP BY split
+),
+ov AS (
+  SELECT CAST(COUNT(1) AS BIGINT) AS overlap_users FROM (
+    SELECT user_id FROM tagged WHERE split = 'train'
+    INTERSECT
+    SELECT user_id FROM tagged WHERE split = 'test'
+  )
+),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM per_split)
+SELECT p.split, p.n_events, p.n_users,
+       (p.n_events * 1000000) // t.total AS share_ppm,
+       o.overlap_users
+FROM per_split p, ov o, tot t
+""",
+)
+def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    bounds = events.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    tagged = events.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.when(
+            F.col("us") < F.col("mn") + F.expr("((mx - mn) * 4) div 5"),
+            F.lit("train"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    ov = (
+        tagged.filter(F.col("split") == "train")
+        .select("user_id")
+        .intersect(tagged.filter(F.col("split") == "test").select("user_id"))
+        .agg(F.count(F.lit(1)).alias("overlap_users"))
+    )
+    tot = per_split.agg(F.sum("n_events").alias("total"))
+    return (
+        per_split.crossJoin(F.broadcast(ov))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            F.expr("(n_events * 1000000) div total").alias("share_ppm"),
+            "overlap_users",
+        )
+    )

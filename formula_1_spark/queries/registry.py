@@ -138,6 +138,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_dim_stats",
     "token_length_deciles",
     "bpe_pair_merge_stats",
+    "temporal_split_audit",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",
