@@ -73,6 +73,8 @@ def main() -> None:
         "orders_zorder_pruned_scan",
         "csv_quarantine_source",
         "bucketed_colocated_join",
+        "orc_roundtrip_summary",
+        "jsonl_roundtrip_events",
     ):
         spec = registry.get(warm_name)
         if spec is None:

@@ -1,0 +1,85 @@
+"""Lake-maintenance queries: compaction driven through the driver gate.
+
+``orders_compaction_roundtrip`` materializes the small-files problem and
+its fix end-to-end: orders land in a snapshot lake deliberately
+fragmented into 64 undersized files (what merge churn produces), then
+``compact_current`` rewrites the live snapshot right-sized (Delta
+OPTIMIZE semantics: values untouched, atomic pointer swap). The
+registered query reads the COMPACTED lake and aggregates; the oracle
+aggregates the original parquet — so a single row lost, duplicated, or
+type-drifted anywhere in fragment → compact → read-back reds the driver
+row. File-layout assertions (64 → few) live in
+``tests/test_round3_ops.py``; layout is engine-side metadata the SQL
+oracle can't see.
+
+Reference scope note: the reference rewrites whole tables per run
+(`Clean Bronze Data.py` full-refresh writes); incremental maintenance
+with compaction is part of this repo's extension lake surface
+(``sources/io.py``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from formula_1_spark.queries.registry import register
+from formula_1_spark.sources.fixtures import building_dir, fixture_root, publish
+from formula_1_spark.sources.io import (
+    _write_snapshot_and_repoint,
+    compact_current,
+    read_current,
+)
+from formula_1_spark.sources.tables import load_table
+
+FRAGMENT_FILES = 64
+
+
+def compacted_orders_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once fixture: fragmented orders lake, then compacted."""
+    root = fixture_root("compacted_orders_v1", sf_dir, "orders")
+    if os.path.exists(os.path.join(root, "_CURRENT")):
+        return root
+    building = building_dir(root)
+    os.makedirs(building, exist_ok=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    _write_snapshot_and_repoint(
+        orders.repartition(FRAGMENT_FILES), building, key_cols=["o_orderkey"]
+    )
+    compact_current(spark, building, target_rows_per_file=1_000_000)
+    publish(building, root)
+    return root
+
+
+@register(
+    "orders_compaction_roundtrip",
+    ops="S7-maint,A1 (small-file compaction with exact read-back)",
+    doc="Small-files lifecycle E2E: orders fragmented into 64 files in a "
+    "snapshot lake, compacted via compact_current (new right-sized "
+    "snapshot + atomic repoint — readers never block), then read back "
+    "and aggregated per order status with an exact DECIMAL(18,2) sum. "
+    "Oracle aggregates the source parquet: compaction must preserve "
+    "every row and value bit-for-bit.",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(1) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def orders_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lake = compacted_orders_lake(spark, sf_dir)
+    cur = read_current(spark, lake)
+    return cur.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -139,6 +139,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "token_length_deciles",
     "bpe_pair_merge_stats",
     "temporal_split_audit",
+    "orders_compaction_roundtrip",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",
@@ -195,6 +196,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.embedding_analytics",
         "formula_1_spark.queries.importance",
         "formula_1_spark.queries.format_roundtrip",
+        "formula_1_spark.queries.lake_maintenance",
     ):
         try:
             __import__(mod)

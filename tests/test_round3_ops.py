@@ -157,3 +157,26 @@ def test_perceptual_buckets_partition_media(spark, sf_dir):
         # a media item belongs to exactly one (type, phash) bucket
         assert not seen.intersection(ids)
         seen.update(ids)
+
+
+def test_compaction_shrinks_file_count(spark, sf_dir):
+    """The compacted lake's live snapshot has far fewer data files than
+    the 64-way fragmented initial snapshot, and at least one historical
+    snapshot (the fragmented one) remains for time travel."""
+    import os
+
+    from formula_1_spark.queries.lake_maintenance import (
+        FRAGMENT_FILES,
+        compacted_orders_lake,
+    )
+    from formula_1_spark.sources.io import current_snapshot_dir, list_snapshots
+
+    lake = compacted_orders_lake(spark, sf_dir)
+    cur = current_snapshot_dir(lake)
+    n_files = sum(
+        1
+        for f in os.listdir(cur)
+        if f.endswith(".parquet") and f.startswith("part-")
+    )
+    assert 1 <= n_files < FRAGMENT_FILES / 4
+    assert len(list_snapshots(lake)) >= 2

@@ -81,6 +81,28 @@ def main() -> None:
     except Exception:
         pass
 
+    # Fixture-backed queries build derived artifacts on first touch —
+    # run them once during warmup so the timed loop measures the query,
+    # not the one-time fixture build (mirrors bench.py).
+    for warm_name in (
+        "paged_api_source_ingest",
+        "cdc_stream_merge_orders",
+        "matview_incremental_orders",
+        "orders_time_travel_diff",
+        "orders_zorder_pruned_scan",
+        "csv_quarantine_source",
+        "bucketed_colocated_join",
+        "orc_roundtrip_summary",
+        "jsonl_roundtrip_events",
+    ):
+        spec = registry.get(warm_name)
+        if spec is None:
+            continue
+        try:
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+
     out: dict[str, dict] = {}
     spark_total = duck_total = 0.0
     for name, spec in sorted(registry.items()):
