@@ -270,3 +270,85 @@ def repetition_signals(
             | (dup5 > DUP5_MAX)
         ).alias("rep_flag"),
     )
+
+
+@register(
+    "embedding_decontamination",
+    ops="EXT-semantic-decontam,J1,A1 (embedding-similarity eval overlap)",
+    doc="Semantic decontamination — the embedding-space complement of the "
+    "13-gram rule (catches paraphrases that share no n-gram): vectors "
+    "whose id hashes into the eval split (same split_bucket hash as "
+    "benchmark_decontamination) form the EVAL probe set; every TRAIN "
+    "vector with exact cosine >= the decontam threshold to any probe is flagged with its "
+    "worst offender. Probe set broadcasts (a benchmark suite is MBs); "
+    "the train corpus never shuffles; per-train-vector max via "
+    "map-side-combinable groupBy, not a window. Threshold pinned at "
+    "0.40 for the synthetic testdata (whose cross-split cosine ceiling "
+    "is ~0.47 — the production ~0.95 paraphrase bar would make the gate "
+    "vacuously empty); the operator is threshold-parametric.",
+    oracle="""
+WITH tagged AS (
+  SELECT vec_id, label, embedding,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+           % 10 AS b
+  FROM embeddings
+),
+ev AS (
+  SELECT vec_id AS eval_id, embedding AS e_vec FROM tagged WHERE b >= 9
+),
+tr AS (
+  SELECT vec_id AS train_id, embedding AS t_vec FROM tagged WHERE b < 9
+),
+scored AS (
+  SELECT t.train_id, e.eval_id,
+         list_reduce(list_transform(list_zip(t.t_vec, e.e_vec),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+                     (acc, v) -> acc + v)
+         / (sqrt(list_reduce(list_transform(t.t_vec,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))
+          * sqrt(list_reduce(list_transform(e.e_vec,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)))
+           AS cos
+  FROM tr t, ev e
+)
+SELECT train_id,
+       CAST(COUNT(1) AS BIGINT) AS n_eval_hits,
+       MAX(cos) AS worst_cos,
+       MIN(CASE WHEN cos = m THEN eval_id END) AS worst_eval_id
+FROM (SELECT *, MAX(cos) OVER (PARTITION BY train_id) AS m FROM scored)
+WHERE cos >= 0.40
+GROUP BY train_id
+""",
+)
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.functions.vectors import cosine
+    from formula_1_spark.sources.tables import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = split_bucket("vec_id")
+    ev = emb.filter(b >= 9).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_vec")
+    )
+    tr = fan_out(emb.filter(b < 9)).select(
+        F.col("vec_id").alias("train_id"), F.col("embedding").alias("t_vec")
+    )
+    scored = (
+        tr.crossJoin(F.broadcast(ev))
+        .withColumn("cos", cosine(F.col("t_vec"), F.col("e_vec")))
+        .select("train_id", "eval_id", "cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("train_id")
+    return (
+        scored.withColumn("m", F.max("cos").over(w))
+        .filter(F.col("cos") >= 0.40)
+        .groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("cos").alias("worst_cos"),
+            F.min(
+                F.when(F.col("cos") == F.col("m"), F.col("eval_id"))
+            ).alias("worst_eval_id"),
+        )
+    )

@@ -140,6 +140,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_pair_merge_stats",
     "temporal_split_audit",
     "orders_compaction_roundtrip",
+    "embedding_decontamination",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",
