@@ -141,6 +141,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "temporal_split_audit",
     "orders_compaction_roundtrip",
     "embedding_decontamination",
+    "stateful_user_totals_stream",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",
@@ -198,6 +199,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.importance",
         "formula_1_spark.queries.format_roundtrip",
         "formula_1_spark.queries.lake_maintenance",
+        "formula_1_spark.queries.stateful_stream",
     ):
         try:
             __import__(mod)

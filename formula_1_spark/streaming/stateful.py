@@ -66,3 +66,53 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+EXACT_STATE_SCHEMA = "count BIGINT, cents BIGINT"
+EXACT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_cents", T.LongType()),
+    ]
+)
+
+
+def _update_user_totals_exact(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Integer-cents accumulator: floor(value*100) summed as int64, so
+    the running total is independent of batch split and arrival order —
+    what makes the stream's final state oracle-checkable bit-for-bit."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    count, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        count += len(pdf)
+        import numpy as np
+
+        cents += int(np.floor(pdf["value"].to_numpy() * 100).astype("int64").sum())
+    state.update((count, cents))
+    yield pd.DataFrame(
+        [{"user_id": user_id, "n_events": count, "value_cents": cents}]
+    )
+
+
+def running_user_totals_exact(events: DataFrame) -> DataFrame:
+    """Streaming per-user accumulator with exact integer cents. Emits
+    the running (count, cents) after every micro-batch touch; counts are
+    strictly increasing per user, so the final state is the max-count
+    row — a deterministic reduction of the update stream."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals_exact,
+            outputStructType=EXACT_OUTPUT_SCHEMA,
+            stateStructType=EXACT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
