@@ -83,3 +83,74 @@ def orders_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+_ERASE_SQL = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 50 = 0"
+
+
+def _erase_bucket() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 50
+    )
+
+
+def erased_events_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once fixture: events lake, then a right-to-be-forgotten
+    MERGE deleting every event of the erased-user set (hash bucket 0 of
+    50 — the deterministic stand-in for a deletion-request list)."""
+    from formula_1_spark.sources.io import merge_upsert
+
+    root = fixture_root("erased_events_v1", sf_dir, "events")
+    if os.path.exists(os.path.join(root, "_CURRENT")):
+        return root
+    building = building_dir(root)
+    os.makedirs(building, exist_ok=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    merge_upsert(
+        spark,
+        building,
+        events.repartitionByRange(4, "event_id"),
+        ["event_id"],
+    )
+    erase = events.filter(_erase_bucket() == 0).withColumn(
+        "is_delete", F.lit(True)
+    )
+    merge_upsert(spark, building, erase, ["event_id"], delete_col="is_delete")
+    publish(building, root)
+    return root
+
+
+@register(
+    "user_erasure_audit",
+    ops="S7-maint,EXT-governance,A1 (right-to-be-forgotten MERGE delete)",
+    doc="Data-governance erasure E2E: events land in a keyed snapshot "
+    "lake, a deletion-request MERGE removes every event of the erased "
+    "user set (hash bucket 0/50), and the post-erasure lake is "
+    "aggregated per event_type (events, users, exact cents). Oracle "
+    "computes the same aggregates from events EXCLUDING the erased "
+    "users — a single surviving erased-user row, or an over-deleted "
+    "innocent row, reds the driver row.",
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(1) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE NOT ({_ERASE_SQL})
+GROUP BY event_type
+""",
+)
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.sources.io import read_current
+
+    lake = erased_events_lake(spark, sf_dir)
+    cur = read_current(spark, lake)
+    return cur.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+    )

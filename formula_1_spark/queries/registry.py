@@ -142,6 +142,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "orders_compaction_roundtrip",
     "embedding_decontamination",
     "stateful_user_totals_stream",
+    "user_erasure_audit",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",
