@@ -37,6 +37,12 @@ SLATE = {
     "lateral_top_orders": "LATERAL LIMIT decorrelated to a windowed co-partitioned join",
     "events_stream_static_enrich": "static dim broadcast; fact side never shuffles",
     "cogroup_order_reconciliation": "one co-shuffle on the bucket key into the Arrow kernel",
+    "dsir_importance_select": "1024-bucket score table broadcast onto exploded tokens; TakeOrdered top-50",
+    "dedup_containment": "posting-count verify: (id, shingle) int shuffles only, no array broadcast",
+    "knn_label_noise": "probe set broadcast; corpus scan unshuffled; window over scored probes only",
+    "nation_trade_triangles": "oriented wedge-close: two broadcast joins over the distinct edge list",
+    "grouped_kfold_split": "fold = pure hash in codegen, no distinct-users relation, nothing joined",
+    "embedding_decontamination": "eval probes broadcast; train side never shuffles; map-side max",
 }
 
 
