@@ -39,6 +39,8 @@ BNLJ_OK = {
     "dsir_importance_select",  # 1-row token-totals broadcast
     "key_skew_profile",  # 1-row global-stats broadcast
     "grouped_kfold_split",  # 1-row fold-totals broadcast
+    "temporal_split_audit",  # 1-row time-bounds broadcast
+    "embedding_decontamination",  # eval-probe broadcast corpus scan
 }
 
 
