@@ -154,3 +154,60 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("value_cents"),
     )
+
+
+def evolved_orders_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once fixture: a 2-column orders lake, then a schema-EVOLVING
+    merge that adds o_orderpriority for keys % 5 == 0 — survivors keep a
+    NULL in the new column (Delta mergeSchema semantics)."""
+    from formula_1_spark.sources.io import merge_upsert
+
+    root = fixture_root("evolved_orders_v1", sf_dir, "orders")
+    if os.path.exists(os.path.join(root, "_CURRENT")):
+        return root
+    building = building_dir(root)
+    os.makedirs(building, exist_ok=True)
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice")
+    merge_upsert(
+        spark, building, base.repartitionByRange(4, "o_orderkey"), ["o_orderkey"]
+    )
+    widened = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    merge_upsert(spark, building, widened, ["o_orderkey"], evolve_schema=True)
+    publish(building, root)
+    return root
+
+
+@register(
+    "schema_evolution_scan",
+    ops="S7-evolve,A1 (mergeSchema lake read after column add)",
+    doc="Schema evolution E2E: a 2-column orders lake widened by an "
+    "evolving MERGE that adds o_orderpriority on 1-in-5 keys; the "
+    "post-evolution scan groups by the new column with pre-evolution "
+    "rows surfacing as NULL -> '<pre-evolution>'. Oracle replays the "
+    "evolution closed-form from orders. A survivor row that lost its "
+    "price, or a widened row that kept a NULL, reds the driver row.",
+    oracle="""
+SELECT CASE WHEN o_orderkey % 5 = 0 THEN o_orderpriority
+            ELSE '<pre-evolution>' END AS priority,
+       CAST(COUNT(1) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1
+""",
+)
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.sources.io import read_current
+
+    lake = evolved_orders_lake(spark, sf_dir)
+    cur = read_current(spark, lake)
+    return cur.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

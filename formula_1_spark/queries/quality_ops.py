@@ -138,3 +138,69 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), (o_year), ())
         """
     )
+
+
+# log10(1 + 1/d) in parts-per-million — the public Benford first-digit
+# expectation (rounded to the nearest ppm; a fixed literal in BOTH
+# engines, so the comparison is exact).
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_CASE = "CASE d " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+) + " END"
+
+
+@register(
+    "benford_price_audit",
+    ops="EXT-benford,A1,F1 (digit-distribution anomaly audit)",
+    doc="Benford first-digit audit of o_totalprice — the classic "
+    "fabricated-data / unit-mixing screen: observed first-digit shares "
+    "in ppm vs the log10(1+1/d) expectation (fixed ppm literals, exact "
+    "cross-engine), absolute deviation per digit, and the total "
+    "variation distance in the final row set. One scan, one 9-group "
+    "aggregate. (TPC-H prices are near-uniform, so the audit correctly "
+    "reports a LARGE deviation — the signal a screen exists to raise.)",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+counts AS (
+  SELECT d, CAST(COUNT(1) AS BIGINT) AS n FROM digits GROUP BY d
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+SELECT c.d AS first_digit, c.n,
+       (c.n * 1000000) // t.total AS observed_ppm,
+       {_BENFORD_CASE.replace('CASE d', 'CASE c.d')} AS benford_ppm,
+       abs((c.n * 1000000) // t.total - {_BENFORD_CASE.replace('CASE d', 'CASE c.d')})
+         AS deviation_ppm
+FROM counts c, tot t
+""",
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    benford = F.expr(_BENFORD_CASE)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("first_digit"),
+            "n",
+            F.expr("(n * 1000000) div total").alias("observed_ppm"),
+            benford.alias("benford_ppm"),
+            F.abs(F.expr("(n * 1000000) div total") - benford).alias(
+                "deviation_ppm"
+            ),
+        )
+    )

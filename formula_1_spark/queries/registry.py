@@ -143,6 +143,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_decontamination",
     "stateful_user_totals_stream",
     "user_erasure_audit",
+    "events_locf_fill",
+    "benford_price_audit",
+    "schema_evolution_scan",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",

@@ -252,3 +252,68 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@register(
+    "events_locf_fill",
+    ops="EXT-locf,W1,A5 (last-observation-carried-forward imputation)",
+    doc="LOCF imputation over the hourly grid: silent hours inherit the "
+    "last observed hour's closing value (last event by (ts-derived "
+    "hour, event_id) — arg_max, deterministic) via last_value IGNORE "
+    "NULLS over the grid. The window runs over O(hours) grid rows, "
+    "never over events; the per-hour closing values come from one "
+    "map-side-combined aggregate.",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+  FROM events
+),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+  FROM bounds
+),
+closing AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+         arg_max(value, event_id) AS close_value
+  FROM events GROUP BY 1
+)
+SELECT epoch_us(g.hour_ts) AS hour_us,
+       (c.hour_ts IS NOT NULL) AS observed,
+       LAST_VALUE(c.close_value IGNORE NULLS) OVER (
+         ORDER BY g.hour_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM grid g LEFT JOIN closing c ON c.hour_ts = g.hour_ts
+""",
+)
+def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "hour_ts"
+        )
+    )
+    closing = events.groupBy(
+        F.date_trunc("hour", "ts").alias("c_hour_ts")
+    ).agg(F.max_by("value", "event_id").alias("close_value"))
+    w = (
+        Window.orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(closing, grid.hour_ts == closing.c_hour_ts, "left")
+        .select(
+            F.unix_micros("hour_ts").alias("hour_us"),
+            F.col("c_hour_ts").isNotNull().alias("observed"),
+            F.last("close_value", ignorenulls=True).over(w).alias("locf_value"),
+            F.col("hour_ts"),
+        )
+        .drop("hour_ts")
+    )

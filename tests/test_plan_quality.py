@@ -41,6 +41,7 @@ BNLJ_OK = {
     "grouped_kfold_split",  # 1-row fold-totals broadcast
     "temporal_split_audit",  # 1-row time-bounds broadcast
     "embedding_decontamination",  # eval-probe broadcast corpus scan
+    "benford_price_audit",  # 1-row digit-total broadcast
 }
 
 
