@@ -146,6 +146,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_locf_fill",
     "benford_price_audit",
     "schema_evolution_scan",
+    "events_anomaly_mad",
+    "lang_id_confusion_matrix",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",

@@ -218,3 +218,51 @@ def events_sessionize_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wpos).cast("bigint").alias("pos_in_session"),
         F.count(F.lit(1)).over(wcnt).alias("session_events"),
     )
+
+
+@register(
+    "events_anomaly_mad",
+    ops="EXT-anomaly-mad,A1,W2 (median/MAD robust outlier hours)",
+    doc="Robust rate-anomaly screen: hourly event counts, corpus median "
+    "and MAD (median absolute deviation) — both exact percentile "
+    "interpolations over integer counts (midpoints of ints, "
+    "bit-identical cross-engine) — and each hour's MAD z-score "
+    "numerator; hours with |count - median| > 5 * MAD are flagged. "
+    "Aggregates run over the O(hours) rollup, never over raw events.",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+         CAST(COUNT(1) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+med AS (SELECT quantile_cont(n, 0.5) AS m FROM hourly),
+dev AS (
+  SELECT h.hour_ts, h.n, abs(h.n - m.m) AS ad FROM hourly h, med m
+),
+mad AS (SELECT quantile_cont(ad, 0.5) AS mad FROM dev)
+SELECT epoch_us(d.hour_ts) AS hour_us, d.n,
+       (SELECT m FROM med) AS median_n,
+       (SELECT mad FROM mad) AS mad_n,
+       d.ad AS abs_dev,
+       d.ad > 5 * (SELECT mad FROM mad) AS flagged
+FROM dev d
+""",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = hourly.agg(F.expr("percentile(n, 0.5)").alias("m"))
+    dev = hourly.crossJoin(F.broadcast(med)).select(
+        "hour_ts", "n", "m", F.abs(F.col("n") - F.col("m")).alias("ad")
+    )
+    mad = dev.agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    return dev.crossJoin(F.broadcast(mad)).select(
+        F.unix_micros("hour_ts").alias("hour_us"),
+        "n",
+        F.col("m").alias("median_n"),
+        F.col("mad").alias("mad_n"),
+        F.col("ad").alias("abs_dev"),
+        (F.col("ad") > 5 * F.col("mad")).alias("flagged"),
+    )

@@ -361,3 +361,51 @@ def bpe_pair_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+@register(
+    "lang_id_confusion_matrix",
+    ops="EXT-langid-eval,A1 (classifier confusion vs labels)",
+    doc="Evaluation of the marker-word language heuristic against the "
+    "corpus's lang labels: the full confusion matrix (label x guess "
+    "counts) plus per-cell share of the label's row in ppm — the "
+    "standard precision/recall raw material. One scan, one two-key "
+    "aggregate; the window for row totals runs over the tiny matrix.",
+    oracle=f"""
+WITH guessed AS (
+  SELECT lang AS label, {_LANG_CASE} AS guess FROM documents
+),
+cells AS (
+  SELECT label, guess, CAST(COUNT(1) AS BIGINT) AS n
+  FROM guessed GROUP BY label, guess
+)
+SELECT label, guess, n,
+       (n * 1000000) // SUM(n) OVER (PARTITION BY label) AS row_share_ppm,
+       (label = guess) AS is_correct
+FROM cells
+""",
+)
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(F.col("lang").alias("label"), lang_guess("text").alias("guess"))
+        .groupBy("label", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("label")
+    return cells.select(
+        "label",
+        "guess",
+        "n",
+        F.expr("n * 1000000").cast("bigint").alias("_num"),
+        F.sum("n").over(w).alias("_rt"),
+        (F.col("label") == F.col("guess")).alias("is_correct"),
+    ).select(
+        "label",
+        "guess",
+        "n",
+        F.expr("_num div _rt").alias("row_share_ppm"),
+        "is_correct",
+    )

@@ -42,6 +42,7 @@ BNLJ_OK = {
     "temporal_split_audit",  # 1-row time-bounds broadcast
     "embedding_decontamination",  # eval-probe broadcast corpus scan
     "benford_price_audit",  # 1-row digit-total broadcast
+    "events_anomaly_mad",  # 1-row median/MAD scalar broadcasts
 }
 
 
