@@ -148,6 +148,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "schema_evolution_scan",
     "events_anomaly_mad",
     "lang_id_confusion_matrix",
+    "order_value_regression",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",

@@ -266,3 +266,81 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ad").alias("abs_dev"),
         (F.col("ad") > 5 * F.col("mad")).alias("flagged"),
     )
+
+
+@register(
+    "order_value_regression",
+    ops="EXT-regression,A1 (exact-sufficient-statistics OLS)",
+    doc="Distributed simple regression the scale-safe way: slope/"
+    "intercept/Pearson r of l_extendedprice (whole dollars) on "
+    "l_quantity from EXACT sufficient statistics — n, Σx, Σy, Σxy, "
+    "Σx², Σy² accumulated as DECIMAL(38,0) integers (map-side "
+    "combinable, associative, no float accumulation order anywhere) — "
+    "then one identical double formula in both engines. The built-in "
+    "corr/regr_* aggregates are NOT used: their streaming float "
+    "updates differ across engines and partitionings; sufficient "
+    "statistics are the 100 TB-portable formulation.",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+),
+stats AS (
+  SELECT CAST(COUNT(1) AS BIGINT) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+         SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+  FROM pts
+)
+SELECT n,
+       CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+       (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         AS slope,
+       (CAST(sy AS DOUBLE)
+        - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * CAST(sx AS DOUBLE)) / n AS intercept,
+       (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS pearson_r
+FROM stats
+""",
+)
+def order_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor("l_extendedprice").cast("bigint").alias("y"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    stats = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("x")).alias("sx"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(d("x") * F.col("y")).alias("sxy"),
+        F.sum(d("x") * F.col("x")).alias("sxx"),
+        F.sum(d("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return stats.select(
+        "n",
+        F.col("sx").cast("bigint").alias("sum_x"),
+        F.col("sy").cast("bigint").alias("sum_y"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("pearson_r"),
+    )
