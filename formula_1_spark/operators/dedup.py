@@ -130,23 +130,36 @@ def ngram_jaccard_pairs(
     return jaccard_pairs_from_shingles(sh, threshold=threshold, max_df=max_df)
 
 
-def jaccard_pairs_from_shingles(
-    sh: DataFrame, threshold: float = 0.5, max_df: int = 50
-) -> DataFrame:
-    """Inverted-index candidates + exact-Jaccard verify over a persisted
-    (doc_id, sh) relation."""
+def rare_shingle_candidates(sh: DataFrame, max_df: int = 50) -> DataFrame:
+    """(a, b) candidate id pairs sharing at least one rare shingle
+    (document frequency <= ``max_df``) — the inverted-index stage every
+    exact near-dup verify (Jaccard, containment) starts from. Callers
+    that run several verifies persist this once."""
     posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
     rare = (
         posting.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"), F.collect_set("doc_id").alias("docs"))
         .filter(F.col("df") <= max_df)
     )
-    cand = (
+    return (
         rare.select(F.explode("docs").alias("a"), F.col("docs"))
         .select("a", F.explode("docs").alias("b"))
         .filter(F.col("a") < F.col("b"))
         .distinct()
     )
+
+
+def jaccard_pairs_from_shingles(
+    sh: DataFrame,
+    threshold: float = 0.5,
+    max_df: int = 50,
+    cand: DataFrame | None = None,
+) -> DataFrame:
+    """Inverted-index candidates + exact-Jaccard verify over a persisted
+    (doc_id, sh) relation. ``cand`` short-circuits candidate generation
+    with a pre-built (persisted) pair relation."""
+    if cand is None:
+        cand = rare_shingle_candidates(sh, max_df)
     return _verify_jaccard(cand, sh, threshold)
 
 
@@ -404,7 +417,10 @@ def simhash_pairs(
 
 
 def containment_pairs_from_shingles(
-    sh: DataFrame, threshold: float = 0.8, max_df: int = 50
+    sh: DataFrame,
+    threshold: float = 0.8,
+    max_df: int = 50,
+    cand: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric containment pairs: ``C = |A∩B| / min(|A|, |B|)``.
 
@@ -422,17 +438,8 @@ def containment_pairs_from_shingles(
     """
     sized = sh.select("doc_id", F.size("sh").alias("n_sh"))
     posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    rare = (
-        posting.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"), F.collect_set("doc_id").alias("docs"))
-        .filter(F.col("df") <= max_df)
-    )
-    cand = (
-        rare.select(F.explode("docs").alias("a"), F.col("docs"))
-        .select("a", F.explode("docs").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-        .distinct()
-    )
+    if cand is None:
+        cand = rare_shingle_candidates(sh, max_df)
     cand_ids = (
         cand.select(F.col("a").alias("doc_id"))
         .union(cand.select("b"))

@@ -17,6 +17,7 @@ from formula_1_spark.operators.dedup import (
     containment_pairs_from_shingles,
     exact_dedup,
     jaccard_pairs_from_shingles,
+    rare_shingle_candidates,
     minhash_coeffs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -44,8 +45,11 @@ def _shared_relations(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         docs = load_table(spark, sf_dir, "documents")
         tok = tokenized(docs).persist()
         sh = shingles_from_tokens(tok, n=3).persist()
-        jac = jaccard_pairs_from_shingles(sh, threshold=0.5, max_df=50).persist()
-        ent = {"tok": tok, "sh": sh, "jaccard_pairs": jac}
+        cand = rare_shingle_candidates(sh, max_df=50).persist()
+        jac = jaccard_pairs_from_shingles(
+            sh, threshold=0.5, max_df=50, cand=cand
+        ).persist()
+        ent = {"tok": tok, "sh": sh, "cand": cand, "jaccard_pairs": jac}
         _SHARED[key] = ent
     return ent
 
@@ -658,5 +662,7 @@ WHERE common / least(na, nb) >= 0.8
 """,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shared_relations(spark, sf_dir)["sh"]
-    return containment_pairs_from_shingles(sh, threshold=0.8, max_df=50)
+    shared = _shared_relations(spark, sf_dir)
+    return containment_pairs_from_shingles(
+        shared["sh"], threshold=0.8, max_df=50, cand=shared["cand"]
+    )
