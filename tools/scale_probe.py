@@ -69,6 +69,13 @@ SLATE = [
     "orc_roundtrip_summary", "jsonl_roundtrip_events",
     "grouped_kfold_split", "embedding_dim_stats",
     "token_length_deciles", "bpe_pair_merge_stats",
+    # round-3c additions: governance/maintenance lakes, stateful stream,
+    # semantic decontam, robust stats
+    "temporal_split_audit", "orders_compaction_roundtrip",
+    "embedding_decontamination", "stateful_user_totals_stream",
+    "user_erasure_audit", "events_locf_fill", "benford_price_audit",
+    "schema_evolution_scan", "events_anomaly_mad",
+    "lang_id_confusion_matrix", "order_value_regression",
 ]
 
 
@@ -158,10 +165,21 @@ def main() -> None:
         _orc_fixture,
     )
 
+    from formula_1_spark.queries.lake_maintenance import (
+        compacted_orders_lake,
+        erased_events_lake,
+        evolved_orders_lake,
+    )
+    from formula_1_spark.queries.stateful_stream import _stateful_totals_fixture
+
     for d in (SRC, DST):
         _pages_fixture(spark, d)
         _orc_fixture(spark, d)
         _jsonl_fixture(spark, d)
+        compacted_orders_lake(spark, d)
+        erased_events_lake(spark, d)
+        evolved_orders_lake(spark, d)
+        _stateful_totals_fixture(spark, d)
     for n in SLATE:  # warmup: JIT + code cache
         reg[n].fn(spark, SRC).write.format("noop").mode("overwrite").save()
     for sf in [SRC, DST]:
