@@ -666,3 +666,100 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs_from_shingles(
         shared["sh"], threshold=0.8, max_df=50, cand=shared["cand"]
     )
+
+
+@register(
+    "minhash_recall_audit",
+    ops="EXT-lsh-recall,J4,A1 (probabilistic-operator evaluation)",
+    doc="Self-evaluation of the MinHash+LSH candidate generator against "
+    "ground truth: recall (ppm) of the banded LSH pair set vs the exact "
+    "rare-shingle Jaccard >= 0.5 pair set, per Jaccard band (0.5-0.7, "
+    "0.7-0.9, 0.9-1.0) — the measurement that justifies banding "
+    "parameters before scaling them. Reuses the shared cached shingle/"
+    "pair relations; the only new work is one anti-join per band.",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+posting AS (SELECT doc_id, unnest(sh) AS shingle FROM shf),
+rare AS (
+  SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(1) <= 50
+),
+cand AS (
+  SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+  FROM posting p1
+  JOIN rare r ON p1.shingle = r.shingle
+  JOIN posting p2 ON p2.shingle = p1.shingle
+  WHERE p1.doc_id < p2.doc_id
+),
+truth AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.sh, sb.sh))
+           / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN shf sa ON sa.doc_id = c.a
+  JOIN shf sb ON sb.doc_id = c.b
+),
+tp AS (SELECT a, b, jaccard FROM truth WHERE jaccard >= 0.5),
+base AS (
+  SELECT doc_id, shingle % {{P}} AS x
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM shf)
+),
+sigagg AS (
+  SELECT doc_id,
+{{MINS}}
+  FROM base GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, {{SIGA}} AS sigs FROM sigagg),
+bands AS (
+  SELECT doc_id, j.j AS band_id,
+         array_to_string(list_slice(sigs, j.j * 4 + 1, j.j * 4 + 4), ',') AS band_key
+  FROM sigs, (SELECT unnest(range(0, 8)) AS j) j
+),
+lsh AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x
+  JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+banded AS (
+  SELECT t.a, t.b,
+         CASE WHEN t.jaccard >= 0.9 THEN '0.9-1.0'
+              WHEN t.jaccard >= 0.7 THEN '0.7-0.9'
+              ELSE '0.5-0.7' END AS jband,
+         (l.a IS NOT NULL) AS found
+  FROM tp t LEFT JOIN lsh l ON l.a = t.a AND l.b = t.b
+)
+SELECT jband,
+       CAST(COUNT(1) AS BIGINT) AS n_true_pairs,
+       CAST(COUNT(1) FILTER (WHERE found) AS BIGINT) AS n_lsh_found,
+       (COUNT(1) FILTER (WHERE found) * 1000000) // COUNT(1) AS recall_ppm
+FROM banded
+GROUP BY jband
+""".format(P=MINHASH_P, MINS=_MINHASH_MINS, SIGA=_SIG_ARRAY),
+)
+def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shared = _shared_relations(spark, sf_dir)
+    truth = shared["jaccard_pairs"].select(
+        F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b"), "jaccard"
+    )
+    lsh = minhash_lsh_pairs(None, sh=shared["sh"]).select(
+        F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b")
+    )
+    # LSH verified pairs are a subset of candidates; for recall we need
+    # the CANDIDATE set (pre-verify) — but verified-at-0.5 equals the
+    # candidate set intersected with truth, which is exactly what recall
+    # against truth measures.
+    banded = (
+        truth.join(lsh.withColumn("found", F.lit(True)), ["a", "b"], "left")
+        .select(
+            F.when(F.col("jaccard") >= 0.9, "0.9-1.0")
+            .when(F.col("jaccard") >= 0.7, "0.7-0.9")
+            .otherwise("0.5-0.7")
+            .alias("jband"),
+            F.coalesce("found", F.lit(False)).alias("found"),
+        )
+    )
+    return banded.groupBy("jband").agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.count_if("found").alias("n_lsh_found"),
+        F.expr("(count_if(found) * 1000000) div count(1)").alias("recall_ppm"),
+    )

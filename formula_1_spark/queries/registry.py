@@ -149,6 +149,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_anomaly_mad",
     "lang_id_confusion_matrix",
     "order_value_regression",
+    "minhash_recall_audit",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",
