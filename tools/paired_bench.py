@@ -94,6 +94,10 @@ def main() -> None:
         "bucketed_colocated_join",
         "orc_roundtrip_summary",
         "jsonl_roundtrip_events",
+        "orders_compaction_roundtrip",
+        "user_erasure_audit",
+        "schema_evolution_scan",
+        "stateful_user_totals_stream",
     ):
         spec = registry.get(warm_name)
         if spec is None:
