@@ -204,3 +204,70 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "quality_vs_duplication",
+    ops="EXT-quality-dup-corr,A1,W1 (curation-signal cross-tabulation)",
+    doc="Do duplicates skew low-quality? Quality-score quintiles "
+    "(ntile(5) over the (score, doc_id) total order) cross-tabulated "
+    "with exact-dup membership (doc's fingerprint group has >1 copy): "
+    "per quintile, docs, duplicate docs, dup-rate ppm. The evidence "
+    "behind ordering dedup before/after quality gates in a curation "
+    "funnel. One scan feeds both signals; windows run over doc-level "
+    "relations.",
+    oracle="""
+WITH q AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\b(the|and|of|to|a|in|is)\\b'))
+           / len(regexp_split_to_array(trim(text), '\\s+')) * 0.4
+         + least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.3
+         + (1.0 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                / length(text)) * 0.3 AS score,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+dupes AS (
+  SELECT fp, COUNT(1) > 1 AS is_dup_group FROM q GROUP BY fp
+),
+tiled AS (
+  SELECT q.doc_id, d.is_dup_group,
+         CAST(NTILE(5) OVER (ORDER BY q.score ASC, q.doc_id ASC) AS INT)
+           AS quintile
+  FROM q JOIN dupes d ON d.fp = q.fp
+)
+SELECT quintile,
+       CAST(COUNT(1) AS BIGINT) AS n_docs,
+       CAST(COUNT(1) FILTER (WHERE is_dup_group) AS BIGINT) AS n_dup_docs,
+       (COUNT(1) FILTER (WHERE is_dup_group) * 1000000) // COUNT(1)
+         AS dup_rate_ppm
+FROM tiled
+GROUP BY quintile
+""",
+)
+def quality_vs_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from formula_1_spark.functions.text import fingerprint, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        quality_score("text").alias("score"),
+        fingerprint("text").alias("fp"),
+    )
+    dupes = q.groupBy("fp").agg((F.count(F.lit(1)) > 1).alias("is_dup_group"))
+    tiled = q.join(dupes, "fp").select(
+        "doc_id",
+        "is_dup_group",
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("score"), F.asc("doc_id")))
+        .alias("quintile"),
+    )
+    return tiled.groupBy("quintile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if("is_dup_group").alias("n_dup_docs"),
+        F.expr("(count_if(is_dup_group) * 1000000) div count(1)").alias(
+            "dup_rate_ppm"
+        ),
+    )

@@ -150,6 +150,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lang_id_confusion_matrix",
     "order_value_regression",
     "minhash_recall_audit",
+    "top_terms_per_source",
+    "quality_vs_duplication",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",

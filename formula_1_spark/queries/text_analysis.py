@@ -409,3 +409,72 @@ def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("_num div _rt").alias("row_share_ppm"),
         "is_correct",
     )
+
+
+@register(
+    "top_terms_per_source",
+    ops="EXT-source-terms,W1,A1 (per-source TF-IDF characterization)",
+    doc="What characterizes each source: per (source, term) occurrence "
+    "counts weighted by a quantized rational IDF (ppm grid — exact "
+    "cross-engine), top-5 terms per source by (score, term). Terms "
+    "shorter than 3 chars are dropped (prepositions dominate "
+    "otherwise). One explode, two map-side aggs, a window over the "
+    "per-source term lists only.",
+    oracle="""
+WITH tok AS (
+  SELECT source, doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents
+),
+tf AS (
+  SELECT source, t, CAST(COUNT(1) AS BIGINT) AS n
+  FROM tok WHERE length(t) >= 3 GROUP BY source, t
+),
+df AS (
+  SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok WHERE length(t) >= 3 GROUP BY t
+),
+nd AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.source, tf.t AS term, tf.n,
+         tf.n * (((SELECT n_docs FROM nd) * 1000000) // (df.df + 1)) AS score
+  FROM tf JOIN df ON df.t = tf.t
+)
+SELECT source, term, n, score, CAST(rk AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+) WHERE rk <= 5
+""",
+)
+def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from formula_1_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source",
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+    ).filter(F.length("t") >= 3)
+    tf = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    df = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df.withColumnRenamed("t", "t2"), tf.t == F.col("t2"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "source",
+            F.col("t").alias("term"),
+            "n",
+            F.expr("n * ((n_docs * 1000000) div (df + 1))").alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", "term", "n", "score", F.col("rank").cast("int").alias("rank"))
+    )

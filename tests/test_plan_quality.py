@@ -43,6 +43,7 @@ BNLJ_OK = {
     "embedding_decontamination",  # eval-probe broadcast corpus scan
     "benford_price_audit",  # 1-row digit-total broadcast
     "events_anomaly_mad",  # 1-row median/MAD scalar broadcasts
+    "top_terms_per_source",  # 1-row corpus-size broadcast
 }
 
 
