@@ -180,3 +180,72 @@ def test_compaction_shrinks_file_count(spark, sf_dir):
     )
     assert 1 <= n_files < FRAGMENT_FILES / 4
     assert len(list_snapshots(lake)) >= 2
+
+
+def test_erasure_lake_contains_no_erased_user(spark, sf_dir):
+    """Directly scan the post-erasure lake: zero rows from the erased
+    hash bucket survive, and no non-erased row was dropped."""
+    from formula_1_spark.queries.lake_maintenance import (
+        _erase_bucket,
+        erased_events_lake,
+    )
+    from formula_1_spark.sources.io import read_current
+    from formula_1_spark.sources.tables import load_table
+
+    lake = erased_events_lake(spark, sf_dir)
+    cur = read_current(spark, lake)
+    assert cur.filter(_erase_bucket() == 0).count() == 0
+    expected = (
+        load_table(spark, sf_dir, "events").filter(_erase_bucket() != 0).count()
+    )
+    assert cur.count() == expected
+
+
+def test_locf_carries_last_observed_value(spark, sf_dir):
+    """Unobserved hours inherit exactly the previous non-null value; the
+    first observed hour onward locf is never NULL."""
+    out = (
+        REGISTRY["events_locf_fill"].fn(spark, sf_dir)
+        .orderBy("hour_us")
+        .collect()
+    )
+    last = None
+    seen_first = False
+    for r in out:
+        if r.observed:
+            seen_first = True
+            last = r.locf_value
+            assert r.locf_value is not None
+        else:
+            assert r.locf_value == last
+        if seen_first:
+            assert r.locf_value is not None
+
+
+def test_regression_matches_numpy(spark, sf_dir):
+    """The exact-sufficient-statistics OLS agrees with numpy's polyfit
+    on the same (x, y) points to float tolerance."""
+    import numpy as np
+
+    from formula_1_spark.sources.tables import load_table
+
+    row = REGISTRY["order_value_regression"].fn(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    ).toPandas()
+    x = li["l_quantity"].astype("int64").to_numpy()
+    y = np.floor(li["l_extendedprice"].to_numpy()).astype("int64")
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(row.slope - slope) < 1e-6 * max(1.0, abs(slope))
+    assert abs(row.intercept - intercept) < 1e-6 * max(1.0, abs(intercept))
+    r = np.corrcoef(x, y)[0, 1]
+    assert abs(row.pearson_r - r) < 1e-9
+
+
+def test_lsh_recall_high_band_is_complete(spark, sf_dir):
+    """Banded MinHash must find essentially every >=0.9-Jaccard pair
+    (8 bands x 4 rows: p(miss) = (1 - j^4)^8 < 0.9% at j=0.9)."""
+    rows = {r.jband: r for r in REGISTRY["minhash_recall_audit"].fn(spark, sf_dir).collect()}
+    hi = rows.get("0.9-1.0")
+    if hi is not None and hi.n_true_pairs > 0:
+        assert hi.recall_ppm >= 900_000
