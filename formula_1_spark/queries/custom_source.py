@@ -83,3 +83,62 @@ def paged_api_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@register(
+    "paged_api_sink_roundtrip",
+    ops="S5-alt,EXT-python-datasource-writer (two-phase-commit page sink)",
+    doc="Spark 4 Python DataSource WRITER E2E: orders written THROUGH "
+    "the custom paged_json_api sink (each task stages a page, driver "
+    "commit renames all-or-nothing — a failed task never publishes a "
+    "partial page), re-read through the matching reader, aggregated "
+    "per priority. Oracle aggregates orders directly: the sink/source "
+    "pair must round-trip every row and double bit-for-bit.",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(1) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def paged_api_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.sources.fixtures import (
+        building_dir,
+        fixture_root,
+        publish,
+    )
+
+    spark.dataSource.register(PagedJsonApiSource)
+    root = fixture_root("paged_api_sink_v1", sf_dir, "orders")
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        building = building_dir(root)
+        os.makedirs(building, exist_ok=True)
+        pages = os.path.join(building, "pages")
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+            .repartition(8)
+            .write.format("paged_json_api")
+            .option("path", pages)
+            .mode("overwrite")
+            .save()
+        )
+        with open(os.path.join(building, "_DONE"), "w") as fh:
+            fh.write("ok")
+        publish(building, root)
+    api = (
+        spark.read.format("paged_json_api")
+        .option("path", os.path.join(root, "pages"))
+        .option("schema_ddl", _SCHEMA_DDL)
+        .option("pages_per_partition", "2")
+        .load()
+    )
+    return api.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

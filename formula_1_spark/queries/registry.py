@@ -152,6 +152,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "minhash_recall_audit",
     "top_terms_per_source",
     "quality_vs_duplication",
+    "paged_api_sink_roundtrip",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",

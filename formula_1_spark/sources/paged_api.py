@@ -34,7 +34,13 @@ import glob
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class _PageChunk(InputPartition):
@@ -57,6 +63,9 @@ class PagedJsonApiSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _PagedJsonApiReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return _PagedJsonApiWriter(schema, self.options, overwrite)
 
 
 class _PagedJsonApiReader(DataSourceReader):
@@ -119,3 +128,54 @@ class _PagedJsonApiReader(DataSourceReader):
                 line = line.strip()
                 if line:
                     yield json.loads(line)
+
+
+# ---------------------------------------------------------------------------
+# Writer side: the same "API" as a first-class Spark SINK (Spark 4
+# DataSourceWriter) with a two-phase commit — each task stages its page
+# under a temp name and returns a commit message; the driver's commit()
+# renames every staged page into place, abort() deletes them. A failed
+# task can therefore never leave a half-published page visible to the
+# reader above.
+# ---------------------------------------------------------------------------
+
+
+class _PageCommit(WriterCommitMessage):
+    def __init__(self, staged: str, rows: int):
+        self.staged = staged
+        self.rows = rows
+
+
+class _PagedJsonApiWriter(DataSourceWriter):
+    def __init__(self, schema, options, overwrite: bool):
+        self._names = [f.name for f in schema.fields]
+        self._path = options["path"]
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self._path, exist_ok=True)
+        staged = os.path.join(self._path, f"_staged-{pid}-{os.getpid()}.json")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(self._names, row))) + "\n")
+                n += 1
+        return _PageCommit(staged, n)
+
+    def commit(self, messages):
+        if self._overwrite:
+            for old in glob.glob(os.path.join(self._path, "page-*.json")):
+                os.remove(old)
+        for i, m in enumerate(sorted(
+            (m for m in messages if m is not None), key=lambda m: m.staged
+        )):
+            os.replace(m.staged, os.path.join(self._path, f"page-{i:05d}.json"))
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
