@@ -76,6 +76,8 @@ SLATE = [
     "user_erasure_audit", "events_locf_fill", "benford_price_audit",
     "schema_evolution_scan", "events_anomaly_mad",
     "lang_id_confusion_matrix", "order_value_regression",
+    "minhash_recall_audit", "top_terms_per_source",
+    "quality_vs_duplication", "paged_api_sink_roundtrip",
 ]
 
 
