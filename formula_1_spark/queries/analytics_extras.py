@@ -450,3 +450,119 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@register(
+    "orders_seasonality_profile",
+    ops="EXT-seasonality,A1,W1 (month-of-year index vs annual mean)",
+    doc="Seasonality profile: order counts and exact decimal revenue per "
+    "calendar month-of-year, plus each month's index vs the all-month "
+    "mean in ppm (integer arithmetic; mean = total div 12 exact "
+    "integer). One scan, one 12-group aggregate, scalar totals "
+    "broadcast.",
+    oracle="""
+WITH m AS (
+  SELECT CAST(month(o_orderdate) AS INT) AS month_of_year,
+         CAST(COUNT(1) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_orders) AS BIGINT) AS t_orders,
+         CAST(SUM(revenue_cents) AS BIGINT) AS t_rev
+  FROM m
+)
+SELECT m.month_of_year, m.n_orders, m.revenue_cents,
+       (m.n_orders * 12 * 1000000) // t.t_orders AS order_index_ppm,
+       (m.revenue_cents * 12 * 1000000) // t.t_rev AS revenue_index_ppm
+FROM m, tot t
+""",
+)
+def orders_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.month("o_orderdate").cast("int").alias("month_of_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "revenue_cents"
+        ),
+    )
+    tot = m.agg(
+        F.sum("n_orders").alias("t_orders"), F.sum("revenue_cents").alias("t_rev")
+    )
+    return m.crossJoin(F.broadcast(tot)).select(
+        "month_of_year",
+        "n_orders",
+        "revenue_cents",
+        F.expr("(n_orders * 12 * 1000000) div t_orders").alias("order_index_ppm"),
+        F.expr("(revenue_cents * 12 * 1000000) div t_rev").alias(
+            "revenue_index_ppm"
+        ),
+    )
+
+
+@register(
+    "part_revenue_pareto",
+    ops="EXT-pareto,W1,A1 (cumulative-share concentration curve)",
+    doc="Pareto (80/20) concentration curve: parts ranked by exact "
+    "integer revenue cents, cumulative share in ppm via a window cumsum "
+    "over the PART-level rollup (never over lineitem), and the "
+    "in_top_80pct flag marking the prefix that covers 80% of revenue. "
+    "Top-100 parts emitted (the curve's head) with their cumulative "
+    "shares.",
+    oracle="""
+WITH pr AS (
+  SELECT l_partkey, CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+         AS BIGINT) AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS t FROM pr),
+ranked AS (
+  SELECT l_partkey, rev,
+         CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey ASC) AS INT)
+           AS rk,
+         CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_rev
+  FROM pr
+)
+SELECT r.l_partkey, r.rev, r.rk,
+       (r.cum_rev * 1000000) // t.t AS cum_share_ppm,
+       (r.cum_rev * 1000000) // t.t <= 800000 AS in_top_80pct
+FROM ranked r, tot t
+WHERE r.rk <= 100
+ORDER BY r.rk
+""",
+)
+def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint")).alias("rev")
+    )
+    tot = pr.agg(F.sum("rev").alias("t"))
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+    ranked = pr.select(
+        "l_partkey",
+        "rev",
+        F.row_number().over(w).cast("int").alias("rk"),
+        F.sum("rev")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_rev"),
+    ).filter(F.col("rk") <= 100)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "rev",
+            "rk",
+            F.expr("(cum_rev * 1000000) div t").alias("cum_share_ppm"),
+            (F.expr("(cum_rev * 1000000) div t") <= 800000).alias(
+                "in_top_80pct"
+            ),
+        )
+        .orderBy("rk")
+    )

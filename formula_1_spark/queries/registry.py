@@ -153,6 +153,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "top_terms_per_source",
     "quality_vs_duplication",
     "paged_api_sink_roundtrip",
+    "orders_seasonality_profile",
+    "part_revenue_pareto",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",

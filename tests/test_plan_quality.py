@@ -44,6 +44,8 @@ BNLJ_OK = {
     "benford_price_audit",  # 1-row digit-total broadcast
     "events_anomaly_mad",  # 1-row median/MAD scalar broadcasts
     "top_terms_per_source",  # 1-row corpus-size broadcast
+    "orders_seasonality_profile",  # 1-row totals broadcast
+    "part_revenue_pareto",  # 1-row revenue-total broadcast
 }
 
 
