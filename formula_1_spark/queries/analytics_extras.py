@@ -566,3 +566,87 @@ def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+@register(
+    "customer_rfm_segments",
+    ops="EXT-rfm,W1,A1 (recency/frequency/monetary quartile segmentation)",
+    doc="Classic RFM segmentation: per customer, recency (days from "
+    "last order to the corpus max date — integer), frequency (order "
+    "count), monetary (exact revenue cents); each dimension cut into "
+    "quartiles by ntile(4) over a (metric, custkey) total order "
+    "(recency ascending = best first); segment label 'r-f-m' of "
+    "quartile digits. Emits segment sizes and per-segment means on the "
+    "exact integer grid. Windows run over the customer rollup.",
+    oracle="""
+WITH mx AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(o_orderdate), (SELECT mx FROM mx))
+              AS BIGINT) AS recency_days,
+         CAST(COUNT(1) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT o_custkey, recency_days, frequency, monetary_cents,
+         CAST(NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS INT) AS r_q,
+         CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS INT) AS f_q,
+         CAST(NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS INT) AS m_q
+  FROM cust
+)
+SELECT r_q || '-' || f_q || '-' || m_q AS segment,
+       CAST(COUNT(1) AS BIGINT) AS n_customers,
+       (SUM(recency_days) * 1) // COUNT(1) AS mean_recency_days,
+       (SUM(frequency) * 1) // COUNT(1) AS mean_frequency,
+       (SUM(monetary_cents) * 1) // COUNT(1) AS mean_monetary_cents
+FROM tiled
+GROUP BY 1
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("mx"))
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff("mx", "last_order").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    tiled = cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .alias("r_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
+        .alias("m_q"),
+    )
+    return tiled.groupBy(
+        F.concat_ws("-", "r_q", "f_q", "m_q").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.expr("sum(recency_days) div count(1)").alias("mean_recency_days"),
+        F.expr("sum(frequency) div count(1)").alias("mean_frequency"),
+        F.expr("sum(monetary_cents) div count(1)").alias("mean_monetary_cents"),
+    )

@@ -155,6 +155,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "paged_api_sink_roundtrip",
     "orders_seasonality_profile",
     "part_revenue_pareto",
+    "customer_rfm_segments",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",

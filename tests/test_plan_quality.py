@@ -46,6 +46,7 @@ BNLJ_OK = {
     "top_terms_per_source",  # 1-row corpus-size broadcast
     "orders_seasonality_profile",  # 1-row totals broadcast
     "part_revenue_pareto",  # 1-row revenue-total broadcast
+    "customer_rfm_segments",  # 1-row corpus-max-date broadcast
 }
 
 
