@@ -78,6 +78,8 @@ SLATE = [
     "lang_id_confusion_matrix", "order_value_regression",
     "minhash_recall_audit", "top_terms_per_source",
     "quality_vs_duplication", "paged_api_sink_roundtrip",
+    "orders_seasonality_profile", "part_revenue_pareto",
+    "customer_rfm_segments",
 ]
 
 
