@@ -650,3 +650,56 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(frequency) div count(1)").alias("mean_frequency"),
         F.expr("sum(monetary_cents) div count(1)").alias("mean_monetary_cents"),
     )
+
+
+@register(
+    "orders_mom_change",
+    ops="EXT-mom-change,W1,A1 (month-over-month delta via lag)",
+    doc="Month-over-month revenue change: monthly exact-cents rollup, "
+    "lag(1) over the month sequence, absolute delta and relative "
+    "change in ppm (integer div; NULL for the first month). The lag "
+    "window runs over the O(months) rollup.",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+         CAST(COUNT(1) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT strftime(month_start, '%Y-%m-%d') AS month_start,
+         revenue_cents, n_orders,
+         LAG(revenue_cents) OVER (ORDER BY month_start) AS prev_cents
+  FROM m
+)
+SELECT month_start, revenue_cents, n_orders,
+       revenue_cents - prev_cents AS delta_cents,
+       ((revenue_cents - prev_cents) * 1000000) // prev_cents
+         AS mom_change_ppm
+FROM lagged
+""",
+)
+def orders_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("ms")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "revenue_cents"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("ms")
+    lagged = m.withColumn("prev_cents", F.lag("revenue_cents").over(w))
+    return lagged.select(
+        F.date_format("ms", "yyyy-MM-dd").alias("month_start"),
+        "revenue_cents",
+        "n_orders",
+        (F.col("revenue_cents") - F.col("prev_cents")).alias("delta_cents"),
+        F.expr(
+            "((revenue_cents - prev_cents) * 1000000) div prev_cents"
+        ).alias("mom_change_ppm"),
+    )

@@ -156,6 +156,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "orders_seasonality_profile",
     "part_revenue_pareto",
     "customer_rfm_segments",
+    "latest_event_per_user_type",
+    "orders_mom_change",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",

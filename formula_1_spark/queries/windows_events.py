@@ -317,3 +317,45 @@ def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("hour_ts")
     )
+
+
+@register(
+    "latest_event_per_user_type",
+    ops="EXT-latest-record,W1 (dedupe-to-latest upsert view)",
+    doc="The ubiquitous keep-latest dedup: one row per (user, "
+    "event_type) — the most recent event by the (ts, event_id) total "
+    "order (row_number over the key partition; map-side partial "
+    "aggregation does NOT apply, but the shuffle carries only the key "
+    "columns + payload once). This is the batch view a streaming "
+    "upsert sink maintains incrementally (cdc_stream_merge_orders).",
+    oracle="""
+SELECT user_id, event_type, event_id AS latest_event_id,
+       epoch_us(ts) AS latest_ts_us,
+       value AS latest_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id, event_type
+    ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+) WHERE rk = 1
+""",
+)
+def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.unix_micros("ts").alias("latest_ts_us"),
+            F.col("value").alias("latest_value"),
+        )
+    )
