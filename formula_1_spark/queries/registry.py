@@ -158,6 +158,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "customer_rfm_segments",
     "latest_event_per_user_type",
     "orders_mom_change",
+    "countmin_error_audit",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",

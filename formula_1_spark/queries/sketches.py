@@ -219,3 +219,117 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+_CM_D = 4  # hash rows
+_CM_W = 1024  # buckets per row
+
+
+@register(
+    "countmin_error_audit",
+    ops="EXT-countmin,A1,W2 (hand-rolled mergeable sketch + error audit)",
+    doc=f"Count-min sketch built from scratch in relational ops: "
+    f"{_CM_D} salted md5 hash rows x {_CM_W} buckets over lineitem "
+    f"supplier occurrences (one explode -> one (row, bucket) groupBy — "
+    f"map-side combinable, mergeable across partitions/days by "
+    f"construction), then the audit: estimate = min over rows for the "
+    f"top-20 exact suppliers, overestimate ppm vs truth (count-min "
+    f"never underestimates). Sketch is deterministic (shared md5 "
+    f"family), so DuckDB replays it bit-for-bit — unlike the "
+    f"approx_top_k queries, nothing here is flag-asserted.",
+    oracle=f"""
+WITH occ AS (
+  SELECT l_suppkey AS key FROM lineitem
+),
+coords AS (
+  SELECT key, i.i AS i,
+         ('0x' || substr(md5(i.i || ':' || CAST(key AS VARCHAR)), 1, 8))::BIGINT
+           % {_CM_W} AS bucket
+  FROM occ, (SELECT unnest(range(0, {_CM_D})) AS i) i
+),
+sketch AS (
+  SELECT i, bucket, CAST(COUNT(1) AS BIGINT) AS c
+  FROM coords GROUP BY i, bucket
+),
+exact AS (
+  SELECT key, CAST(COUNT(1) AS BIGINT) AS exact_n FROM occ GROUP BY key
+),
+top20 AS (
+  SELECT key, exact_n,
+         ROW_NUMBER() OVER (ORDER BY exact_n DESC, key ASC) AS rk
+  FROM exact QUALIFY rk <= 20
+),
+probe AS (
+  SELECT t.key, t.exact_n, t.rk, MIN(s.c) AS est_n
+  FROM top20 t,
+       (SELECT unnest(range(0, {_CM_D})) AS i) i
+  JOIN sketch s
+    ON s.i = i.i
+   AND s.bucket = ('0x' || substr(md5(i.i || ':' || CAST(t.key AS VARCHAR)), 1, 8))::BIGINT
+                  % {_CM_W}
+  GROUP BY t.key, t.exact_n, t.rk
+)
+SELECT CAST(rk AS INT) AS rank, key, exact_n, est_n,
+       est_n - exact_n AS overestimate,
+       ((est_n - exact_n) * 1000000) // exact_n AS overestimate_ppm
+FROM probe
+ORDER BY rank
+""",
+)
+def countmin_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("key")
+    )
+    coord = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        ":", F.lit(str(i)), F.col("key").cast("string")
+                                    )
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint"),
+                        F.lit(_CM_W),
+                    ).alias("bucket"),
+                )
+                for i in range(_CM_D)
+            ]
+        )
+    ).alias("c")
+    coords = li.select("key", coord).select("key", "c.i", "c.bucket")
+    sketch = coords.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = li.groupBy("key").agg(F.count(F.lit(1)).alias("exact_n"))
+    top20 = (
+        exact.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("exact_n"), F.asc("key")))
+        )
+        .filter(F.col("rk") <= 20)
+    )
+    probe_coords = top20.select("key", "exact_n", "rk", coord).select(
+        "key", "exact_n", "rk", "c.i", "c.bucket"
+    )
+    probe = (
+        probe_coords.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("key", "exact_n", "rk")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return probe.select(
+        F.col("rk").cast("int").alias("rank"),
+        "key",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overestimate"),
+        F.expr("((est_n - exact_n) * 1000000) div exact_n").alias(
+            "overestimate_ppm"
+        ),
+    ).orderBy("rank")
