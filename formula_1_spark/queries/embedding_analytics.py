@@ -306,3 +306,67 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(_Q) * F.lit(_Q) * n)
         ).alias("variance"),
     )
+
+
+@register(
+    "embedding_cosine_histogram",
+    ops="EXT-similarity-calibration,A1 (pairwise-distance distribution)",
+    doc="Similarity-threshold calibration: the distribution of pairwise "
+    "cosines over a deterministic hash sample of vectors (md5 bucket "
+    "< 64 of 1024 — a bounded all-pairs within the sample, never the "
+    "corpus), bucketed to floor(cos*10). The histogram every near-dup "
+    "threshold (0.92? 0.4?) should be read against before it is "
+    "pinned; sampled pair count scales with the SQUARE of the sample "
+    "rate, not corpus size.",
+    oracle="""
+WITH s AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE ('0x' || substr(md5('pairs' || ':' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+        % 1024 < 64
+),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+                     (acc, v) -> acc + v)
+         / (sqrt(list_reduce(list_transform(a.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))
+          * sqrt(list_reduce(list_transform(b.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)))
+           AS cos
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+)
+SELECT CAST(FLOOR(cos * 10) AS INT) AS cos_decile,
+       CAST(COUNT(1) AS BIGINT) AS n_pairs,
+       MIN(cos) AS min_cos, MAX(cos) AS max_cos
+FROM pairs
+GROUP BY 1
+""",
+)
+def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("pairs"), F.col("vec_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1024
+    )
+    s = emb.filter(bucket < 64).select("vec_id", "embedding")
+    a = s.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = s.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib")).withColumn(
+        "cos", cosine(F.col("ea"), F.col("eb"))
+    )
+    return pairs.groupBy(
+        F.floor(F.col("cos") * 10).cast("int").alias("cos_decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("cos").alias("min_cos"),
+        F.max("cos").alias("max_cos"),
+    )

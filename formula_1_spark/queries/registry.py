@@ -159,6 +159,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "latest_event_per_user_type",
     "orders_mom_change",
     "countmin_error_audit",
+    "embedding_cosine_histogram",
+    "source_mix_drift",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",

@@ -478,3 +478,66 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("source", "term", "n", "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@register(
+    "source_mix_drift",
+    ops="EXT-mix-drift,A1,W1 (corpus composition drift audit)",
+    doc="Source-mix drift: the corpus split into 10 doc_id-decile "
+    "batches (the ingestion-order proxy the testdata offers), per "
+    "(batch, source) share in ppm, and each cell's absolute deviation "
+    "from the source's corpus-wide share — the composition-drift "
+    "monitor a mixture plan (corpus_mixture_plan) is recalibrated "
+    "from. Two aggregates over one scan; the share window runs over "
+    "the tiny (batch, source) matrix.",
+    oracle="""
+WITH b AS (
+  SELECT source, CAST(NTILE(10) OVER (ORDER BY doc_id ASC) AS INT) AS batch
+  FROM documents
+),
+cells AS (
+  SELECT batch, source, CAST(COUNT(1) AS BIGINT) AS n
+  FROM b GROUP BY batch, source
+),
+shares AS (
+  SELECT batch, source, n,
+         (n * 1000000) // SUM(n) OVER (PARTITION BY batch) AS share_ppm,
+         (SUM(n) OVER (PARTITION BY source) * 1000000)
+           // SUM(n) OVER () AS corpus_share_ppm
+  FROM cells
+)
+SELECT batch, source, n, share_ppm, corpus_share_ppm,
+       abs(share_ppm - corpus_share_ppm) AS drift_ppm
+FROM shares
+""",
+)
+def source_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "source",
+        F.ntile(10).over(Window.orderBy(F.asc("doc_id"))).alias("batch"),
+    )
+    cells = b.groupBy("batch", "source").agg(F.count(F.lit(1)).alias("n"))
+    wb = Window.partitionBy("batch")
+    ws = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    shares = cells.select(
+        "batch",
+        "source",
+        "n",
+        F.expr("n * 1000000").alias("_num"),
+        F.sum("n").over(wb).alias("_bt"),
+        (F.sum("n").over(ws) * 1000000).alias("_snum"),
+        F.sum("n").over(wall).alias("_tot"),
+    ).select(
+        "batch",
+        "source",
+        "n",
+        F.expr("_num div _bt").alias("share_ppm"),
+        F.expr("_snum div _tot").alias("corpus_share_ppm"),
+    )
+    return shares.withColumn(
+        "drift_ppm", F.abs(F.col("share_ppm") - F.col("corpus_share_ppm"))
+    )

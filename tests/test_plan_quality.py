@@ -47,6 +47,7 @@ BNLJ_OK = {
     "orders_seasonality_profile",  # 1-row totals broadcast
     "part_revenue_pareto",  # 1-row revenue-total broadcast
     "customer_rfm_segments",  # 1-row corpus-max-date broadcast
+    "embedding_cosine_histogram",  # hash-sampled pair set, sample broadcast
 }
 
 
