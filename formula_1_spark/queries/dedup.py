@@ -763,3 +763,60 @@ def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if("found").alias("n_lsh_found"),
         F.expr("(count_if(found) * 1000000) div count(1)").alias("recall_ppm"),
     )
+
+
+@register(
+    "shingle_df_profile",
+    ops="EXT-df-profile,A1 (inverted-index occupancy audit)",
+    doc="Document-frequency profile of the dedup shingle index — the "
+    "evidence behind the max_df=50 candidate cap (key_skew_profile's "
+    "counterpart for the text index): shingles bucketed by "
+    "floor(log2(df)) via bit length (integer-exact, no log()), per "
+    "bucket: shingle count, total postings, and the share of all "
+    "postings in ppm. A fat high-df tail here is exactly the quadratic "
+    "candidate noise the cap removes. Aggregates run over the shingle "
+    "rollup, never over postings twice.",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+posting AS (SELECT doc_id, unnest(sh) AS shingle FROM shf),
+dfs AS (
+  SELECT shingle, CAST(COUNT(1) AS BIGINT) AS df
+  FROM posting GROUP BY shingle
+),
+bucketed AS (
+  SELECT CAST(length(bin(df)) - 1 AS INT) AS df_log2_bucket, df FROM dfs
+),
+tot AS (SELECT CAST(SUM(df) AS BIGINT) AS t FROM bucketed)
+SELECT b.df_log2_bucket,
+       CAST(COUNT(1) AS BIGINT) AS n_shingles,
+       CAST(SUM(b.df) AS BIGINT) AS total_postings,
+       (SUM(b.df) * 1000000) // any_value(t.t) AS postings_share_ppm,
+       CAST(MAX(b.df) AS BIGINT) AS max_df
+FROM bucketed b, tot t
+GROUP BY b.df_log2_bucket
+""",
+)
+def shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shared_relations(spark, sf_dir)["sh"]
+    posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    dfs = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # floor(log2(df)) via bit length (length of the binary string minus
+    # 1) — integer-exact in both engines; float log2 floors can flip at
+    # exact powers of two depending on the libm.
+    bucketed = dfs.select(
+        (F.length(F.bin("df")) - 1).cast("int").alias("df_log2_bucket"),
+        "df",
+    )
+    tot = bucketed.agg(F.sum("df").alias("t"))
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .groupBy("df_log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("df").alias("total_postings"),
+            F.expr("(sum(df) * 1000000) div any_value(t)").alias(
+                "postings_share_ppm"
+            ),
+            F.max("df").alias("max_df"),
+        )
+    )

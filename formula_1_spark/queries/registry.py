@@ -161,6 +161,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "countmin_error_audit",
     "embedding_cosine_histogram",
     "source_mix_drift",
+    "shingle_df_profile",
+    "events_hour_of_day_profile",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",

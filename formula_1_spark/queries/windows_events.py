@@ -359,3 +359,50 @@ def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("latest_value"),
         )
     )
+
+
+@register(
+    "events_hour_of_day_profile",
+    ops="EXT-hourly-seasonality,A1 (diurnal activity profile)",
+    doc="Diurnal activity profile: events per (hour-of-day, weekday/"
+    "weekend), share of the day class in ppm, and the hour's index vs "
+    "the uniform 1/24 expectation — the load-shape audit behind "
+    "capacity planning and anomaly baselines (events_anomaly_mad "
+    "flags deviations; this is the baseline it deviates from).",
+    oracle="""
+WITH h AS (
+  SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend'
+              ELSE 'weekday' END AS day_class,
+         CAST(COUNT(1) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT day_class, CAST(SUM(n_events) AS BIGINT) AS t
+  FROM h GROUP BY day_class
+)
+SELECT h.hour_of_day, h.day_class, h.n_events,
+       (h.n_events * 1000000) // t.t AS share_ppm,
+       (h.n_events * 24 * 1000000) // t.t AS uniform_index_ppm
+FROM h JOIN tot t ON t.day_class = h.day_class
+""",
+)
+def events_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    # DuckDB dayofweek: 0=Sunday..6=Saturday; Spark dayofweek: 1=Sunday..
+    # 7=Saturday — shift to match.
+    dow = F.dayofweek("ts") - 1
+    h = events.groupBy(
+        F.hour("ts").cast("int").alias("hour_of_day"),
+        F.when(dow.isin(0, 6), "weekend").otherwise("weekday").alias("day_class"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tot = h.groupBy("day_class").agg(F.sum("n_events").alias("t"))
+    return h.join(F.broadcast(tot), "day_class").select(
+        "hour_of_day",
+        "day_class",
+        "n_events",
+        F.expr("(n_events * 1000000) div t").alias("share_ppm"),
+        F.expr("(n_events * 24 * 1000000) div t").alias("uniform_index_ppm"),
+    )

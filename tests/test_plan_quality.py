@@ -48,6 +48,7 @@ BNLJ_OK = {
     "part_revenue_pareto",  # 1-row revenue-total broadcast
     "customer_rfm_segments",  # 1-row corpus-max-date broadcast
     "embedding_cosine_histogram",  # hash-sampled pair set, sample broadcast
+    "shingle_df_profile",  # 1-row postings-total broadcast
 }
 
 
