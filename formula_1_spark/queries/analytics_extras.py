@@ -703,3 +703,70 @@ def orders_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             "((revenue_cents - prev_cents) * 1000000) div prev_cents"
         ).alias("mom_change_ppm"),
     )
+
+
+@register(
+    "customer_order_gap_stats",
+    ops="EXT-order-gaps,W1,A1 (inter-purchase interval distribution)",
+    doc="Inter-order gap distribution (the churn-model feature): days "
+    "between consecutive orders per customer via lag over the "
+    "(o_orderdate, o_orderkey) key-partitioned order, then corpus "
+    "stats per gap band (integer-day buckets: <30, 30-89, 90-364, "
+    "365+): gap count, exact mean days, share ppm. The lag window is "
+    "key-partitioned (co-partitioned with the shuffle) — no global "
+    "sort anywhere.",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey,
+         date_diff('day',
+           LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap_days
+  FROM orders
+),
+gaps AS (SELECT gap_days FROM seq WHERE gap_days IS NOT NULL),
+banded AS (
+  SELECT CASE WHEN gap_days < 30 THEN '<30'
+              WHEN gap_days < 90 THEN '30-89'
+              WHEN gap_days < 365 THEN '90-364'
+              ELSE '365+' END AS gap_band,
+         gap_days
+  FROM gaps
+),
+tot AS (SELECT CAST(COUNT(1) AS BIGINT) AS t FROM banded)
+SELECT b.gap_band,
+       CAST(COUNT(1) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_days) AS BIGINT) // COUNT(1) AS mean_gap_days,
+       (COUNT(1) * 1000000) // any_value(t.t) AS share_ppm
+FROM banded b, tot t
+GROUP BY b.gap_band
+""",
+)
+def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    banded = seq.select(
+        F.when(F.col("gap_days") < 30, "<30")
+        .when(F.col("gap_days") < 90, "30-89")
+        .when(F.col("gap_days") < 365, "90-364")
+        .otherwise("365+")
+        .alias("gap_band"),
+        F.col("gap_days").cast("bigint").alias("gap_days"),
+    )
+    tot = banded.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        banded.crossJoin(F.broadcast(tot))
+        .groupBy("gap_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.expr("sum(gap_days) div count(1)").alias("mean_gap_days"),
+            F.expr("(count(1) * 1000000) div any_value(t)").alias("share_ppm"),
+        )
+    )

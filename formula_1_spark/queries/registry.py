@@ -163,6 +163,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "source_mix_drift",
     "shingle_df_profile",
     "events_hour_of_day_profile",
+    "customer_order_gap_stats",
+    "vocab_growth_heaps",
     # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
     "ctas_priority_summary",
     "f1_gold_driver_standings",

@@ -541,3 +541,81 @@ def source_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shares.withColumn(
         "drift_ppm", F.abs(F.col("share_ppm") - F.col("corpus_share_ppm"))
     )
+
+
+@register(
+    "vocab_growth_heaps",
+    ops="EXT-heaps-law,A1,W1 (vocabulary-growth audit)",
+    doc="Heaps'-law vocabulary growth: the corpus split into 10 "
+    "doc_id-decile batches, each distinct token attributed to its FIRST "
+    "batch (min over the token's postings — one groupBy, no iterative "
+    "scan), then per batch: tokens processed, newly-seen vocabulary, "
+    "cumulative vocabulary, new-per-token rate in ppm. Sub-linear "
+    "cumulative growth is the expected natural-corpus shape; a linear "
+    "curve flags synthetic or shuffled text. The cumulative window "
+    "runs over 10 rows.",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, CAST(NTILE(10) OVER (ORDER BY doc_id ASC) AS INT) AS batch,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents
+),
+batch_tokens AS (
+  SELECT batch, CAST(COUNT(1) AS BIGINT) AS n_tokens FROM b GROUP BY batch
+),
+first_seen AS (
+  SELECT t, MIN(batch) AS first_batch FROM b GROUP BY t
+),
+new_vocab AS (
+  SELECT first_batch AS batch, CAST(COUNT(1) AS BIGINT) AS new_tokens
+  FROM first_seen GROUP BY first_batch
+)
+SELECT bt.batch, bt.n_tokens,
+       COALESCE(nv.new_tokens, 0) AS new_tokens,
+       CAST(SUM(COALESCE(nv.new_tokens, 0)) OVER (ORDER BY bt.batch
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_vocab,
+       (COALESCE(nv.new_tokens, 0) * 1000000) // bt.n_tokens
+         AS new_per_token_ppm
+FROM batch_tokens bt LEFT JOIN new_vocab nv ON nv.batch = bt.batch
+""",
+)
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from formula_1_spark.sources.tables import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    tiled = docs.select(
+        "doc_id",
+        "text",
+        F.ntile(10).over(Window.orderBy(F.asc("doc_id"))).alias("batch"),
+    )
+    b = fan_out(tiled).select(
+        "batch", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    batch_tokens = b.groupBy("batch").agg(F.count(F.lit(1)).alias("n_tokens"))
+    first_seen = b.groupBy("t").agg(F.min("batch").alias("first_batch"))
+    new_vocab = first_seen.groupBy(
+        F.col("first_batch").alias("batch")
+    ).agg(F.count(F.lit(1)).alias("new_tokens"))
+    w = Window.orderBy("batch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        batch_tokens.join(new_vocab, "batch", "left")
+        .select(
+            "batch",
+            "n_tokens",
+            F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"),
+        )
+        .select(
+            "batch",
+            "n_tokens",
+            "new_tokens",
+            F.sum("new_tokens").over(w).alias("cumulative_vocab"),
+            F.expr("(new_tokens * 1000000) div n_tokens").alias(
+                "new_per_token_ppm"
+            ),
+        )
+    )

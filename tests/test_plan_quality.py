@@ -49,6 +49,7 @@ BNLJ_OK = {
     "customer_rfm_segments",  # 1-row corpus-max-date broadcast
     "embedding_cosine_histogram",  # hash-sampled pair set, sample broadcast
     "shingle_df_profile",  # 1-row postings-total broadcast
+    "customer_order_gap_stats",  # 1-row gap-total broadcast
 }
 
 
