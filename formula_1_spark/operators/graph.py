@@ -147,6 +147,20 @@ def pagerank_quantized(
     ).persist()
 
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank_quantized: empty node relation")
+    # Enforce the documented bigint bound: pr_q (<= PR_SCALE) * w must
+    # stay under 2^63, so w must stay under 2^63 / PR_SCALE. One scalar
+    # travels to the driver; an oversized weight fails loudly here
+    # instead of silently wrapping int64 mid-iteration.
+    max_w = edges.agg(F.max(weight_col)).first()[0]
+    w_bound = (2**63 - 1) // PR_SCALE
+    if max_w is not None and max_w > w_bound:
+        raise ValueError(
+            f"pagerank_quantized: max edge weight {max_w} exceeds the "
+            f"overflow-safe bound {w_bound} (pr_q * w must fit int64); "
+            "pre-divide weights by their GCD or lift to decimal(38,0)"
+        )
     tele_q = ((100 - damping_pct) * (PR_SCALE // n_nodes)) // 100
     base = nodes.select(F.col(node_col).alias("node")).persist()
     pr = base.withColumn("pr_q", F.lit(PR_SCALE // n_nodes)).persist()

@@ -37,27 +37,18 @@ def global_rank(df: DataFrame, order_cols: Sequence[Column], alias: str = "rank"
     return df.withColumn(alias, F.rank().over(Window.orderBy(*order_cols)))
 
 
-def distributed_global_enumerate(
+def _ranged_enumerate(
     df: DataFrame,
     order_cols: Sequence[Column],
-    alias: str = "rank",
-    n_parts: int | None = None,
-) -> DataFrame:
-    """Scale-safe FULL global 1-based enumeration by a total order — the
-    distributed alternative to ``Window.orderBy`` row_number when every
-    row needs its rank (epoch shuffling, stable sharding), not just the
-    top-k.
-
-    Plan: range-partition on the order key, ``row_number`` within each
-    range partition (parallel — one window task per partition), then add
-    the exclusive prefix sum of partition counts. Only #partitions longs
-    travel to the driver; data rows never converge on one task.
-
-    The order key must be a TOTAL order (unique per row) — with ties the
-    rank of tied rows would depend on which side of a range boundary they
-    sampled to. Input is persisted for the two passes (count + rank) so
-    both jobs see identical range boundaries; at 100 TB prefer a
-    checkpointed or already-materialized input.
+    alias: str,
+    n_parts: int | None,
+) -> tuple[DataFrame, int]:
+    """Shared two-phase core: range-partition on the order key,
+    ``row_number`` within each range partition (parallel — one window task
+    per partition), then add the exclusive prefix sum of partition counts.
+    Only #partitions longs travel to the driver; data rows never converge
+    on one task. Returns ``(enumerated_df, total_row_count)`` — the count
+    is a free by-product of the offset pass.
     """
     if n_parts is None:
         n_parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -72,18 +63,79 @@ def distributed_global_enumerate(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    off_map = F.create_map(
-        *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
-    )
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
+        )
+        offset_expr = F.element_at(off_map, F.col("__pid"))
+    else:  # empty input: no pids observed
+        offset_expr = F.lit(0)
     local_w = Window.partitionBy("__pid").orderBy(*order_cols)
-    return (
+    enumerated = (
         parts.withColumn(
             alias,
-            (F.row_number().over(local_w) + F.element_at(off_map, F.col("__pid")))
-            .cast("bigint"),
+            (F.row_number().over(local_w) + offset_expr).cast("bigint"),
         )
         .drop("__pid")
     )
+    return enumerated, acc
+
+
+def distributed_global_enumerate(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    alias: str = "rank",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Scale-safe FULL global 1-based enumeration by a total order — the
+    distributed alternative to ``Window.orderBy`` row_number when every
+    row needs its rank (epoch shuffling, stable sharding), not just the
+    top-k.
+
+    The order key must be a TOTAL order (unique per row) — with ties the
+    rank of tied rows would depend on which side of a range boundary they
+    sampled to. Input is persisted for the two passes (count + rank) so
+    both jobs see identical range boundaries; at 100 TB prefer a
+    checkpointed or already-materialized input.
+    """
+    return _ranged_enumerate(df, order_cols, alias, n_parts)[0]
+
+
+def global_ntile_two_phase(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    n_tiles: int,
+    alias: str = "tile",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (ORDER BY order_cols)`` without the
+    single-partition global sort an unpartitioned window forces.
+
+    Two-phase: distributed global enumeration (range shuffle + local
+    row_number + broadcast prefix-sum offsets), then the closed-form SQL
+    NTILE bucket function of (rank, N): with ``base = N div n`` and
+    ``rem = N mod n``, the first ``rem`` tiles hold ``base+1`` rows and
+    the rest ``base`` — bit-identical to ``F.ntile``/DuckDB ``NTILE`` for
+    any TOTAL order (unique key; with ties the assignment would be
+    engine-dependent in the window form too). N arrives for free from the
+    offset pass — no extra count job. At 100 TB both shuffles stay fully
+    parallel; nothing converges on one task.
+    """
+    ranked, total = _ranged_enumerate(df, order_cols, "__rn", n_parts)
+    base, rem = divmod(total, n_tiles) if total > 0 else (0, 0)
+    if base == 0:
+        # Fewer rows than tiles (or empty): NTILE gives row i tile i.
+        tile = F.col("__rn").cast("int")
+    else:
+        boundary = rem * (base + 1)
+        tile = (
+            F.when(
+                F.col("__rn") <= F.lit(boundary),
+                F.expr(f"(__rn - 1) div {base + 1}"),
+            ).otherwise(F.lit(rem) + F.expr(f"(__rn - {boundary} - 1) div {base}"))
+            + F.lit(1)
+        ).cast("int")
+    return ranked.withColumn(alias, tile).drop("__rn")
 
 
 def two_phase_global_topk(

@@ -539,20 +539,29 @@ ORDER BY r.rk
 def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from formula_1_spark.operators.windows import two_phase_global_topk
+
     li = load_table(spark, sf_dir, "lineitem")
     pr = li.groupBy("l_partkey").agg(
         F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint")).alias("rev")
     )
     tot = pr.agg(F.sum("rev").alias("t"))
+    # Two-phase top-100 over the part rollup ((rev, l_partkey) is a total
+    # order, so rank == row_number); the prefix property means cum_rev over
+    # the 100 survivors equals cum_rev over the full relation for those
+    # rows, so the cumsum window runs over <=100 rows.
     w = Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
-    ranked = pr.select(
+    top = two_phase_global_topk(
+        pr, [F.desc("rev"), F.asc("l_partkey")], 100, alias="rk_raw"
+    )
+    ranked = top.select(
         "l_partkey",
         "rev",
-        F.row_number().over(w).cast("int").alias("rk"),
+        F.col("rk_raw").cast("int").alias("rk"),
         F.sum("rev")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("cum_rev"),
-    ).filter(F.col("rk") <= 100)
+    )
     return (
         ranked.crossJoin(F.broadcast(tot))
         .select(
@@ -606,7 +615,7 @@ GROUP BY 1
 """,
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from formula_1_spark.operators.windows import global_ntile_two_phase
 
     orders = load_table(spark, sf_dir, "orders")
     mx = orders.agg(F.max("o_orderdate").alias("mx"))
@@ -627,20 +636,19 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    tiled = cust.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary_cents",
-        F.ntile(4)
-        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
-        .alias("r_q"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-        .alias("f_q"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
-        .alias("m_q"),
+    # Three exact two-phase NTILE(4) passes over the customer rollup —
+    # each a parallel range shuffle, replacing three unpartitioned ntile
+    # windows that would funnel every customer through one task at scale.
+    # Persist the rollup so the three enumerations share one orders scan.
+    cust = cust.persist()
+    tiled = global_ntile_two_phase(
+        cust, [F.asc("recency_days"), F.asc("o_custkey")], 4, alias="r_q"
+    )
+    tiled = global_ntile_two_phase(
+        tiled, [F.desc("frequency"), F.asc("o_custkey")], 4, alias="f_q"
+    )
+    tiled = global_ntile_two_phase(
+        tiled, [F.desc("monetary_cents"), F.asc("o_custkey")], 4, alias="m_q"
     )
     return tiled.groupBy(
         F.concat_ws("-", "r_q", "f_q", "m_q").alias("segment")

@@ -246,9 +246,8 @@ GROUP BY quintile
 """,
 )
 def quality_vs_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from formula_1_spark.functions.text import fingerprint, quality_score
+    from formula_1_spark.operators.windows import global_ntile_two_phase
 
     docs = load_table(spark, sf_dir, "documents")
     q = docs.select(
@@ -257,12 +256,13 @@ def quality_vs_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint("text").alias("fp"),
     )
     dupes = q.groupBy("fp").agg((F.count(F.lit(1)) > 1).alias("is_dup_group"))
-    tiled = q.join(dupes, "fp").select(
-        "doc_id",
-        "is_dup_group",
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("score"), F.asc("doc_id")))
-        .alias("quintile"),
+    # Two-phase exact NTILE(5) over (score, doc_id) — parallel batch
+    # assignment instead of a single-partition corpus sort.
+    tiled = global_ntile_two_phase(
+        q.join(dupes, "fp").select("doc_id", "is_dup_group", "score"),
+        [F.asc("score"), F.asc("doc_id")],
+        5,
+        alias="quintile",
     )
     return tiled.groupBy("quintile").agg(
         F.count(F.lit(1)).alias("n_docs"),

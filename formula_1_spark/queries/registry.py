@@ -50,137 +50,71 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 
 # The correctness driver snapshots the FIRST 50 registry entries in
 # iteration order each round. Rotate driver attention by listing the
-# queries that most need a fresh driver row first: round 3 front-loads the
-# 42 never-driver-checked queries, the new round-3 registrations, then the
-# 15 queries whose last driver row predates the round-2 testdata
-# regeneration. Names absent from REGISTRY are skipped; registered names
-# absent from this list keep their registration order after it.
+# queries that most need a fresh driver row first: round 4 front-loads the
+# 50 hardest of the 55 round-3 additions that have never had a driver row
+# (CORRECTNESS_r01-r03 union), hardest-first per VERDICT.md r3 item 1; the
+# 5 simplest aggregate profiles are deferred to round 5 and listed next so
+# the round-5 rotation is a 5-line edit. Names absent from REGISTRY are
+# skipped; registered names absent from this list keep their registration
+# order after it.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (r1+r2) ---
-    "heavy_hitters_topk",
-    "tpch_q12_late_shipment_priority",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_relationship",
-    "tpch_q20_promotion_supplier",
-    "customers_semi_anti",
-    "skew_salted_join",
-    "lineitem_rollup",
-    "events_from_json_typed",
-    "string_functions_battery",
-    "date_arithmetic_battery",
-    "window_frames_battery",
-    "array_functions_battery",
-    "doc_chunking",
-    "text_scrub_pii",
-    "dataset_hash_split",
-    "training_data_funnel",
-    "sample_stratified_by_lang",
-    "sample_fixed_per_source",
-    "corpus_ngram_stats",
-    "sequence_packing",
-    "corpus_mixture_plan",
-    "doc_rarity_filter",
-    "benchmark_decontamination",
-    "repetition_profile",
-    "cdc_stream_merge_orders",
-    "matview_incremental_orders",
-    "orders_time_travel_diff",
-    "data_quality_expectations",
-    "sample_weighted_priority",
-    "orders_grouping_sets",
-    "part_hierarchy_rollup",
-    "lateral_top_orders",
-    "cogroup_order_reconciliation",
-    "events_variant_extract",
-    "paged_api_source_ingest",
-    # --- new this round ---
-    "dedup_embedding_cosine_scaled",
-    "orders_zorder_pruned_scan",
-    "training_epoch_shuffle",
-    "bucketed_colocated_join",
-    "entity_resolution_fuzzy",
-    "quality_quantile_filter",
-    "crossdoc_ngram_spans",
-    "nation_trade_shortest_path",
-    # --- new round-3 additions past the 50-row snapshot window: next in
-    # line for a driver row in round 4, oracle-verified locally meanwhile
-    "tfidf_lexical_topk",
-    "bm25_corpus_search",
-    "nation_trade_pagerank",
-    "sample_temperature_mixture",
-    "runtime_bloom_pruned_join",
-    "similarity_ann_pq",
-    "map_functions_battery",
-    "csv_quarantine_source",
-    "customer_yoy_full_outer",
-    "aqe_skew_split_join",
-    "split_leakage_audit",
-    "winsorized_order_stats",
-    "events_rolling_7d",
-    "label_centroid_cohesion",
-    "hard_negative_mining",
-    "events_sessionize_labels",
-    "dsir_importance_select",
-    "key_skew_profile",
+    # --- never driver-checked (rounds 1-3): the round-4 window ---
     "dedup_containment",
-    "knn_label_noise",
+    "minhash_recall_audit",
+    "dsir_importance_select",
+    "similarity_ann_pq",
+    "stateful_user_totals_stream",
+    "embedding_decontamination",
     "media_perceptual_buckets",
+    "knn_label_noise",
+    "hard_negative_mining",
+    "label_centroid_cohesion",
+    "aqe_skew_split_join",
+    "runtime_bloom_pruned_join",
+    "nation_trade_pagerank",
     "nation_trade_triangles",
+    "bm25_corpus_search",
+    "tfidf_lexical_topk",
+    "sample_temperature_mixture",
+    "grouped_kfold_split",
+    "events_sessionize_labels",
+    "paged_api_sink_roundtrip",
+    "orders_compaction_roundtrip",
+    "schema_evolution_scan",
+    "csv_quarantine_source",
     "orc_roundtrip_summary",
     "jsonl_roundtrip_events",
-    "grouped_kfold_split",
-    "embedding_dim_stats",
-    "token_length_deciles",
-    "bpe_pair_merge_stats",
-    "temporal_split_audit",
-    "orders_compaction_roundtrip",
-    "embedding_decontamination",
-    "stateful_user_totals_stream",
     "user_erasure_audit",
     "events_locf_fill",
+    "events_rolling_7d",
+    "customer_yoy_full_outer",
+    "split_leakage_audit",
+    "temporal_split_audit",
+    "latest_event_per_user_type",
+    "winsorized_order_stats",
+    "key_skew_profile",
+    "map_functions_battery",
+    "embedding_dim_stats",
     "benford_price_audit",
-    "schema_evolution_scan",
     "events_anomaly_mad",
     "lang_id_confusion_matrix",
     "order_value_regression",
-    "minhash_recall_audit",
+    "countmin_error_audit",
+    "token_length_deciles",
+    "bpe_pair_merge_stats",
     "top_terms_per_source",
     "quality_vs_duplication",
-    "paged_api_sink_roundtrip",
+    "source_mix_drift",
+    "vocab_growth_heaps",
     "orders_seasonality_profile",
     "part_revenue_pareto",
     "customer_rfm_segments",
-    "latest_event_per_user_type",
-    "orders_mom_change",
-    "countmin_error_audit",
+    # --- never driver-checked, deferred to the round-5 window ---
     "embedding_cosine_histogram",
-    "source_mix_drift",
     "shingle_df_profile",
     "events_hour_of_day_profile",
     "customer_order_gap_stats",
-    "vocab_growth_heaps",
-    # --- driver row stale (last checked on pre-regeneration r1 testdata) ---
-    "ctas_priority_summary",
-    "f1_gold_driver_standings",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q4_priority_exists",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_histogram",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q22_global_sales_opportunity",
-    "customers_left_join_orders",
+    "orders_mom_change",
 )
 
 

@@ -204,17 +204,17 @@ def runtime_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "aqe_skew_split_join",
     ops="J4,A5,EXT-aqe-skew (adaptive skew-partition splitting)",
-    doc="AQE skew-join handling proven through the gate: a synthetic "
-    "hot key (~96%% of lineitem collapses onto one join key) would pin "
-    "one reducer in a plain sort-merge join; with "
-    "spark.sql.adaptive.skewJoin enabled (thresholds lowered to fire at "
-    "test scale) AQE splits the oversized partition into parallel "
-    "sub-partitions at runtime. The function executes the join and "
-    "RAISES unless the finalized adaptive plan marks the join "
-    "'skew=true', so a green driver row proves the runtime split "
-    "happened — the complement of the static salting in "
-    "skew_salted_join. Values are checked by the oracle on the plain "
-    "join definition.",
+    doc="AQE skew-join demonstration: a synthetic hot key (~96%% of "
+    "lineitem collapses onto one join key) would pin one reducer in a "
+    "plain sort-merge join; with spark.sql.adaptive.skewJoin enabled "
+    "AQE splits the oversized partition into parallel sub-partitions "
+    "at runtime — the complement of the static salting in "
+    "skew_salted_join. The query body is action-free (the driver gate "
+    "executes the returned frame exactly once); the 'skew=true' "
+    "finalized-plan assertion lives in tests/test_plan_quality.py::"
+    "test_aqe_skew_join_splits, which runs the join under the lowered "
+    "skew thresholds and fails if AQE stops splitting. Values are "
+    "checked by the oracle on the plain join definition.",
     oracle="""
 WITH keyed AS (
   SELECT CASE WHEN l_orderkey % 25 < 24 THEN 0
@@ -234,20 +234,57 @@ GROUP BY d.segment
 """,
 )
 def aqe_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return skew_join_frame(spark, sf_dir)
+
+
+def skew_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skewed join itself, action-free. ~96% of lineitem maps to
+    skew_key 0; the 5-row dim is merge-hinted so the join is a real
+    shuffle join AQE can split (a broadcast would dissolve the skew and
+    prove nothing)."""
     from pyspark.sql import functions as F  # noqa: F811
 
-    # Size the detection/split thresholds from the fact row count (a
-    # parquet-footer count) so the hot partition splits into ~8 chunks at
-    # ANY test scale — fixed tiny thresholds over-split large shuffles
-    # into hundreds of micro-tasks (measured 10x wall at sf0.1). The
-    # production defaults (256MB/64MB) achieve the same on real
-    # partitions without tuning; the force flag stops the cost model
-    # vetoing the split because the downstream aggregation re-shuffles
-    # anyway.
+    from formula_1_spark.sources.tables import fan_out
+
+    # fan_out: the skew reader splits a hot reduce partition by MAP
+    # output ranges — a one-split scan gives it nothing to split on.
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+    )
+    keyed = li.select(
+        F.when(F.col("l_orderkey") % 25 < 24, F.lit(0).cast("bigint"))
+        .otherwise(F.lit(1) + (F.col("l_orderkey") % 4).cast("bigint"))
+        .alias("skew_key"),
+        "l_extendedprice",
+    )
+    dim = spark.range(0, 5).select(
+        F.col("id").alias("skew_key"),
+        F.concat(F.lit("seg_"), F.col("id").cast("string")).alias("segment"),
+    )
+    joined = keyed.join(dim.hint("merge"), "skew_key")
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+def skew_split_confs(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """AQE skew-split conf overrides sized from the fact row count (a
+    parquet-footer count) so the hot partition splits into ~8 chunks at
+    ANY test scale — fixed tiny thresholds over-split large shuffles
+    into hundreds of micro-tasks (measured 10x wall at sf0.1). The
+    production defaults (256MB/64MB) achieve the same on real partitions
+    without tuning; the force flag stops the cost model vetoing the
+    split because the downstream aggregation re-shuffles anyway.
+    Used by tests/test_plan_quality.py::test_aqe_skew_join_splits."""
     n_rows = load_table(spark, sf_dir, "lineitem").count()
     est_hot = max(2048, n_rows * 8)  # ~compressed bytes of the hot key
     advisory = max(1024, est_hot // 8)
-    confs = {
+    return {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
@@ -261,53 +298,6 @@ def aqe_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
-    saved = {k: spark.conf.get(k, None) for k in confs}
-    for k, v in confs.items():
-        spark.conf.set(k, v)
-    try:
-        from formula_1_spark.sources.tables import fan_out
-
-        # fan_out: the skew reader splits a hot reduce partition by MAP
-        # output ranges — a one-split scan gives it nothing to split on.
-        li = fan_out(
-            load_table(spark, sf_dir, "lineitem").select(
-                "l_orderkey", "l_extendedprice"
-            )
-        )
-        keyed = li.select(
-            F.when(F.col("l_orderkey") % 25 < 24, F.lit(0).cast("bigint"))
-            .otherwise(F.lit(1) + (F.col("l_orderkey") % 4).cast("bigint"))
-            .alias("skew_key"),
-            "l_extendedprice",
-        )
-        dim = spark.range(0, 5).select(
-            F.col("id").alias("skew_key"),
-            F.concat(F.lit("seg_"), F.col("id").cast("string")).alias("segment"),
-        )
-        joined = keyed.join(dim.hint("merge"), "skew_key")
-        out = joined.groupBy("segment").agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("revenue"),
-        )
-        # AQE finalizes the plan during execution — run THIS Dataset's own
-        # QueryExecution (a writer action would spawn a fresh one and the
-        # inspected plan would never finalize), then assert the split.
-        out.collect()
-        plan = out._jdf.queryExecution().executedPlan().toString()
-        if "skew=true" not in plan:
-            raise RuntimeError(
-                "AQE did not mark the skewed join (no 'skew=true'):\n"
-                + plan[:2000]
-            )
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
-    return out
 
 
 # ---------------------------------------------------------------------------

@@ -61,7 +61,15 @@ def _stateful_totals_fixture(spark: SparkSession, sf_dir: str) -> str:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # Undrained stream => partial state. Publishing it would poison
+        # the fixture forever (the isdir guard serves it on every later
+        # call); stop and fail instead.
+        q.stop()
+        raise RuntimeError(
+            "availableNow stream did not drain within 300s; "
+            "refusing to publish a partial-state fixture"
+        )
     final = (
         spark.table(name)
         .groupBy("user_id")

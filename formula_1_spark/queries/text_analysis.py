@@ -290,18 +290,16 @@ GROUP BY decile
 """,
 )
 def token_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.windows import global_ntile_two_phase
+
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", token_count("text").cast("int").alias("n_toks")
     )
-    from pyspark.sql import Window
-
-    tiled = t.select(
-        "doc_id",
-        "n_toks",
-        F.ntile(10)
-        .over(Window.orderBy(F.asc("n_toks"), F.asc("doc_id")))
-        .alias("decile"),
+    # Two-phase exact NTILE(10) — an unpartitioned ntile window here would
+    # sort the whole corpus through one partition at 100 TB.
+    tiled = global_ntile_two_phase(
+        t, [F.asc("n_toks"), F.asc("doc_id")], 10, alias="decile"
     )
     n = F.count(F.lit(1))
     return tiled.groupBy("decile").agg(
@@ -514,11 +512,14 @@ FROM shares
 def source_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from formula_1_spark.operators.windows import global_ntile_two_phase
+
     docs = load_table(spark, sf_dir, "documents")
-    b = docs.select(
-        "source",
-        F.ntile(10).over(Window.orderBy(F.asc("doc_id"))).alias("batch"),
-    )
+    # Two-phase exact NTILE(10) on doc_id — keeps the batch assignment
+    # fully parallel instead of a single-partition corpus sort.
+    b = global_ntile_two_phase(
+        docs.select("source", "doc_id"), [F.asc("doc_id")], 10, alias="batch"
+    ).select("source", "batch")
     cells = b.groupBy("batch", "source").agg(F.count(F.lit(1)).alias("n"))
     wb = Window.partitionBy("batch")
     ws = Window.partitionBy("source")
@@ -583,13 +584,14 @@ FROM batch_tokens bt LEFT JOIN new_vocab nv ON nv.batch = bt.batch
 def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from formula_1_spark.operators.windows import global_ntile_two_phase
     from formula_1_spark.sources.tables import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
-    tiled = docs.select(
-        "doc_id",
-        "text",
-        F.ntile(10).over(Window.orderBy(F.asc("doc_id"))).alias("batch"),
+    # Two-phase exact NTILE(10) on doc_id; the cumulative window below
+    # stays — it runs over 10 batch rows, not the corpus.
+    tiled = global_ntile_two_phase(
+        docs.select("doc_id", "text"), [F.asc("doc_id")], 10, alias="batch"
     )
     b = fan_out(tiled).select(
         "batch", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")

@@ -223,8 +223,14 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = df.groupBy("c_custkey", "c_name", "n_name").agg(
         _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
-    return rev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+    # (revenue, c_custkey) is a total order, so competition rank ==
+    # row_number; the two-phase operator keeps the top-k ordering
+    # distributed instead of a single-partition window over the rollup.
+    from formula_1_spark.operators.windows import two_phase_global_topk
+
+    return two_phase_global_topk(
+        rev, [F.desc("revenue"), F.asc("c_custkey")], 20, alias="rn"
+    )
 
 
 @register(
@@ -332,15 +338,19 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = dim_join(orders, big, orders.o_orderkey == big.l_orderkey)
     df = dim_join(df, customer, df.o_custkey == customer.c_custkey)
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        df.withColumn("order_date", F.date_format("o_orderdate", "yyyy-MM-dd"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select(
-            "c_name", "c_custkey", "o_orderkey", "order_date",
-            "o_totalprice", "sum_qty", "rn",
-        )
+    # (o_totalprice, o_orderkey) is a total order: rank == row_number, and
+    # the two-phase top-k avoids an unpartitioned window over the HAVING
+    # survivors (still order-count-scale at 100 TB).
+    from formula_1_spark.operators.windows import two_phase_global_topk
+
+    return two_phase_global_topk(
+        df.withColumn("order_date", F.date_format("o_orderdate", "yyyy-MM-dd")),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        20,
+        alias="rn",
+    ).select(
+        "c_name", "c_custkey", "o_orderkey", "order_date",
+        "o_totalprice", "sum_qty", "rn",
     )
 
 

@@ -65,6 +65,14 @@ class PagedJsonApiSource(DataSource):
         return _PagedJsonApiReader(schema, self.options)
 
     def writer(self, schema, overwrite: bool):
+        if not overwrite:
+            # Append would have to renumber after the existing max page
+            # index and could still leave a stale old/new page mix; the
+            # sink's contract is whole-dataset page publication, so
+            # reject append outright rather than clobber silently.
+            raise ValueError(
+                "paged_json_api sink supports mode('overwrite') only"
+            )
         return _PagedJsonApiWriter(schema, self.options, overwrite)
 
 
@@ -157,8 +165,14 @@ class _PagedJsonApiWriter(DataSourceWriter):
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        os.makedirs(self._path, exist_ok=True)
-        staged = os.path.join(self._path, f"_staged-{pid}-{os.getpid()}.json")
+        # Stage under <path>/_staging/ — OUTSIDE the reader's flat
+        # '<path>/*.json' glob, so a task that dies after writing its
+        # staged file (its commit message never reaches the driver, so
+        # commit/abort can't clean it) still can never publish a
+        # half-written page to the reader.
+        staging = os.path.join(self._path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"{pid}-{os.getpid()}.json")
         n = 0
         with open(staged, "w", encoding="utf-8") as fh:
             for row in iterator:
@@ -174,8 +188,24 @@ class _PagedJsonApiWriter(DataSourceWriter):
             (m for m in messages if m is not None), key=lambda m: m.staged
         )):
             os.replace(m.staged, os.path.join(self._path, f"page-{i:05d}.json"))
+        self._sweep_staging()
 
     def abort(self, messages):
         for m in messages:
             if m is not None and os.path.exists(m.staged):
                 os.remove(m.staged)
+        self._sweep_staging()
+
+    def _sweep_staging(self):
+        """Drop orphaned staged files (task retried/died after staging but
+        before its commit message was collected) and the staging dir."""
+        staging = os.path.join(self._path, "_staging")
+        for leftover in glob.glob(os.path.join(staging, "*.json")):
+            try:
+                os.remove(leftover)
+            except OSError:
+                pass
+        try:
+            os.rmdir(staging)
+        except OSError:
+            pass

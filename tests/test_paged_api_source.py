@@ -98,3 +98,51 @@ def test_recursive_rollup_terminates_and_nests(spark, sf_dir):
     # Root 1's subtree strictly contains roots 2 and 3's subtrees.
     assert rows[1].subtree_size == 1 + rows[2].subtree_size + rows[3].subtree_size
     assert rows[1].depth == 1 + max(rows[2].depth, rows[3].depth)
+
+
+def test_orphan_staged_page_invisible_and_swept(spark, tmp_path):
+    """A task that dies after writing its staged file returns no commit
+    message, so commit/abort can't clean it. The staged file must (a)
+    never be visible to the reader and (b) be swept by the next
+    successful commit."""
+    spark.dataSource.register(PagedJsonApiSource)
+    path = str(tmp_path / "api")
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    df.write.format("paged_json_api").option("path", path).mode(
+        "overwrite"
+    ).save()
+
+    # Simulate an orphaned staged page from a failed task.
+    staging = os.path.join(path, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    orphan = os.path.join(staging, "99-00000.json")
+    with open(orphan, "w") as fh:
+        fh.write('{"k": 999}\n')
+
+    back = (
+        spark.read.format("paged_json_api")
+        .option("path", path)
+        .option("schema_ddl", "k BIGINT")
+        .load()
+    )
+    ks = {r["k"] for r in back.collect()}
+    assert ks == set(range(10))  # the half-written page never leaks
+
+    # The next successful commit sweeps the orphan.
+    df.write.format("paged_json_api").option("path", path).mode(
+        "overwrite"
+    ).save()
+    assert not os.path.exists(orphan)
+
+
+def test_append_mode_rejected(spark, tmp_path):
+    spark.dataSource.register(PagedJsonApiSource)
+    path = str(tmp_path / "api")
+    df = spark.range(0, 5).select(F.col("id").alias("k"))
+    df.write.format("paged_json_api").option("path", path).mode(
+        "overwrite"
+    ).save()
+    with pytest.raises(Exception, match="overwrite"):
+        df.write.format("paged_json_api").option("path", path).mode(
+            "append"
+        ).save()

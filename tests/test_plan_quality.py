@@ -5,6 +5,8 @@ lookups. Guards against regressions that correctness tests can't see."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from formula_1_spark.queries.registry import load_all
@@ -53,6 +55,58 @@ BNLJ_OK = {
 }
 
 
+# Queries allowed a scan→single-partition-exchange path: relations whose
+# cardinality is bounded by the DOMAIN, not the data scale.
+SINGLE_PARTITION_OK = {
+    "nation_trade_pagerank",  # nation graph: <=25 nodes by TPC-H schema
+}
+
+
+def _single_partition_violations(plan: str) -> list[str]:
+    """Scans that feed an ``Exchange SinglePartition`` with no row-bounding
+    operator (aggregate / limit / top-k / broadcast build) in between — an
+    unbounded relation funnelled through one task, the global-sort
+    scale-killer an unpartitioned ``Window.orderBy`` induces. Post-agg
+    global windows and scalar aggregates stay legal: their single-partition
+    input is already bounded by an upstream Aggregate/Limit."""
+    lines = plan.splitlines()
+    node_re = re.compile(
+        r"^(?P<pre>[ :+\-]*)(?:\* )?(?P<name>[A-Za-z][\w .]*?) \((?P<id>\d+)\)\s*$"
+    )
+    nodes = []
+    for ln in lines:
+        if not ln.strip():
+            break  # end of the formatted tree section
+        m = node_re.match(ln)
+        if m:
+            nodes.append(
+                (len(m.group("pre")), m.group("name").strip(), int(m.group("id")))
+            )
+    sp_ids, cur = set(), None
+    hdr_re = re.compile(r"^\((\d+)\) ")
+    for ln in lines:
+        m = hdr_re.match(ln)
+        if m:
+            cur = int(m.group(1))
+        elif cur is not None and "Arguments:" in ln and "SinglePartition" in ln:
+            sp_ids.add(cur)
+    bounding = ("Aggregate", "Limit", "TakeOrdered", "BroadcastExchange", "Subquery")
+    out: list[str] = []
+    stack: list[tuple[int, str, int]] = []
+    for depth, name, nid in nodes:
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        if "Scan" in name:
+            for _, n, i in reversed(stack):
+                if any(b in n for b in bounding):
+                    break  # bounded before reaching any SP exchange
+                if "Exchange" in n and i in sp_ids:
+                    out.append(f"{name} ({nid}) -> single-partition Exchange ({i})")
+                    break
+        stack.append((depth, name, nid))
+    return out
+
+
 def _plan(spark, name: str) -> str:
     import contextlib
     import io
@@ -79,6 +133,13 @@ def test_no_slow_path_in_plan(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: unplanned nested-loop join"
         )
+    if name not in SINGLE_PARTITION_OK:
+        violations = _single_partition_violations(plan)
+        assert not violations, (
+            f"{name}: unbounded relation through a single-partition "
+            f"exchange (use two_phase/global_ntile_two_phase operators): "
+            f"{violations}"
+        )
 
 
 @pytest.mark.parametrize(
@@ -96,3 +157,32 @@ def test_filter_pushdown_reaches_scan(spark):
     plan = _plan(spark, "filter_scan_project")
     assert "PushedFilters: [" in plan
     assert "LessThan(l_shipdate" in plan or "GreaterThan(l_discount" in plan, plan
+
+
+def test_aqe_skew_join_splits(spark):
+    """AQE must mark the synthetic hot-key join 'skew=true' in the
+    finalized adaptive plan. Lives here (not in the registered query body)
+    so the driver gate executes the query exactly once; this test pays the
+    one extra execution under the lowered skew thresholds."""
+    from formula_1_spark.queries.scale_ops import skew_join_frame, skew_split_confs
+
+    sf_dir = "/root/testdata/sf0.001"
+    confs = skew_split_confs(spark, sf_dir)
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        out = skew_join_frame(spark, sf_dir)
+        # AQE finalizes the plan during execution — run THIS Dataset's own
+        # QueryExecution, then inspect the executed plan.
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE did not mark the skewed join (no 'skew=true'):\n" + plan[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1,0 +1,46 @@
+"""global_ntile_two_phase must be bit-identical to an unpartitioned
+F.ntile window for any total order — including N < n_tiles, N % n != 0,
+descending orders, and multi-column keys."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from formula_1_spark.operators.windows import global_ntile_two_phase
+
+
+def _compare(spark, df, order_cols, n_tiles):
+    expected = df.select(
+        "id", F.ntile(n_tiles).over(Window.orderBy(*order_cols)).alias("t")
+    )
+    actual = global_ntile_two_phase(df, order_cols, n_tiles, alias="t").select(
+        "id", "t"
+    )
+    assert actual.exceptAll(expected).count() == 0
+    assert expected.exceptAll(actual).count() == 0
+
+
+@pytest.mark.parametrize("n_rows,n_tiles", [(1000, 10), (997, 7), (3, 10), (16, 4)])
+def test_matches_window_ntile(spark, n_rows, n_tiles):
+    df = spark.range(0, n_rows).select(
+        F.col("id"), (F.col("id") * 2654435761 % 1000003).alias("v")
+    )
+    _compare(spark, df, [F.asc("v"), F.asc("id")], n_tiles)
+
+
+def test_descending_and_multicol(spark):
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        (F.col("id") % 13).alias("grp"),
+        (F.col("id") * 48271 % 10007).alias("v"),
+    )
+    _compare(spark, df, [F.desc("grp"), F.asc("v"), F.asc("id")], 4)
+
+
+def test_empty_input(spark):
+    df = spark.range(0, 0)
+    out = global_ntile_two_phase(df, [F.asc("id")], 5, alias="t")
+    assert out.count() == 0
+    assert "t" in out.columns

@@ -80,6 +80,13 @@ SLATE = [
     "quality_vs_duplication", "paged_api_sink_roundtrip",
     "orders_seasonality_profile", "part_revenue_pareto",
     "customer_rfm_segments",
+    # round-3c remainder (VERDICT r3 item 4): sketches, histograms,
+    # drift/diurnal/gap profiles, Heaps growth, keep-latest dedup, MoM
+    "countmin_error_audit", "embedding_cosine_histogram",
+    "source_mix_drift", "shingle_df_profile",
+    "events_hour_of_day_profile", "customer_order_gap_stats",
+    "vocab_growth_heaps", "latest_event_per_user_type",
+    "orders_mom_change",
 ]
 
 
