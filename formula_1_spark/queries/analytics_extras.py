@@ -497,9 +497,13 @@ def orders_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "revenue_cents",
         F.expr("(n_orders * 12 * 1000000) div t_orders").alias("order_index_ppm"),
-        F.expr("(revenue_cents * 12 * 1000000) div t_rev").alias(
-            "revenue_index_ppm"
-        ),
+        # Lift to decimal(38,0) for the x12e6 scaling: monthly revenue
+        # cents overflow int64 at ~8e11 cents (hit at the 10x probe
+        # scale; DuckDB computes the same expression in HUGEINT). div
+        # returns BIGINT, and the quotient is ppm-sized.
+        F.expr(
+            "(cast(revenue_cents as decimal(38,0)) * 12 * 1000000) div t_rev"
+        ).alias("revenue_index_ppm"),
     )
 
 
@@ -568,10 +572,16 @@ def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey",
             "rev",
             "rk",
-            F.expr("(cum_rev * 1000000) div t").alias("cum_share_ppm"),
-            (F.expr("(cum_rev * 1000000) div t") <= 800000).alias(
-                "in_top_80pct"
+            # decimal(38,0) lift: cum_rev approaches total corpus revenue
+            # cents, so cum_rev * 1e6 overflows int64 past ~9e12 cents
+            # (DuckDB computes this in HUGEINT). div returns BIGINT.
+            F.expr("(cast(cum_rev as decimal(38,0)) * 1000000) div t").alias(
+                "cum_share_ppm"
             ),
+            (
+                F.expr("(cast(cum_rev as decimal(38,0)) * 1000000) div t")
+                <= 800000
+            ).alias("in_top_80pct"),
         )
         .orderBy("rk")
     )
@@ -707,8 +717,11 @@ def orders_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue_cents",
         "n_orders",
         (F.col("revenue_cents") - F.col("prev_cents")).alias("delta_cents"),
+        # decimal(38,0) lift before the x1e6 scaling — monthly revenue
+        # cents overflow int64 past ~9e12 (DuckDB runs this in HUGEINT).
         F.expr(
-            "((revenue_cents - prev_cents) * 1000000) div prev_cents"
+            "(cast(revenue_cents - prev_cents as decimal(38,0)) * 1000000)"
+            " div prev_cents"
         ).alias("mom_change_ppm"),
     )
 

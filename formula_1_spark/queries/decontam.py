@@ -294,21 +294,25 @@ WITH tagged AS (
   FROM embeddings
 ),
 ev AS (
-  SELECT vec_id AS eval_id, embedding AS e_vec FROM tagged WHERE b >= 9
+  SELECT vec_id AS eval_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)
+           / sqrt(list_reduce(list_transform(embedding,
+               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+               (acc, v) -> acc + v))) AS e_u
+  FROM tagged WHERE b >= 9
 ),
 tr AS (
-  SELECT vec_id AS train_id, embedding AS t_vec FROM tagged WHERE b < 9
+  SELECT vec_id AS train_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)
+           / sqrt(list_reduce(list_transform(embedding,
+               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+               (acc, v) -> acc + v))) AS t_u
+  FROM tagged WHERE b < 9
 ),
 scored AS (
   SELECT t.train_id, e.eval_id,
-         list_reduce(list_transform(list_zip(t.t_vec, e.e_vec),
-                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
-                     (acc, v) -> acc + v)
-         / (sqrt(list_reduce(list_transform(t.t_vec,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))
-          * sqrt(list_reduce(list_transform(e.e_vec,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)))
-           AS cos
+         list_reduce(list_transform(list_zip(t.t_u, e.e_u),
+                     x -> x[1] * x[2]), (acc, v) -> acc + v) AS cos
   FROM tr t, ev e
 )
 SELECT train_id,
@@ -320,22 +324,46 @@ WHERE cos >= 0.40
 GROUP BY train_id
 """,
 )
-def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from formula_1_spark.functions.vectors import cosine
+def embedding_decontamination(
+    spark: SparkSession, sf_dir: str, dims: int = 64
+) -> DataFrame:
+    from formula_1_spark.functions.vectors import flat_dot, flatten_vec, norm
     from formula_1_spark.sources.tables import fan_out
 
     emb = load_table(spark, sf_dir, "embeddings")
     b = split_bucket("vec_id")
-    ev = emb.filter(b >= 9).select(
-        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_vec")
+    # Norms materialize ONCE per row (persist blocks CollapseProject from
+    # inlining the HOF fold into the pair projection), the unit vectors
+    # flatten to scalar columns, and each pair costs one codegen'd
+    # multiply-add chain — an interpreted per-PAIR aggregate/zip_with
+    # fold here measured ~19x at the 10x probe (the module-doc caveat in
+    # functions/vectors.py). Fold order matches the oracle exactly.
+    ev_base = (
+        emb.filter(b >= 9)
+        .select(
+            F.col("vec_id").alias("eval_id"),
+            "embedding",
+            norm(F.col("embedding")).alias("nb"),
+        )
+        .persist()
     )
-    tr = fan_out(emb.filter(b < 9)).select(
-        F.col("vec_id").alias("train_id"), F.col("embedding").alias("t_vec")
+    tr_base = (
+        fan_out(emb.filter(b < 9))
+        .select(
+            F.col("vec_id").alias("train_id"),
+            "embedding",
+            norm(F.col("embedding")).alias("na"),
+        )
+        .persist()
     )
-    scored = (
-        tr.crossJoin(F.broadcast(ev))
-        .withColumn("cos", cosine(F.col("t_vec"), F.col("e_vec")))
-        .select("train_id", "eval_id", "cos")
+    ev = ev_base.select(
+        "eval_id", *flatten_vec("y", F.col("embedding"), dims, denom=F.col("nb"))
+    )
+    tr = tr_base.select(
+        "train_id", *flatten_vec("x", F.col("embedding"), dims, denom=F.col("na"))
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        "train_id", "eval_id", flat_dot("x", "y", dims).alias("cos")
     )
     from pyspark.sql import Window
 

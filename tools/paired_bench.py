@@ -27,14 +27,22 @@ TABLES = [
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else os.environ.get(
+    baseline_path = None
+    positional = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--baseline" and i + 1 < len(argv):
+            baseline_path = argv[i + 1]
+            i += 2
+        elif argv[i].startswith("--"):
+            i += 1
+        else:
+            positional.append(argv[i])
+            i += 1
+    sf_dir = positional[0] if positional else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    baseline_path = None
-    for i, a in enumerate(sys.argv):
-        if a == "--baseline" and i + 1 < len(sys.argv):
-            baseline_path = sys.argv[i + 1]
 
     import duckdb
 

@@ -7,7 +7,7 @@ Evidence for the scale-up story in PERF.md: if a plan hides quadratic
 work or a driver-side bottleneck, 10x data shows it immediately;
 shuffle/scan-bound plans land well under 10x wall.
 
-Usage: python tools/scale_probe.py [--build]
+Usage: python tools/scale_probe.py [--build] [--only name1,name2,...]
 """
 
 from __future__ import annotations
@@ -168,6 +168,13 @@ def main() -> None:
     reg = load_all()
     if "--build" in sys.argv or not os.path.isdir(DST):
         build(spark)
+    slate = SLATE
+    if "--only" in sys.argv:
+        wanted = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = [n for n in wanted if n not in reg]
+        if unknown:
+            raise SystemExit(f"--only: unknown queries {unknown}")
+        slate = wanted
     # Pre-build the paged-API fixtures at both scales so the timed runs
     # measure the SOURCE read, not the one-time fixture serialization.
     from formula_1_spark.queries.custom_source import _pages_fixture
@@ -191,11 +198,11 @@ def main() -> None:
         erased_events_lake(spark, d)
         evolved_orders_lake(spark, d)
         _stateful_totals_fixture(spark, d)
-    for n in SLATE:  # warmup: JIT + code cache
+    for n in slate:  # warmup: JIT + code cache
         reg[n].fn(spark, SRC).write.format("noop").mode("overwrite").save()
     for sf in [SRC, DST]:
         print(f"== {sf}")
-        for n in SLATE:
+        for n in slate:
             t0 = time.perf_counter()
             reg[n].fn(spark, sf).write.format("noop").mode("overwrite").save()
             print(f"  {n}: {time.perf_counter() - t0:.2f}s")
