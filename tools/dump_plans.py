@@ -42,7 +42,10 @@ SLATE = {
     "knn_label_noise": "probe set broadcast; corpus scan unshuffled; window over scored probes only",
     "nation_trade_triangles": "oriented wedge-close: two broadcast joins over the distinct edge list",
     "grouped_kfold_split": "fold = pure hash in codegen, no distinct-users relation, nothing joined",
-    "embedding_decontamination": "eval probes broadcast; train side never shuffles; map-side max",
+    "embedding_decontamination": "eval probes broadcast as flattened unit vectors; pair score is one codegen multiply-add chain; train side never shuffles",
+    "token_length_deciles": "exact two-phase NTILE: range shuffle + per-partition row_number + broadcast offsets, no single-partition window",
+    "customer_rfm_segments": "three two-phase NTILE(4) passes over the persisted customer rollup; all shuffles parallel",
+    "tpch_q18_large_orders": "post-agg top-k via two-phase rank prune, not an unpartitioned window",
 }
 
 
