@@ -43,40 +43,50 @@ def _ranged_enumerate(
     alias: str,
     n_parts: int | None,
 ) -> tuple[DataFrame, int]:
-    """Shared two-phase core: range-partition on the order key,
-    ``row_number`` within each range partition (parallel — one window task
-    per partition), then add the exclusive prefix sum of partition counts.
-    Only #partitions longs travel to the driver; data rows never converge
-    on one task. Returns ``(enumerated_df, total_row_count)`` — the count
-    is a free by-product of the offset pass.
+    """Shared two-phase core: range-partition + local sort on the order
+    key, then turn ``monotonically_increasing_id`` (consecutive per
+    partition, assigned in post-sort row order) into the global 1-based
+    rank by adding one broadcast per-partition constant
+    ``offset - min_id + 1``. ONE full shuffle total (the range exchange);
+    a ``Window.partitionBy(pid)`` formulation would re-shuffle the whole
+    relation a second time just to run row_number. Only #partitions
+    (pid, count, min_id) triples travel to the driver; data rows never
+    converge on one task. Returns ``(enumerated_df, total_row_count)`` —
+    the count is a free by-product of the offset pass.
     """
     if n_parts is None:
         n_parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         n_parts = int(n_parts or 32)
-    parts = df.repartitionByRange(n_parts, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    parts = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .select(
+            "*",
+            F.spark_partition_id().alias("__pid"),
+            F.monotonically_increasing_id().alias("__mid"),
+        )
     )
     parts.persist()
-    counts = {r["__pid"]: r["n"] for r in
-              parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    if offsets:
-        off_map = F.create_map(
-            *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
+    stats = {
+        r["__pid"]: (r["n"], r["mn"])
+        for r in parts.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("__mid").alias("mn"))
+        .collect()
+    }
+    adjust, acc = {}, 0
+    for pid in sorted(stats):
+        n, mn = stats[pid]
+        adjust[pid] = acc - mn + 1  # rank = __mid + adjust[__pid]
+        acc += n
+    if adjust:
+        adj_map = F.create_map(
+            *[F.lit(x) for pid in adjust for x in (pid, adjust[pid])]
         )
-        offset_expr = F.element_at(off_map, F.col("__pid"))
+        rank_expr = F.col("__mid") + F.element_at(adj_map, F.col("__pid"))
     else:  # empty input: no pids observed
-        offset_expr = F.lit(0)
-    local_w = Window.partitionBy("__pid").orderBy(*order_cols)
+        rank_expr = F.lit(0)
     enumerated = (
-        parts.withColumn(
-            alias,
-            (F.row_number().over(local_w) + offset_expr).cast("bigint"),
-        )
-        .drop("__pid")
+        parts.withColumn(alias, rank_expr.cast("bigint")).drop("__pid", "__mid")
     )
     return enumerated, acc
 

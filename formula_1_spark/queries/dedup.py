@@ -814,9 +814,12 @@ def shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum("df").alias("total_postings"),
-            F.expr("(sum(df) * 1000000) div any_value(t)").alias(
-                "postings_share_ppm"
-            ),
+            # decimal(38,0) lift: per-bucket postings approach the corpus
+            # posting total (~1e15 at 100 TB), so the x1e6 scaling would
+            # wrap int64. div returns BIGINT.
+            F.expr(
+                "(cast(sum(df) as decimal(38,0)) * 1000000) div any_value(t)"
+            ).alias("postings_share_ppm"),
             F.max("df").alias("max_df"),
         )
     )

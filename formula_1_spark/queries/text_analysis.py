@@ -467,7 +467,13 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("t").alias("term"),
             "n",
-            F.expr("n * ((n_docs * 1000000) div (df + 1))").alias("score"),
+            # decimal(38,0) lift on the tf x idf product: for mid-df terms
+            # the bigint product n * (n_docs*1e6 div df) can exceed int64
+            # at corpus scale (~1e12 docs). Values are unchanged where
+            # bigint sufficed; ranking on decimal is exact.
+            F.expr(
+                "cast(n as decimal(38,0)) * ((n_docs * 1000000) div (df + 1))"
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
