@@ -44,3 +44,42 @@ def test_empty_input(spark):
     out = global_ntile_two_phase(df, [F.asc("id")], 5, alias="t")
     assert out.count() == 0
     assert "t" in out.columns
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 64])
+def test_ntile_partition_count_invariant(spark, n_parts):
+    """The tile assignment must not depend on the range-partition count
+    (n_parts > n_rows leaves empty partitions; n_parts=1 degenerates to
+    a single range)."""
+    df = spark.range(0, 200).select(
+        F.col("id"), (F.col("id") * 7919 % 503).alias("v")
+    )
+    expected = df.select(
+        "id", F.ntile(7).over(Window.orderBy(F.asc("v"), F.asc("id"))).alias("t")
+    )
+    actual = global_ntile_two_phase(
+        df, [F.asc("v"), F.asc("id")], 7, alias="t", n_parts=n_parts
+    ).select("id", "t")
+    assert actual.exceptAll(expected).count() == 0
+    assert expected.exceptAll(actual).count() == 0
+
+
+def test_enumerate_skewed_prefix_keys(spark):
+    """Heavy ties on the leading sort column (90% one value) — the range
+    partitioner splits the hot key across partitions; the id tiebreak
+    keeps the total order exact."""
+    from formula_1_spark.operators.windows import distributed_global_enumerate
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+    )
+    out = distributed_global_enumerate(df, [F.asc("k"), F.asc("id")], alias="rn")
+    rows = {r["id"]: r["rn"] for r in out.collect()}
+    expected = {
+        r["id"]: i + 1
+        for i, r in enumerate(
+            sorted(df.collect(), key=lambda r: (r["k"], r["id"]))
+        )
+    }
+    assert rows == expected
