@@ -17,7 +17,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from formula_1_spark.functions.text import (
@@ -136,10 +136,18 @@ def rare_shingle_candidates(sh: DataFrame, max_df: int = 50) -> DataFrame:
     exact near-dup verify (Jaccard, containment) starts from. Callers
     that run several verifies persist this once."""
     posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    # df via a partition-only window, filter, THEN collect: collecting
+    # before the df filter would materialize a stopword shingle's entire
+    # posting list in one non-spillable aggregation buffer (OOM at
+    # corpus scale); the window buffers rows in a spillable sorter, and
+    # the groupBy below reuses the window's hash partitioning on
+    # `shingle` — one shuffle total, collect_set bounded by max_df.
+    w = Window.partitionBy("shingle")
     rare = (
-        posting.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"), F.collect_set("doc_id").alias("docs"))
+        posting.withColumn("df", F.count(F.lit(1)).over(w))
         .filter(F.col("df") <= max_df)
+        .groupBy("shingle")
+        .agg(F.collect_set("doc_id").alias("docs"))
     )
     return (
         rare.select(F.explode("docs").alias("a"), F.col("docs"))
