@@ -67,6 +67,7 @@ def main() -> None:
     # the timed loop measures the query against a warm fixture.
     for warm_name in (
         "paged_api_source_ingest",
+        "paged_api_sink_roundtrip",
         "cdc_stream_merge_orders",
         "matview_incremental_orders",
         "orders_time_travel_diff",

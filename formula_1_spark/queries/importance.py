@@ -25,7 +25,7 @@ the reference" training-data-pipeline list.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from formula_1_spark.operators.dedup import md5_int32
@@ -182,11 +182,12 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cnt").alias("max_cnt"),
         F.expr("percentile(cnt, 0.5)").alias("p50_cnt"),
     )
-    top = (
-        counts.withColumn(
-            "rk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("key")))
-        )
-        .filter(F.col("rk") <= 10)
+    # Key-grain relation (scales with the corpus): two-phase top-10;
+    # (cnt, key) is a total order so rank == row_number.
+    from formula_1_spark.operators.windows import two_phase_global_topk
+
+    top = two_phase_global_topk(
+        counts, [F.desc("cnt"), F.asc("key")], 10, alias="rk"
     )
     return (
         top.crossJoin(F.broadcast(glob))

@@ -9,7 +9,7 @@ sketch flips a flag and reds the driver row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from formula_1_spark.queries.registry import register
@@ -193,8 +193,14 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # VALUE at sorted position 11 is unique even when row_number's tie
     # break isn't). The window runs over the post-agg supplier relation —
     # #distinct suppliers rows, not lineitem rows.
-    ranked = exact.withColumn(
-        "rn", F.row_number().over(Window.orderBy(F.desc("true_count")))
+    # Supplier-grain relation: two-phase top-11 instead of an
+    # unpartitioned window. The suppkey tiebreak makes the order total
+    # (rank == row_number); the VALUE at position 11 is unchanged by the
+    # tie order, which is all the boundary needs.
+    from formula_1_spark.operators.windows import two_phase_global_topk
+
+    ranked = two_phase_global_topk(
+        exact, [F.desc("true_count"), F.asc("l_suppkey")], 11, alias="rn"
     )
     b = ranked.agg(
         F.max(F.when(F.col("rn") == 11, F.col("true_count"))).alias("b11")
@@ -309,11 +315,12 @@ def countmin_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     coords = li.select("key", coord).select("key", "c.i", "c.bucket")
     sketch = coords.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
     exact = li.groupBy("key").agg(F.count(F.lit(1)).alias("exact_n"))
-    top20 = (
-        exact.withColumn(
-            "rk", F.row_number().over(Window.orderBy(F.desc("exact_n"), F.asc("key")))
-        )
-        .filter(F.col("rk") <= 20)
+    # Key-grain relation (scales with the corpus): two-phase top-20;
+    # (exact_n, key) is a total order so rank == row_number.
+    from formula_1_spark.operators.windows import two_phase_global_topk
+
+    top20 = two_phase_global_topk(
+        exact, [F.desc("exact_n"), F.asc("key")], 20, alias="rk"
     )
     probe_coords = top20.select("key", "exact_n", "rk", coord).select(
         "key", "exact_n", "rk", "c.i", "c.bucket"

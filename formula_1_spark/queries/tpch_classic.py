@@ -87,8 +87,6 @@ QUALIFY rn <= 10
 """,
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -106,8 +104,14 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("order_date"),
         F.min("o_orderpriority").alias("priority"),
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-    return rev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    # The rollup is ORDER-grain (scales with the fact table), so the
+    # top-10 runs two-phase instead of an unpartitioned window;
+    # (revenue, l_orderkey) is a total order, so rank == row_number.
+    from formula_1_spark.operators.windows import two_phase_global_topk
+
+    return two_phase_global_topk(
+        rev, [F.desc("revenue"), F.asc("l_orderkey")], 10, alias="rn"
+    )
 
 
 @register(

@@ -24,7 +24,7 @@ casts onto the DECIMAL(18,4) grid identically in both engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from formula_1_spark.operators.joins import dim_join
@@ -121,16 +121,18 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = dim_join(best, part, best.ps_partkey == part.p_partkey)
     out = dim_join(out, asian_sup, out.ps_suppkey == asian_sup.s_suppkey)
-    w = Window.orderBy(
-        F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
-    )
-    return (
-        out.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 100)
-        .select(
-            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
-            "ps_supplycost", "rn",
-        )
+    # part x best-supplier is PART-grain (scales with the catalog), so
+    # the top-100 runs two-phase instead of an unpartitioned window.
+    from formula_1_spark.operators.windows import two_phase_global_topk
+
+    return two_phase_global_topk(
+        out,
+        [F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")],
+        100,
+        alias="rn",
+    ).select(
+        "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+        "ps_supplycost", "rn",
     )
 
 
