@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 
 from formula_1_spark.operators.aggregates import conditional_count_agg, having, pre_aggregate
 from formula_1_spark.operators.joins import compound_key_join, dim_join
-from formula_1_spark.operators.windows import global_rank, rank_standings
+from formula_1_spark.operators.windows import (
+    rank_standings,
+    two_phase_global_topk,
+)
 from formula_1_spark.queries.registry import register
 from formula_1_spark.sources.tables import load_table, load_tables
 
@@ -312,10 +315,14 @@ def dominant_customers_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n") >= 20,
     ).drop("n")
-    # W2: unpartitioned rank — safe here, cardinality is post-aggregation
-    # (one row per customer). The raw-data path would use
-    # two_phase_global_topk instead.
-    ranked = global_rank(overall, [F.desc("overall_avg")], alias="cust_rank")
+    # W2 shape, executed scale-safe: the rollup is CUSTOMER-grain (one
+    # row per customer — still fact-scale at 100 TB), so the global rank
+    # runs as the two-phase prune; competition-rank semantics (ties
+    # share a rank) are preserved exactly, so the result matches the
+    # reference's unpartitioned-rank form bit for bit.
+    ranked = two_phase_global_topk(
+        overall, [F.desc("overall_avg")], 15, alias="cust_rank"
+    )
 
     # J6 + O3: join detail back to the ranked aggregate, top-k filter.
     return (

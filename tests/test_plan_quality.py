@@ -159,6 +159,52 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "LessThan(l_shipdate" in plan or "GreaterThan(l_discount" in plan, plan
 
 
+# Reviewed unpartitioned Window.orderBy sites in query modules — each
+# over a relation bounded by something other than the data scale. New
+# sites must either use the two-phase operators or be reviewed onto this
+# list with the bounding argument.
+UNPARTITIONED_WINDOW_OK = {
+    "graph_rank.py": "nation graph: <=25 nodes by schema",
+    "analytics_extras.py": (
+        "pareto cumsum over the <=100 two-phase survivors; "
+        "month-over-month lag over month-grain rows"
+    ),
+    "windows_events.py": "lag over the hour-grain rollup (~1e5 rows/decade)",
+    "text_analysis.py": "cumulative window over the 10 NTILE batch rows",
+}
+
+
+def test_no_new_unpartitioned_windows_in_queries():
+    """Source-level guard complementing the plan-level SinglePartition
+    check (which can't tell a scale-grain aggregate from a small one):
+    every `Window.orderBy(` occurrence in formula_1_spark/queries must be
+    in the reviewed allowlist above."""
+    import os
+
+    qdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "formula_1_spark",
+        "queries",
+    )
+    offenders = []
+    for fname in sorted(os.listdir(qdir)):
+        if not fname.endswith(".py"):
+            continue
+        src = open(os.path.join(qdir, fname)).read()
+        hits = [
+            i + 1
+            for i, ln in enumerate(src.splitlines())
+            if "Window.orderBy" in ln and not ln.lstrip().startswith("#")
+            and '"' not in ln.split("Window.orderBy")[0]  # not inside a docstring line
+        ]
+        if hits and fname not in UNPARTITIONED_WINDOW_OK:
+            offenders.append(f"{fname}:{hits}")
+    assert not offenders, (
+        "unreviewed unpartitioned Window.orderBy (use two_phase_global_topk"
+        f" / global_ntile_two_phase or review onto the allowlist): {offenders}"
+    )
+
+
 def test_aqe_skew_join_splits(spark):
     """AQE must mark the synthetic hot-key join 'skew=true' in the
     finalized adaptive plan. Lives here (not in the registered query body)
