@@ -126,6 +126,7 @@ def priority_sample(
         [F.col("priority").desc(), F.col(key_col).asc()],
         k + 1,
         alias="rk",
+        unique_order=True,  # key_col is unique -> total order
     )
     # tau = the (k+1)-th priority (or 0 when the relation has <= k rows:
     # then every row is sampled and est_weight = w exactly).

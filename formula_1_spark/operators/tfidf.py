@@ -214,7 +214,8 @@ def bm25_scores(
     from formula_1_spark.operators.windows import two_phase_global_topk
 
     top = two_phase_global_topk(
-        scored, [F.desc("score"), F.asc("doc_id")], k, alias="rank"
+        scored, [F.desc("score"), F.asc("doc_id")], k, alias="rank",
+        unique_order=True,
     )
     return top.select(
         "doc_id", "dl", "score", F.col("rank").cast("int").alias("rank")

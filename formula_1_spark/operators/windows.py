@@ -149,27 +149,49 @@ def global_ntile_two_phase(
 
 
 def two_phase_global_topk(
-    df: DataFrame, order_cols: Sequence[Column], k: int, alias: str = "rank"
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    k: int,
+    alias: str = "rank",
+    unique_order: bool = False,
 ) -> DataFrame:
-    """Scale-safe global top-k: per-partition rank → keep local top-k →
+    """Scale-safe global top-k: per-partition prune to the local top-k →
     global rank over the tiny survivor set.
 
     Correctness: any row in the global top-k by ``order_cols`` is within
-    the top-k of its own partition (rank() counts strictly-better rows, and
-    a partition holds a subset, so local rank <= global rank), so phase 1
-    never discards a global winner. Ties at the boundary are preserved
-    because rank() assigns equal ranks to ties and the filter is
-    ``<= k`` on competition rank.
+    the top-k of its own partition (a partition holds a subset, so local
+    rank <= global rank), so phase 1 never discards a global winner. Ties
+    at the boundary are preserved because rank() assigns equal ranks to
+    ties and the filter is ``<= k`` on competition rank.
 
-    At 100 TB this avoids funnelling the full dataset through the single
-    partition an unpartitioned ``Window.orderBy`` would require.
+    ``unique_order=True`` (caller asserts ``order_cols`` is a TOTAL
+    order, e.g. ends in a unique key): the local prune needs NO shuffle
+    at all — local sort + ``monotonically_increasing_id`` (lower 33 bits
+    = record number within the partition, assigned in post-sort row
+    order) gives the per-partition row_number, which equals rank when
+    there are no ties. The default rank() path must instead hash-shuffle
+    by partition id because a window's required clustering can't be
+    proven from ``spark_partition_id``; keep it for tie-bearing orders.
+
+    At 100 TB either path avoids funnelling the full dataset through the
+    single partition an unpartitioned ``Window.orderBy`` would require;
+    the unique_order path additionally runs shuffle-free before the tiny
+    survivor merge.
     """
-    local_w = Window.partitionBy(F.spark_partition_id()).orderBy(*order_cols)
-    pruned = (
-        df.withColumn("__local_rank", F.rank().over(local_w))
-        .filter(F.col("__local_rank") <= k)
-        .drop("__local_rank")
-    )
+    if unique_order:
+        pruned = (
+            df.sortWithinPartitions(*order_cols)
+            .withColumn("__mid", F.monotonically_increasing_id())
+            .filter(F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)) < k)
+            .drop("__mid")
+        )
+    else:
+        local_w = Window.partitionBy(F.spark_partition_id()).orderBy(*order_cols)
+        pruned = (
+            df.withColumn("__local_rank", F.rank().over(local_w))
+            .filter(F.col("__local_rank") <= k)
+            .drop("__local_rank")
+        )
     return (
         pruned.withColumn(alias, F.rank().over(Window.orderBy(*order_cols)))
         .filter(F.col(alias) <= k)

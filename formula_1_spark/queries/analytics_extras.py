@@ -208,6 +208,7 @@ def global_topk_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
         k=20,
+        unique_order=True,
     )
 
 
@@ -556,7 +557,8 @@ def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows, so the cumsum window runs over <=100 rows.
     w = Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
     top = two_phase_global_topk(
-        pr, [F.desc("rev"), F.asc("l_partkey")], 100, alias="rk_raw"
+        pr, [F.desc("rev"), F.asc("l_partkey")], 100, alias="rk_raw",
+        unique_order=True,
     )
     ranked = top.select(
         "l_partkey",

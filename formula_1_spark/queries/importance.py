@@ -187,7 +187,8 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula_1_spark.operators.windows import two_phase_global_topk
 
     top = two_phase_global_topk(
-        counts, [F.desc("cnt"), F.asc("key")], 10, alias="rk"
+        counts, [F.desc("cnt"), F.asc("key")], 10, alias="rk",
+        unique_order=True,
     )
     return (
         top.crossJoin(F.broadcast(glob))

@@ -200,7 +200,8 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula_1_spark.operators.windows import two_phase_global_topk
 
     ranked = two_phase_global_topk(
-        exact, [F.desc("true_count"), F.asc("l_suppkey")], 11, alias="rn"
+        exact, [F.desc("true_count"), F.asc("l_suppkey")], 11, alias="rn",
+        unique_order=True,
     )
     b = ranked.agg(
         F.max(F.when(F.col("rn") == 11, F.col("true_count"))).alias("b11")
@@ -320,7 +321,8 @@ def countmin_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula_1_spark.operators.windows import two_phase_global_topk
 
     top20 = two_phase_global_topk(
-        exact, [F.desc("exact_n"), F.asc("key")], 20, alias="rk"
+        exact, [F.desc("exact_n"), F.asc("key")], 20, alias="rk",
+        unique_order=True,
     )
     probe_coords = top20.select("key", "exact_n", "rk", coord).select(
         "key", "exact_n", "rk", "c.i", "c.bucket"

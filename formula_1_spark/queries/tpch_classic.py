@@ -110,7 +110,8 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula_1_spark.operators.windows import two_phase_global_topk
 
     return two_phase_global_topk(
-        rev, [F.desc("revenue"), F.asc("l_orderkey")], 10, alias="rn"
+        rev, [F.desc("revenue"), F.asc("l_orderkey")], 10, alias="rn",
+        unique_order=True,
     )
 
 

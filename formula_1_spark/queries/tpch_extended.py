@@ -229,7 +229,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula_1_spark.operators.windows import two_phase_global_topk
 
     return two_phase_global_topk(
-        rev, [F.desc("revenue"), F.asc("c_custkey")], 20, alias="rn"
+        rev, [F.desc("revenue"), F.asc("c_custkey")], 20, alias="rn",
+        unique_order=True,
     )
 
 
@@ -348,6 +349,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("o_totalprice"), F.asc("o_orderkey")],
         20,
         alias="rn",
+        unique_order=True,
     ).select(
         "c_name", "c_custkey", "o_orderkey", "order_date",
         "o_totalprice", "sum_qty", "rn",

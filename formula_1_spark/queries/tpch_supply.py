@@ -130,6 +130,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")],
         100,
         alias="rn",
+        unique_order=True,  # (s_name, p_partkey) unique per supply row
     ).select(
         "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
         "ps_supplycost", "rn",

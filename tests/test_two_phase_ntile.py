@@ -83,3 +83,39 @@ def test_enumerate_skewed_prefix_keys(spark):
         )
     }
     assert rows == expected
+
+
+@pytest.mark.parametrize("unique_order", [False, True])
+def test_topk_paths_match_window_rank(spark, unique_order):
+    """Both prune paths of two_phase_global_topk must reproduce the
+    unpartitioned rank() window exactly on a total order."""
+    from formula_1_spark.operators.windows import two_phase_global_topk
+
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") * 2654435761 % 9973).alias("v")
+    )
+    order = [F.desc("v"), F.asc("id")]
+    expected = (
+        df.withColumn("rank", F.rank().over(Window.orderBy(*order)))
+        .filter(F.col("rank") <= 25)
+        .select("id", "rank")
+    )
+    actual = two_phase_global_topk(
+        df, order, 25, alias="rank", unique_order=unique_order
+    ).select("id", "rank")
+    assert actual.exceptAll(expected).count() == 0
+    assert expected.exceptAll(actual).count() == 0
+
+
+def test_topk_rank_path_preserves_ties(spark):
+    """The default (rank) path must keep every row tied at the boundary —
+    including when one partition holds more than k tied rows."""
+    from formula_1_spark.operators.windows import two_phase_global_topk
+
+    df = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") % 3).alias("v")  # 3 distinct values, heavy ties
+    ).repartition(2)
+    out = two_phase_global_topk(df, [F.desc("v")], 5, alias="rank")
+    # every v=2 row is rank 1 (~167 rows), all must survive
+    assert out.count() == df.filter(F.col("v") == 2).count()
+    assert out.agg(F.max("rank")).first()[0] == 1
