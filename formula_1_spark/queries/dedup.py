@@ -468,6 +468,66 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic_clusters_scaled",
+    ops="EXT-dedup-semantic,J4,W1 (corpus-scaled cells — production default)",
+    doc="SemDeDup with CORPUS-SCALED cells: k = max(8, ceil(sqrt(n))) "
+    "balances the two cost terms at O(n^1.5) — assignment is n x k flat "
+    "codegen dots, per-cell verify is k x (n/k)^2 pair dots — where the "
+    "fixed-8-cell variant's verify is O(n^2/8) (measured ~30x wall at "
+    "the 10x probe vs ~3x here). The oracle derives the SAME k from "
+    "COUNT(1) (IEEE sqrt+ceil in both engines) and replays every k-means "
+    "iteration bit-for-bit; cosine semantics identical to the fixed "
+    "variant (dot/(|a||b|) for assignment, prenormalized flat dot for "
+    "the pair verify).",
+    oracle=f"""
+WITH params AS (
+  SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(1))) AS BIGINT)) AS k
+  FROM embeddings
+),
+{_kmeans_ctes(iters=2, k_expr="SELECT k FROM params")},
+scored AS (
+  SELECT e.vec_id, c.cell_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY {_COS.format(a="e.embedding", b="c.cent")} DESC,
+                    c.cell_id ASC) AS r
+  FROM embeddings e, centroids c
+),
+cells AS (SELECT vec_id, cell_id FROM scored WHERE r = 1),
+unit AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)
+           / sqrt(list_reduce(
+               list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+               (acc, v) -> acc + v))) AS u
+  FROM embeddings
+),
+pairs AS (
+  SELECT x.cell_id, x.vec_id AS vec_id_1, y.vec_id AS vec_id_2
+  FROM cells x JOIN cells y
+    ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+)
+SELECT p.cell_id, p.vec_id_1, p.vec_id_2,
+       list_reduce(list_transform(list_zip(a.u, b.u), x -> x[1] * x[2]),
+                   (acc, v) -> acc + v) AS cos
+FROM pairs p
+JOIN unit a ON a.vec_id = p.vec_id_1
+JOIN unit b ON b.vec_id = p.vec_id_2
+WHERE list_reduce(list_transform(list_zip(a.u, b.u), x -> x[1] * x[2]),
+                  (acc, v) -> acc + v) >= 0.45
+""",
+)
+def dedup_semantic_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from formula_1_spark.operators.similarity import semantic_dedup_pairs_scaled
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = max(8, int(math.ceil(math.sqrt(float(n)))))
+    return semantic_dedup_pairs_scaled(emb, n_cells=k, iters=2, threshold=0.45)
+
+
+@register(
     "dedup_incremental_minhash",
     ops="EXT-dedup-incremental,J4",
     doc="Incremental (cross-corpus) near-dup: incoming docs (odd doc_id) "

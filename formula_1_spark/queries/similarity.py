@@ -130,17 +130,25 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10))
 
 
-def _kmeans_ctes(n_cells: int = 8, iters: int = 2, dims: int = 64) -> str:
+def _kmeans_ctes(
+    n_cells: int = 8,
+    iters: int = 2,
+    dims: int = 64,
+    k_expr: str | None = None,
+) -> str:
     """Unrolled deterministic spherical-k-means CTE chain mirroring
     operators.similarity.kmeans_centroids iteration-for-iteration:
     assign by argmax cosine (cell_id tie-break), recompute means over
     floor-quantized integer component sums (order-independent, so both
-    engines agree bit-for-bit)."""
+    engines agree bit-for-bit). ``k_expr`` (a scalar SQL subquery string)
+    makes the cell count data-dependent — the corpus-scaled variant
+    derives k from COUNT(1) so the oracle tracks the engine's knob."""
+    k_sql = f"({k_expr})" if k_expr is not None else str(n_cells)
     parts = [
         f"""c0 AS (
   SELECT vec_id AS cell_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-  FROM embeddings WHERE vec_id < {n_cells}
+  FROM embeddings WHERE vec_id < {k_sql}
 )"""
     ]
     for t in range(1, iters + 1):

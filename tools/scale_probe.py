@@ -169,7 +169,9 @@ def main() -> None:
     if "--build" in sys.argv or not os.path.isdir(DST):
         build(spark)
     slate = SLATE
-    if "--only" in sys.argv:
+    if "--all" in sys.argv:
+        slate = list(reg)  # full registry sweep
+    elif "--only" in sys.argv:
         wanted = sys.argv[sys.argv.index("--only") + 1].split(",")
         unknown = [n for n in wanted if n not in reg]
         if unknown:
