@@ -81,12 +81,24 @@ GROUP BY l_returnflag
 def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("double")
-    # ONE array-percentile aggregate (single sort buffer per group), not
-    # six scalar percentile aggs (six buffered copies of every value).
-    agg = li.groupBy("l_returnflag").agg(
-        F.percentile_approx(price, [0.50, 0.95], 1000).alias("aq"),
-        F.percentile(price, [0.49, 0.50, 0.51, 0.94, 0.95, 0.96]).alias("eq"),
+    # Exact side: pre-aggregate to (value, frequency) first — prices have
+    # bounded distinct cardinality (2dp grid), so the map-side-combined
+    # groupBy shrinks the percentile's reduce input from |rows| to
+    # |distinct values| (~100x at sf0.1, more at scale). percentile with
+    # a frequency column over the multiset is definitionally identical
+    # to percentile over the raw rows.
+    counts = li.groupBy("l_returnflag", price.alias("p")).agg(
+        F.count(F.lit(1)).alias("freq")
     )
+    exact = counts.groupBy("l_returnflag").agg(
+        F.percentile(
+            "p", [0.49, 0.50, 0.51, 0.94, 0.95, 0.96], F.col("freq")
+        ).alias("eq")
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(price, [0.50, 0.95], 1000).alias("aq"),
+    )
+    agg = approx.join(exact, "l_returnflag")
     band = lambda a, lo, hi: ((a >= lo) & (a <= hi)).cast("int")  # noqa: E731
     return agg.select(
         "l_returnflag",
