@@ -619,9 +619,9 @@ tiled AS (
 )
 SELECT r_q || '-' || f_q || '-' || m_q AS segment,
        CAST(COUNT(1) AS BIGINT) AS n_customers,
-       (SUM(recency_days) * 1) // COUNT(1) AS mean_recency_days,
-       (SUM(frequency) * 1) // COUNT(1) AS mean_frequency,
-       (SUM(monetary_cents) * 1) // COUNT(1) AS mean_monetary_cents
+       CAST((SUM(recency_days) * 1) // COUNT(1) AS BIGINT) AS mean_recency_days,
+       CAST((SUM(frequency) * 1) // COUNT(1) AS BIGINT) AS mean_frequency,
+       CAST((SUM(monetary_cents) * 1) // COUNT(1) AS BIGINT) AS mean_monetary_cents
 FROM tiled
 GROUP BY 1
 """,

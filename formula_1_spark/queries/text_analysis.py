@@ -378,7 +378,8 @@ cells AS (
   FROM guessed GROUP BY label, guess
 )
 SELECT label, guess, n,
-       (n * 1000000) // SUM(n) OVER (PARTITION BY label) AS row_share_ppm,
+       CAST((n * 1000000) // SUM(n) OVER (PARTITION BY label) AS BIGINT)
+         AS row_share_ppm,
        (label = guess) AS is_correct
 FROM cells
 """,
@@ -505,9 +506,10 @@ cells AS (
 ),
 shares AS (
   SELECT batch, source, n,
-         (n * 1000000) // SUM(n) OVER (PARTITION BY batch) AS share_ppm,
-         (SUM(n) OVER (PARTITION BY source) * 1000000)
-           // SUM(n) OVER () AS corpus_share_ppm
+         CAST((n * 1000000) // SUM(n) OVER (PARTITION BY batch) AS BIGINT)
+           AS share_ppm,
+         CAST((SUM(n) OVER (PARTITION BY source) * 1000000)
+           // SUM(n) OVER () AS BIGINT) AS corpus_share_ppm
   FROM cells
 )
 SELECT batch, source, n, share_ppm, corpus_share_ppm,

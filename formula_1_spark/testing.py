@@ -60,6 +60,95 @@ def _values_close(a, b, rel=1e-9, abs_tol=1e-9):
     return a == b
 
 
+# Driver-compat dtype families. The driver's value hash is pandas-dtype
+# sensitive (CORRECTNESS_r04: DuckDB SUM(BIGINT) -> HUGEINT propagated
+# through `//` lands in pandas as float64 while Spark delivers int64 —
+# hash_match fails on bit-exact values). These tables map each engine's
+# logical type to the pandas dtype it materializes so a static check can
+# catch any family mismatch before the driver does.
+#
+# Family granularity is calibrated to OBSERVED driver behavior, not raw
+# pandas dtypes: int-width mismatches (Spark int32 vs oracle BIGINT) and
+# Spark decimal vs oracle DOUBLE have both been driver hash-GREEN
+# (nation_trade_triangles, top_terms_per_source in r04), so the hash is
+# value-based within those families; the proven red class is integer-valued
+# columns arriving as FLOAT on one side only (5 vs 5.0).
+_DUCK_TO_FAMILY = {
+    "BIGINT": "int",
+    "INTEGER": "int",
+    "SMALLINT": "int",
+    "TINYINT": "int",
+    "DOUBLE": "float",
+    "FLOAT": "float",
+    "REAL": "float",
+    "DECIMAL": "decimal",
+    "BOOLEAN": "bool",
+    "VARCHAR": "str",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+}
+_SPARK_TO_FAMILY = {
+    "long": "int",
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
+    "double": "float",
+    "float": "float",
+    "decimal": "decimal",
+    "boolean": "bool",
+    "string": "str",
+    "date": "date",
+    "timestamp": "timestamp",
+}
+# Cross-family pairs the driver hash has demonstrably accepted: Spark
+# decimal(38,x) columns hashed green against both DOUBLE and BIGINT
+# oracle columns (top_terms_per_source, r04).
+_COMPATIBLE_FAMILIES = {
+    ("decimal", "float"),
+    ("float", "decimal"),
+    ("decimal", "int"),
+    ("int", "decimal"),
+}
+
+
+def oracle_dtype_mismatches(con, spec: QuerySpec, spark_schema) -> list[str]:
+    """Static pandas-dtype parity between an oracle and its Spark query.
+
+    DESCRIBEs the oracle in DuckDB (no execution) and compares each output
+    column's pandas-dtype family against the Spark schema's. HUGEINT /
+    UHUGEINT always fail: pandas has no 128-bit int, so they arrive as
+    float64 and break the driver's dtype-sensitive hash even on equal
+    values. Returns a list of human-readable problems (empty == clean).
+    """
+    problems: list[str] = []
+    duck = {
+        d[0]: d[1] for d in con.execute(f"DESCRIBE ({spec.oracle})").fetchall()
+    }
+    spark_types = {f.name: f.dataType.typeName() for f in spark_schema.fields}
+    for col, typ in duck.items():
+        t = typ.upper()
+        if "HUGEINT" in t:
+            problems.append(
+                f"{col}: oracle type {typ} lands as float64 in pandas — "
+                "CAST(... AS BIGINT) the oracle expression"
+            )
+            continue
+        fam_o = _DUCK_TO_FAMILY.get(t.split("(")[0])
+        fam_s = _SPARK_TO_FAMILY.get(spark_types.get(col, ""))
+        if fam_o is None:
+            problems.append(f"{col}: unmapped DuckDB type {typ}")
+        elif col not in spark_types:
+            problems.append(f"{col}: oracle-only column (not in Spark schema)")
+        elif fam_s is None:
+            problems.append(f"{col}: unmapped Spark type {spark_types[col]}")
+        elif fam_o != fam_s and (fam_o, fam_s) not in _COMPATIBLE_FAMILIES:
+            problems.append(
+                f"{col}: oracle {typ} (family {fam_o}) vs Spark "
+                f"{spark_types[col]} (family {fam_s})"
+            )
+    return problems
+
+
 def check_query(spark: SparkSession, spec: QuerySpec, sf_dir: str) -> dict:
     """Return a comparison report; raises AssertionError on mismatch."""
     sdf = spec.fn(spark, sf_dir)
@@ -81,6 +170,11 @@ def check_query(spark: SparkSession, spec: QuerySpec, sf_dir: str) -> dict:
         return {"name": spec.name, "rows": len(spark_rows), "oracle": False}
 
     con = duckdb_connection(sf_dir)
+    dtype_problems = oracle_dtype_mismatches(con, spec, sdf.schema)
+    assert not dtype_problems, (
+        f"{spec.name}: pandas-dtype mismatch vs oracle (driver hash is "
+        f"dtype-sensitive): {dtype_problems}"
+    )
     res = con.execute(spec.oracle)
     oracle_cols = [d[0] for d in res.description]
     oracle_rows = res.fetchall()
