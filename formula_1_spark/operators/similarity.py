@@ -228,9 +228,10 @@ def cosine_near_dup_pairs(
     banding exists to avoid (measured: 10x vectors at the fixed default
     -> 10x+ wall; with scaled banding -> ~2x).
     """
+    # localCheckpoint, not persist — GC-freed, no CacheManager pin.
     base = emb.select(
         F.col("vec_id"), F.col("embedding"), norm(F.col("embedding")).alias("na")
-    ).persist()
+    ).localCheckpoint(eager=False)
     bands = _with_bands(base, "vec_id", "embedding", dims, n_planes, n_bands)
     return _verify_band_candidates(base, bands, threshold, dims)
 
@@ -292,9 +293,10 @@ def cosine_near_dup_pairs_scaled(
     """
     n = emb.count() if n_vectors is None else n_vectors
     bits = scaled_bits(n, target_bucket)
+    # localCheckpoint, not persist — GC-freed, no CacheManager pin.
     base = emb.select(
         F.col("vec_id"), F.col("embedding"), norm(F.col("embedding")).alias("na")
-    ).persist()
+    ).localCheckpoint(eager=False)
     withb = base.select(
         "vec_id", *strided_band_keys(F.col("embedding"), dims, bits)
     )
@@ -329,10 +331,13 @@ def semantic_dedup_pairs(
     Deterministic end-to-end (seeded k-means, argmax-with-tie-break
     assignment, left-fold cosine), hence exactly oracle-checkable.
     """
-    cents = kmeans_centroids(emb, n_cells=n_cells, iters=iters).persist()
+    # localCheckpoint, not persist — see semantic_dedup_pairs_scaled.
+    cents = kmeans_centroids(emb, n_cells=n_cells, iters=iters).localCheckpoint(
+        eager=False
+    )
     base = emb.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("na")
-    ).persist()
+    ).localCheckpoint(eager=False)
     scored = fan_out(base).join(F.broadcast(cents), F.lit(True)).withColumn(
         "cell_cos", cosine(F.col("embedding"), F.col("cent"))
     )
@@ -384,11 +389,18 @@ def _flat_cell_cos(cents: DataFrame, source: DataFrame, dims: int):
     ``cosine()`` fold (same left-fold order, same norm formula), ~10-100x
     cheaper per pair, which matters once n_cells scales with the corpus.
     ``source`` must carry (vec_id, embedding, na)."""
+    # k rows. The plan barrier stops CollapseProject re-inlining the norm
+    # fold. localCheckpoint (not persist): called once per k-means
+    # iteration, a persist would pin one relation per call in the
+    # CacheManager for the session's lifetime; checkpoint blocks are
+    # freed by the ContextCleaner once the iteration's DataFrame is
+    # dropped, and the LogicalRDD leaf also stops the unrolled-iteration
+    # plan from deepening.
     cents_flat = cents.select(
         "cell_id",
         norm(F.col("cent")).alias("nc"),
         *flatten_vec("y", F.col("cent"), dims),
-    ).persist()  # k rows; the persist stops CollapseProject re-inlining the norm fold
+    ).localCheckpoint(eager=False)
     flat_src = source.select(
         "vec_id", "embedding", "na", *flatten_vec("x", F.col("embedding"), dims)
     )
@@ -405,9 +417,12 @@ def kmeans_centroids_flat(
     ``n_cells`` scales with the corpus (n x k assignment cosines per
     iteration). Bit-identical iterations: dot(raw)/(|a||b|) in the same
     fold order, identical floor-quantized exact means, same tie-breaks."""
+    # localCheckpoint, not persist: reused every iteration, but a persist
+    # is never released in a long-lived session — checkpoint blocks are
+    # GC-freed when the loop's references drop (see _flat_cell_cos).
     cv = corpus.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("na")
-    ).persist()
+    ).localCheckpoint(eager=False)
     cents = corpus.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("cent"),
@@ -461,12 +476,15 @@ def semantic_dedup_pairs_scaled(
     and per-cell verify does k x (n/k)^2 pair dots; the fixed-cell
     variant's verify is O(n^2 / k) and measured 10x data -> ~30x wall at
     the probe, vs ~3x here. Bit-identical cosine semantics throughout."""
-    cents = kmeans_centroids_flat(
-        emb, n_cells=n_cells, iters=iters, dims=dims
-    ).persist()
+    # localCheckpoint, not persist: base feeds both the assignment scan
+    # and the per-cell verify joins; checkpoint blocks are GC-freed after
+    # the query result materializes, where a persist would pin the corpus
+    # in the CacheManager for the session's lifetime. cents is already a
+    # barriered k-row relation inside _flat_cell_cos; no extra pin needed.
+    cents = kmeans_centroids_flat(emb, n_cells=n_cells, iters=iters, dims=dims)
     base = emb.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("na")
-    ).persist()
+    ).localCheckpoint(eager=False)
     scored = _flat_cell_cos(cents, fan_out(base), dims)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell_id"))
     assign = (
@@ -558,7 +576,9 @@ def ivf_topk(
     id; per-cell skew is bounded by the quantizer balance, the classic
     IVF tradeoff.
     """
-    centroids = kmeans_centroids(corpus, n_cells=n_cells, iters=learn_iters).persist()
+    centroids = kmeans_centroids(
+        corpus, n_cells=n_cells, iters=learn_iters
+    ).localCheckpoint(eager=False)  # GC-freed, no CacheManager pin
     qv = _vec_base(queries, "query_id", "q_vec")
     cv = _vec_base(corpus, "neighbor_id", "c_vec")
 
@@ -720,7 +740,7 @@ def pq_topk(
                 lambda st: st["comp"],
             ).alias("cent")
         )
-    cents = cents.persist()
+    cents = cents.localCheckpoint(eager=False)  # GC-freed, no CacheManager pin
 
     codes_long = (
         corpus_long.join(F.broadcast(cents), "s")

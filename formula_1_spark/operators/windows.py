@@ -37,6 +37,43 @@ def global_rank(df: DataFrame, order_cols: Sequence[Column], alias: str = "rank"
     return df.withColumn(alias, F.rank().over(Window.orderBy(*order_cols)))
 
 
+def _assert_sort_under_id_projection(df: DataFrame) -> None:
+    """Loud guard for the mid-as-rank invariant.
+
+    ``monotonically_increasing_id`` equals a per-partition record number
+    only because Catalyst keeps the LOCAL Sort beneath the nondeterministic
+    id Project (``EliminateSorts`` skips nondeterministic projects in
+    Spark today). A future optimizer change could silently reorder or
+    eliminate that sort and corrupt every rank/NTILE/top-k built on it —
+    so assert, per call, that the optimized plan still has a non-global
+    Sort below the id projection. Driver-side string inspection only; no
+    job runs.
+    """
+    plan = df._jdf.queryExecution().optimizedPlan()
+    max_rows = plan.maxRows()
+    if max_rows.isDefined() and int(max_rows.get()) <= 1:
+        # Sorting a provably <=1-row relation is a no-op; EliminateSorts
+        # legitimately drops it and any id assignment is trivially ordered.
+        return
+    lines = plan.toString().splitlines()
+    proj_idx = next(
+        (i for i, ln in enumerate(lines) if "monotonically_increasing_id" in ln),
+        None,
+    )
+    assert proj_idx is not None, (
+        "mid-as-rank guard: id projection missing from optimized plan"
+    )
+    assert any(
+        ln.lstrip(" +-:").startswith("Sort ") and "false" in ln
+        for ln in lines[proj_idx + 1 :]
+    ), (
+        "mid-as-rank guard: local Sort no longer survives beneath the "
+        "monotonically_increasing_id projection — the optimizer "
+        "eliminated or reordered it; ranks derived from __mid would be "
+        f"silently wrong. Plan:\n" + "\n".join(lines)
+    )
+
+
 def _ranged_enumerate(
     df: DataFrame,
     order_cols: Sequence[Column],
@@ -66,28 +103,44 @@ def _ranged_enumerate(
             F.monotonically_increasing_id().alias("__mid"),
         )
     )
-    parts.persist()
+    _assert_sort_under_id_projection(parts)
+    # localCheckpoint (not persist): the two consumers (stats pass + rank
+    # join) must see IDENTICAL nondeterministic ids. A plain persist would
+    # silently recompute different ids if blocks were evicted or an
+    # executor died; a local checkpoint truncates lineage so loss fails
+    # loudly instead of corrupting ranks — and its blocks are freed by the
+    # ContextCleaner once callers drop the DataFrame, where the old
+    # persist leaked a pinned relation per call in long-lived sessions.
+    parts = parts.localCheckpoint(eager=False)
     stats = {
         r["__pid"]: (r["n"], r["mn"])
         for r in parts.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("n"), F.min("__mid").alias("mn"))
         .collect()
     }
-    adjust, acc = {}, 0
+    adjust, acc = [], 0
     for pid in sorted(stats):
         n, mn = stats[pid]
-        adjust[pid] = acc - mn + 1  # rank = __mid + adjust[__pid]
+        adjust.append((pid, acc - mn + 1))  # rank = __mid + adjust[pid]
         acc += n
     if adjust:
-        adj_map = F.create_map(
-            *[F.lit(x) for pid in adjust for x in (pid, adjust[pid])]
+        # Broadcast-join a tiny (pid, adjust) relation instead of a
+        # create_map of 2*n_parts literals: with shuffle.partitions in the
+        # thousands the literal map bloats the expression tree and every
+        # codegen'd stage that embeds it; a broadcast hash join stays O(1)
+        # in plan size and the build side is n_parts rows.
+        adj_df = df.sparkSession.createDataFrame(
+            adjust, "__pid int, __adj bigint"
         )
-        rank_expr = F.col("__mid") + F.element_at(adj_map, F.col("__pid"))
+        enumerated = (
+            parts.join(F.broadcast(adj_df), "__pid")
+            .withColumn(alias, (F.col("__mid") + F.col("__adj")).cast("bigint"))
+            .drop("__pid", "__mid", "__adj")
+        )
     else:  # empty input: no pids observed
-        rank_expr = F.lit(0)
-    enumerated = (
-        parts.withColumn(alias, rank_expr.cast("bigint")).drop("__pid", "__mid")
-    )
+        enumerated = parts.withColumn(alias, F.lit(0).cast("bigint")).drop(
+            "__pid", "__mid"
+        )
     return enumerated, acc
 
 
@@ -185,6 +238,7 @@ def two_phase_global_topk(
             .filter(F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)) < k)
             .drop("__mid")
         )
+        _assert_sort_under_id_projection(pruned)
     else:
         local_w = Window.partitionBy(F.spark_partition_id()).orderBy(*order_cols)
         pruned = (

@@ -21,8 +21,8 @@ Reference scope note: the reference ingests via REST-JSON only
 
 from __future__ import annotations
 
-import csv
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,35 +40,46 @@ def _csv_fixture(spark: SparkSession, sf_dir: str) -> str:
         return root
     scratch = building_dir(root)
     os.makedirs(scratch, exist_ok=True)
-    rows = (
-        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
-        .collect()
+    # Distributed fixture build: the mangled lines are rendered and
+    # written by executors (``df.write.text``) — the orders table is
+    # never collect()ed to the driver, so this scales with the table.
+    # Malformed rows get a non-numeric price ('N/A'): an unparseable
+    # typed field is what trips PERMISSIVE corrupt capture; a short row
+    # would merely null-pad. No field needs CSV quoting (ints, a
+    # comma-free enum, a numeric string).
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
     )
-    writers = {}
-    files = []
-    try:
-        for i in range(_N_FILES):
-            path = os.path.join(scratch, f"part-{i:02d}.csv")
-            fh = open(path, "w", newline="")
-            files.append(fh)
-            w = csv.writer(fh)
-            w.writerow(["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"])
-            writers[i] = w
-        for r in sorted(rows, key=lambda r: r.o_orderkey):
-            w = writers[r.o_orderkey % _N_FILES]
-            if r.o_orderkey % 7 == 3:
-                # Malformed: non-numeric price (an unparseable typed field
-                # is what trips PERMISSIVE corrupt capture; a short row
-                # would merely null-pad).
-                w.writerow([r.o_orderkey, r.o_custkey, r.o_orderpriority, "N/A"])
-            else:
-                w.writerow(
-                    [r.o_orderkey, r.o_custkey, r.o_orderpriority, r.o_totalprice]
-                )
-    finally:
-        for fh in files:
-            fh.close()
+    price = (
+        F.when(F.col("o_orderkey") % 7 == 3, F.lit("N/A"))
+        .otherwise(F.col("o_totalprice").cast("string"))
+    )
+    lines = orders.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderpriority"),
+            price,
+        ).alias("value")
+    )
+    spark_dir = os.path.join(scratch, "_spark_text")
+    lines.repartition(_N_FILES).write.mode("overwrite").text(spark_dir)
+    # Driver-side pass: rename each part file into place and prepend the
+    # header every file needs under header=true multi-file reads. Streamed
+    # copy — O(1) memory regardless of table size.
+    header = "o_orderkey,o_custkey,o_orderpriority,o_totalprice\n"
+    parts = sorted(
+        p
+        for p in os.listdir(spark_dir)
+        if p.startswith("part-") and not p.endswith(".crc")
+    )
+    for i, p in enumerate(parts):
+        with open(os.path.join(scratch, f"part-{i:02d}.csv"), "w", newline="") as out:
+            out.write(header)
+            with open(os.path.join(spark_dir, p)) as src:
+                shutil.copyfileobj(src, out)
+    shutil.rmtree(spark_dir)
     publish(scratch, root)
     return root
 
