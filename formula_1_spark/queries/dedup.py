@@ -53,6 +53,24 @@ def _shared_relations(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         _SHARED[key] = ent
     return ent
 
+
+def _shared_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, cluster_id, cluster_size, is_canonical): the
+    iterative min-label propagation runs once per (session, sf_dir) and
+    both cluster-grain queries read the same checkpointed assignment."""
+    ent = _shared_relations(spark, sf_dir)
+    if "clusters" not in ent:
+        from formula_1_spark.operators.graph import dedup_cluster_assignment
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = ent["jaccard_pairs"].select(
+            F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b")
+        )
+        ent["clusters"] = dedup_cluster_assignment(docs, pairs).localCheckpoint(
+            eager=False
+        )
+    return ent["clusters"]
+
 # Shared oracle CTEs: tokens → distinct word-3-gram shingles → 32-bit
 # md5-hashed shingle sets (mirrors operators.dedup.md5_int32/_shingled).
 _SHINGLES_CTE = """
@@ -270,13 +288,7 @@ FROM lbl
 """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from formula_1_spark.operators.graph import dedup_cluster_assignment
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = _shared_relations(spark, sf_dir)["jaccard_pairs"].select(
-        F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b")
-    )
-    return dedup_cluster_assignment(docs, pairs)
+    return _shared_cluster_assignment(spark, sf_dir)
 
 
 # Banded-LSH candidate CTEs for the oracle — the SAME md5-derived
@@ -850,7 +862,8 @@ tot AS (SELECT CAST(SUM(df) AS BIGINT) AS t FROM bucketed)
 SELECT b.df_log2_bucket,
        CAST(COUNT(1) AS BIGINT) AS n_shingles,
        CAST(SUM(b.df) AS BIGINT) AS total_postings,
-       (SUM(b.df) * 1000000) // any_value(t.t) AS postings_share_ppm,
+       CAST((SUM(b.df) * 1000000) // any_value(t.t) AS BIGINT)
+         AS postings_share_ppm,
        CAST(MAX(b.df) AS BIGINT) AS max_df
 FROM bucketed b, tot t
 GROUP BY b.df_log2_bucket
@@ -882,4 +895,237 @@ def shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("postings_share_ppm"),
             F.max("df").alias("max_df"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-snapshot incremental compaction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_compaction",
+    ops="EXT-dedup-compaction,J4,A1,A5 (snapshot admission manifest)",
+    doc="Cross-snapshot dedup COMPACTION — the admission manifest an "
+    "incremental corpus build emits per batch: delta docs (doc_id%5==4) "
+    "are checked against the base snapshot (doc_id%5<4) for (1) exact "
+    "content dups (md5 text hash semi-join), (2) near-dups of base via "
+    "the asymmetric MinHash-LSH band join, and (3) intra-delta near-dups "
+    "(greedy keep-lowest-id within the batch); the rollup reports, per "
+    "source, how many delta docs each gate caught and how many were "
+    "admitted. At scale the base band rows/hashes are a precomputed "
+    "append-only index, so per-batch work is O(batch x bucket) — "
+    "independent of corpus size; the three flag joins are delta-grain.",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+base AS (
+  SELECT doc_id, shingle % {MINHASH_P} AS x
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM shf)
+),
+sigagg AS (
+  SELECT doc_id,
+{_MINHASH_MINS}
+  FROM base GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, {_SIG_ARRAY} AS sigs FROM sigagg),
+bands AS (
+  SELECT doc_id, j.j AS band_id,
+         array_to_string(list_slice(sigs, j.j * 4 + 1, j.j * 4 + 4), ',') AS band_key
+  FROM sigs, (SELECT unnest(range(0, 8)) AS j) j
+),
+near_base AS (
+  SELECT DISTINCT y.doc_id
+  FROM bands x
+  JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+  JOIN shf sa ON sa.doc_id = x.doc_id
+  JOIN shf sb ON sb.doc_id = y.doc_id
+  WHERE x.doc_id % 5 < 4 AND y.doc_id % 5 = 4
+    AND len(list_intersect(sa.sh, sb.sh))
+        / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+),
+intra_drop AS (
+  SELECT DISTINCT y.doc_id
+  FROM bands x
+  JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+  JOIN shf sa ON sa.doc_id = x.doc_id
+  JOIN shf sb ON sb.doc_id = y.doc_id
+  WHERE x.doc_id % 5 = 4 AND y.doc_id % 5 = 4 AND x.doc_id < y.doc_id
+    AND len(list_intersect(sa.sh, sb.sh))
+        / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+),
+exact_dup AS (
+  SELECT DISTINCT d.doc_id
+  FROM documents d
+  WHERE d.doc_id % 5 = 4
+    AND EXISTS (SELECT 1 FROM documents b
+                WHERE b.doc_id % 5 < 4 AND md5(b.text) = md5(d.text))
+),
+flags AS (
+  SELECT d.doc_id, d.source,
+         (e.doc_id IS NOT NULL) AS f_exact,
+         (nb.doc_id IS NOT NULL) AS f_base,
+         (it.doc_id IS NOT NULL) AS f_intra
+  FROM documents d
+  LEFT JOIN exact_dup e ON e.doc_id = d.doc_id
+  LEFT JOIN near_base nb ON nb.doc_id = d.doc_id
+  LEFT JOIN intra_drop it ON it.doc_id = d.doc_id
+  WHERE d.doc_id % 5 = 4
+)
+SELECT source,
+       CAST(COUNT(1) AS BIGINT) AS n_delta,
+       CAST(COUNT(1) FILTER (WHERE f_exact) AS BIGINT) AS n_exact_dup,
+       CAST(COUNT(1) FILTER (WHERE f_base) AS BIGINT) AS n_near_dup_base,
+       CAST(COUNT(1) FILTER (WHERE f_intra) AS BIGINT) AS n_intra_dup,
+       CAST(COUNT(1) FILTER (WHERE NOT (f_exact OR f_base OR f_intra))
+            AS BIGINT) AS n_admitted
+FROM flags
+GROUP BY source
+ORDER BY source
+""",
+)
+def dedup_incremental_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.dedup import (
+        minhash_lsh_cross_pairs,
+        minhash_lsh_pairs,
+    )
+
+    shared = _shared_relations(spark, sf_dir)
+    sh = shared["sh"]
+    docs = load_table(spark, sf_dir, "documents")
+    is_base = F.col("doc_id") % 5 < 4
+    delta = docs.filter(~is_base).select("doc_id", "source", F.md5("text").alias("h"))
+    base_hashes = docs.filter(is_base).select(F.md5("text").alias("h")).distinct()
+    exact = delta.join(base_hashes, "h", "left_semi").select("doc_id")
+    near_base = (
+        minhash_lsh_cross_pairs(sh, base_pred=is_base, threshold=0.5)
+        .select(F.col("doc_id_2").alias("doc_id"))
+        .distinct()
+    )
+    # Greedy intra-batch policy: a delta doc is dropped iff it near-dups a
+    # LOWER-id delta doc (doc_id_2 of each a<b pair) — deterministic and
+    # index-free, the standard streaming-compaction rule.
+    intra_drop = (
+        minhash_lsh_pairs(None, sh=sh.filter(~is_base), threshold=0.5)
+        .select(F.col("doc_id_2").alias("doc_id"))
+        .distinct()
+    )
+    flags = (
+        delta.select("doc_id", "source")
+        .join(exact.withColumn("f_exact", F.lit(True)), "doc_id", "left")
+        .join(near_base.withColumn("f_base", F.lit(True)), "doc_id", "left")
+        .join(intra_drop.withColumn("f_intra", F.lit(True)), "doc_id", "left")
+    )
+    admitted = (
+        F.col("f_exact").isNull()
+        & F.col("f_base").isNull()
+        & F.col("f_intra").isNull()
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_delta"),
+            F.count("f_exact").alias("n_exact_dup"),
+            F.count("f_base").alias("n_near_dup_base"),
+            F.count("f_intra").alias("n_intra_dup"),
+            F.count_if(admitted).alias("n_admitted"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dedup_cluster_canonical_quality",
+    ops="EXT-dedup-canonical-quality,J4,A1,W1 (best-doc-per-cluster keep)",
+    doc="Quality-aware cluster compaction: near-dup clusters (exact "
+    "Jaccard >= 0.5 connected components, shared pair pipeline) keep the "
+    "BEST document — max n_chars, doc_id tie-break — instead of the "
+    "min-id convention, the policy a curation pipeline actually ships "
+    "(keep the longest/cleanest copy). Emits one row per multi-doc "
+    "cluster: canonical doc, docs and chars dropped. The rank window is "
+    "partitioned by cluster_id (component-grain, spreadable); no global "
+    "windows, no collects.",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+posting AS (SELECT doc_id, unnest(sh) AS shingle FROM shf),
+rare AS (
+  SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(1) <= 50
+),
+cand AS (
+  SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+  FROM posting p1
+  JOIN rare r ON p1.shingle = r.shingle
+  JOIN posting p2 ON p2.shingle = p1.shingle
+  WHERE p1.doc_id < p2.doc_id
+),
+verified AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.sh, sb.sh))
+           / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN shf sa ON sa.doc_id = c.a
+  JOIN shf sb ON sb.doc_id = c.b
+),
+pairs AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.node
+),
+lbl AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+ranked AS (
+  SELECT l.cluster_id, l.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn
+  FROM lbl l JOIN documents d ON d.doc_id = l.doc_id
+)
+SELECT cluster_id,
+       CAST(COUNT(1) AS BIGINT) AS cluster_size,
+       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+         AS canonical_doc_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+         AS canonical_chars,
+       CAST(COUNT(1) - 1 AS BIGINT) AS n_dropped,
+       CAST(SUM(n_chars) - MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+         AS dropped_chars
+FROM ranked
+GROUP BY cluster_id
+HAVING COUNT(1) > 1
+ORDER BY cluster_id
+""",
+)
+def dedup_cluster_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    assignment = _shared_cluster_assignment(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    joined = assignment.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = joined.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "canonical_doc_id"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias(
+                "canonical_chars"
+            ),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+            (
+                F.sum("n_chars")
+                - F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
+            ).alias("dropped_chars"),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .orderBy("cluster_id")
     )

@@ -49,72 +49,68 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 
 
 # The correctness driver snapshots the FIRST 50 registry entries in
-# iteration order each round. Rotate driver attention by listing the
-# queries that most need a fresh driver row first: round 4 front-loads the
-# 50 hardest of the 55 round-3 additions that have never had a driver row
-# (CORRECTNESS_r01-r03 union), hardest-first per VERDICT.md r3 item 1; the
-# 5 simplest aggregate profiles are deferred to round 5 and listed next so
-# the round-5 rotation is a 5-line edit. Names absent from REGISTRY are
-# skipped; registered names absent from this list keep their registration
-# order after it.
+# iteration order each round. Round 5 pins the full 50-slot window
+# explicitly: the 10 queries that have never had a green driver row
+# (the 3 r04 HUGEINT-oracle reds + the 5 r3c profiles deferred per plan +
+# the r04 addition + f1_gold_driver_standings, whose only r01 row predates
+# its oracle) come first — after this round, cumulative driver coverage is
+# 171/171. The remaining 40 slots re-check the OLDEST greens (r01-era) as a
+# regression watch. New round-5+ queries register BEHIND this pinned
+# window. Names absent from REGISTRY are skipped; registered names absent
+# from this list keep registration order after it.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (rounds 1-3): the round-4 window ---
-    "dedup_containment",
-    "minhash_recall_audit",
-    "dsir_importance_select",
-    "similarity_ann_pq",
-    "stateful_user_totals_stream",
-    "embedding_decontamination",
-    "media_perceptual_buckets",
-    "knn_label_noise",
-    "hard_negative_mining",
-    "label_centroid_cohesion",
-    "aqe_skew_split_join",
-    "runtime_bloom_pruned_join",
-    "nation_trade_pagerank",
-    "nation_trade_triangles",
-    "bm25_corpus_search",
-    "tfidf_lexical_topk",
-    "sample_temperature_mixture",
-    "grouped_kfold_split",
-    "events_sessionize_labels",
-    "paged_api_sink_roundtrip",
-    "orders_compaction_roundtrip",
-    "schema_evolution_scan",
-    "csv_quarantine_source",
-    "orc_roundtrip_summary",
-    "jsonl_roundtrip_events",
-    "user_erasure_audit",
-    "events_locf_fill",
-    "events_rolling_7d",
-    "customer_yoy_full_outer",
-    "split_leakage_audit",
-    "temporal_split_audit",
-    "latest_event_per_user_type",
-    "winsorized_order_stats",
-    "key_skew_profile",
-    "map_functions_battery",
-    "embedding_dim_stats",
-    "benford_price_audit",
-    "events_anomaly_mad",
+    # --- never driver-green: must all turn green in round 5 ---
     "lang_id_confusion_matrix",
-    "order_value_regression",
-    "countmin_error_audit",
-    "token_length_deciles",
-    "bpe_pair_merge_stats",
-    "top_terms_per_source",
-    "quality_vs_duplication",
     "source_mix_drift",
-    "vocab_growth_heaps",
-    "orders_seasonality_profile",
-    "part_revenue_pareto",
     "customer_rfm_segments",
-    # --- never driver-checked, deferred to the round-5 window ---
-    "embedding_cosine_histogram",
     "shingle_df_profile",
+    "embedding_cosine_histogram",
     "events_hour_of_day_profile",
     "customer_order_gap_stats",
     "orders_mom_change",
+    "dedup_semantic_clusters_scaled",
+    "f1_gold_driver_standings",
+    # --- regression re-checks: oldest driver greens first (r01/r02) ---
+    "ctas_priority_summary",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_priority_exists",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_histogram",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q22_global_sales_opportunity",
+    "customers_left_join_orders",
+    "race_results_denorm",
+    "driver_standings",
+    "constructor_standings",
+    "adjusted_points_report",
+    "dominant_customers_topk",
+    "events_json_extract",
+    "scalar_functions",
+    "filter_scan_project",
+    "customer_retention_setops",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "events_stream_stream_join",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "similarity_topk_bruteforce",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "text_quality_profile",
+    "text_lang_report",
+    "text_bpe_tokens",
+    "media_feature_extract",
 )
 
 
@@ -157,6 +153,8 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.format_roundtrip",
         "formula_1_spark.queries.lake_maintenance",
         "formula_1_spark.queries.stateful_stream",
+        "formula_1_spark.queries.lm_score",
+        "formula_1_spark.queries.url_ops",
     ):
         try:
             __import__(mod)

@@ -469,3 +469,83 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         learn_iters=_PQ_ITERS,
         n_candidates=_PQ_CAND,
     )
+
+
+@register(
+    "ivf_incremental_assign",
+    ops="EXT-sim-ivf-maintenance,J1,A1,W1 (index append + drift audit)",
+    doc="IVF index MAINTENANCE — the append path a 100 TB vector store "
+    "runs per batch: centroids stay trained on the BASE snapshot "
+    "(vec_id%5<4, 2 deterministic k-means iterations, floor-quantized "
+    "exact means), the delta batch (vec_id%5==4) is assigned to the "
+    "frozen cells by broadcast argmax-cosine, and the per-cell occupancy "
+    "report contrasts delta vs base share on a ppm grid — the drift "
+    "signal that schedules a retrain. No retraining per batch: delta "
+    "work is O(batch x k). Seed quirk: init cells are base-side vec_id "
+    "< 8, i.e. 7 seeds here (vec_id 4 is delta) — both engines agree.",
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 < 4
+),
+{_kmeans_ctes_src("b", "base", 8, 2, 64)},
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_COS.format(a="e.embedding", b="c.cent")} DESC,
+                      c.cell_id ASC) AS r
+    FROM embeddings e, bcent c) WHERE r = 1
+),
+cells AS (
+  SELECT cell_id,
+         CAST(COUNT(1) FILTER (WHERE vec_id % 5 < 4) AS BIGINT) AS n_base,
+         CAST(COUNT(1) FILTER (WHERE vec_id % 5 = 4) AS BIGINT) AS n_delta
+  FROM assigned GROUP BY cell_id
+),
+tot AS (
+  SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+         CAST(SUM(n_delta) AS BIGINT) AS td
+  FROM cells
+)
+SELECT cell_id, n_base, n_delta,
+       CAST((n_delta * 1000000) // td - (n_base * 1000000) // tb AS BIGINT)
+         AS drift_ppm
+FROM cells, tot
+ORDER BY cell_id
+""",
+)
+def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from formula_1_spark.functions.vectors import cosine
+    from formula_1_spark.operators.similarity import kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 < 4)
+    cents = kmeans_centroids(base, n_cells=8, iters=2).localCheckpoint(eager=False)
+    scored = emb.join(F.broadcast(cents), F.lit(True)).withColumn(
+        "cell_cos", cosine(F.col("embedding"), F.col("cent"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell_id"))
+    assign = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "cell_id")
+    )
+    cells = assign.groupBy("cell_id").agg(
+        F.count_if(F.col("vec_id") % 5 < 4).alias("n_base"),
+        F.count_if(F.col("vec_id") % 5 == 4).alias("n_delta"),
+    )
+    tot = cells.agg(F.sum("n_base").alias("tb"), F.sum("n_delta").alias("td"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "cell_id",
+            "n_base",
+            "n_delta",
+            F.expr(
+                "(n_delta * 1000000) div td - (n_base * 1000000) div tb"
+            ).alias("drift_ppm"),
+        )
+        .orderBy("cell_id")
+    )

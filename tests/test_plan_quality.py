@@ -53,6 +53,8 @@ BNLJ_OK = {
     "embedding_cosine_histogram",  # hash-sampled pair set, sample broadcast
     "shingle_df_profile",  # 1-row postings-total broadcast
     "customer_order_gap_stats",  # 1-row gap-total broadcast
+    "ngram_lm_surprisal",  # 1-row vocab-size broadcast
+    "ivf_incremental_assign",  # k-row centroid broadcast (IVF assign)
 }
 
 

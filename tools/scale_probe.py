@@ -87,6 +87,11 @@ SLATE = [
     "events_hour_of_day_profile", "customer_order_gap_stats",
     "vocab_growth_heaps", "latest_event_per_user_type",
     "orders_mom_change",
+    # round-5 additions: bigram-LM quality scoring, URL-grain dedup,
+    # cross-snapshot compaction manifest
+    "ngram_lm_surprisal", "url_dedup_canonical",
+    "dedup_incremental_compaction", "ivf_incremental_assign",
+    "dedup_cluster_canonical_quality",
 ]
 
 
@@ -172,7 +177,10 @@ def main() -> None:
     if "--all" in sys.argv:
         slate = list(reg)  # full registry sweep
     elif "--only" in sys.argv:
-        wanted = sys.argv[sys.argv.index("--only") + 1].split(",")
+        idx = sys.argv.index("--only")
+        if idx + 1 >= len(sys.argv):
+            raise SystemExit("usage: scale_probe.py --only name1,name2,...")
+        wanted = sys.argv[idx + 1].split(",")
         unknown = [n for n in wanted if n not in reg]
         if unknown:
             raise SystemExit(f"--only: unknown queries {unknown}")
