@@ -250,3 +250,113 @@ def two_phase_global_topk(
         pruned.withColumn(alias, F.rank().over(Window.orderBy(*order_cols)))
         .filter(F.col(alias) <= k)
     )
+
+
+def _assert_local_sort_survives(df: DataFrame) -> None:
+    """Loud guard for the running-sum order invariant.
+
+    ``global_ordered_cumsum`` materializes a range-partitioned locally-
+    sorted relation via localCheckpoint and then streams it through
+    ``mapInPandas`` (which preserves partition row order) carrying a
+    running total. The checkpoint seals whatever the optimizer produced
+    — so assert, BEFORE checkpointing, that a non-global Sort survives
+    in the optimized plan. If a future EliminateSorts change drops it,
+    this fails loudly instead of silently mis-accumulating.
+    """
+    plan = df._jdf.queryExecution().optimizedPlan()
+    max_rows = plan.maxRows()
+    if max_rows.isDefined() and int(max_rows.get()) <= 1:
+        return
+    lines = plan.toString().splitlines()
+    assert any(
+        ln.lstrip(" +-:").startswith("Sort ") and "false" in ln
+        for ln in lines
+    ), (
+        "cumsum guard: local Sort missing from the optimized plan about "
+        "to be checkpointed — the running total would accumulate in "
+        "unsorted order. Plan:\n" + "\n".join(lines)
+    )
+
+
+def global_ordered_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    value_col: str,
+    alias: str = "cum",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact ``SUM(value) OVER (ORDER BY order_cols ROWS BETWEEN UNBOUNDED
+    PRECEDING AND CURRENT ROW)`` without the single-partition global
+    window an unpartitioned frame forces.
+
+    ``order_cols`` must be a TOTAL order (unique per row) and
+    ``value_col`` integral (the running total is carried as int64 —
+    integer addition is associative, so the result is independent of
+    batch boundaries).
+
+    Two-phase, mirroring ``_ranged_enumerate``: ONE range shuffle +
+    local sort (checkpointed so both consumers see identical partition
+    boundaries), then (a) a stats pass collects only #partitions
+    ``(pid, sum)`` pairs and prefix-sums them on the driver, and (b) an
+    Arrow ``mapInPandas`` pass computes the within-partition running sum
+    — a total carried across record batches; mapInPandas preserves row
+    order within a partition — plus a broadcast join that adds each
+    partition's prefix. The pid-window alternative
+    (``Window.partitionBy(spark_partition_id())``) would re-shuffle the
+    FULL relation a second time, because range partitioning can't be
+    proven to satisfy the window's required hash clustering; here only
+    the tiny (pid, offset) relation moves after the range exchange.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if n_parts is None:
+        n_parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        n_parts = int(n_parts or 32)
+    parts = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .select("*", F.spark_partition_id().alias("__pid"))
+    )
+    _assert_local_sort_survives(parts)
+    # localCheckpoint: the stats pass and the cumsum pass must see
+    # IDENTICAL range boundaries (range partitioning samples), and the
+    # checkpoint seals the sorted blocks so no later optimization can
+    # touch the ordering mapInPandas depends on.
+    parts = parts.localCheckpoint(eager=False)
+    sums = {
+        r["__pid"]: r["s"]
+        for r in parts.groupBy("__pid")
+        .agg(F.sum(F.col(value_col).cast("bigint")).alias("s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += int(sums[pid] or 0)
+
+    out_schema = StructType(
+        list(parts.schema.fields) + [StructField("__local_cum", LongType())]
+    )
+
+    def _running(batches):
+        total = 0
+        for pdf in batches:
+            c = pdf[value_col].astype("int64").cumsum() + total
+            if len(c):
+                total = int(c.iloc[-1])
+            pdf["__local_cum"] = c.astype("int64")
+            yield pdf
+
+    local = parts.mapInPandas(_running, schema=out_schema)
+    if not offsets:
+        return local.withColumn(alias, F.col("__local_cum")).drop(
+            "__pid", "__local_cum"
+        )
+    off_df = df.sparkSession.createDataFrame(offsets, "__pid int, __off bigint")
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            alias, (F.col("__local_cum") + F.col("__off")).cast("bigint")
+        )
+        .drop("__pid", "__local_cum", "__off")
+    )

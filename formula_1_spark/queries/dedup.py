@@ -1129,3 +1129,113 @@ def dedup_cluster_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("cluster_size") > 1)
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "cluster_aware_split",
+    ops="EXT-split-leakfree,J1,A1 (cluster-atomic train/val/test split)",
+    doc="Leakage-FREE dataset split: near-dup clusters are assigned to "
+    "train/val/test ATOMICALLY — the split key is md5(cluster_id) mod "
+    "10 (8/1/1), so two near-duplicate documents can never straddle a "
+    "split boundary (the failure mode split_leakage_audit measures on "
+    "the naive per-doc split). Reuses the memoized label-propagation "
+    "assignment; reports per split: docs, clusters, tokens, and docs "
+    "living in multi-doc clusters. The oracle re-derives components "
+    "with the recursive CTE and applies the identical hash rule.",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+posting AS (SELECT doc_id, unnest(sh) AS shingle FROM shf),
+rare AS (
+  SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(1) <= 50
+),
+cand AS (
+  SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+  FROM posting p1
+  JOIN rare r ON p1.shingle = r.shingle
+  JOIN posting p2 ON p2.shingle = p1.shingle
+  WHERE p1.doc_id < p2.doc_id
+),
+verified AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.sh, sb.sh))
+           / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN shf sa ON sa.doc_id = c.a
+  JOIN shf sb ON sb.doc_id = c.b
+),
+pairs AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.node
+),
+lbl AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+sized AS (
+  SELECT doc_id, cluster_id,
+         COUNT(1) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM lbl
+),
+tagged AS (
+  SELECT s.doc_id, s.cluster_id, s.cluster_size,
+         CASE WHEN ('0x' || substr(md5(s.cluster_id::VARCHAR), 1, 8))::BIGINT
+                   % 10 < 8 THEN 'train'
+              WHEN ('0x' || substr(md5(s.cluster_id::VARCHAR), 1, 8))::BIGINT
+                   % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split,
+         len(string_split(d.text, ' ')) AS n_tokens
+  FROM sized s JOIN documents d USING (doc_id)
+)
+SELECT split,
+       CAST(COUNT(1) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS clustered_docs
+FROM tagged
+GROUP BY split
+ORDER BY split
+""",
+)
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assignment = _shared_cluster_assignment(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    tagged = (
+        assignment.withColumn(
+            "split",
+            F.when(b < 8, "train").when(b == 8, "val").otherwise("test"),
+        )
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "split",
+            "cluster_id",
+            "cluster_size",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("cluster_size") > 1, 1).otherwise(0)
+            ).alias("clustered_docs"),
+        )
+        .orderBy("split")
+    )

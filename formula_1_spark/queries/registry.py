@@ -155,6 +155,8 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.stateful_stream",
         "formula_1_spark.queries.lm_score",
         "formula_1_spark.queries.url_ops",
+        "formula_1_spark.queries.curation",
+        "formula_1_spark.queries.history",
     ):
         try:
             __import__(mod)

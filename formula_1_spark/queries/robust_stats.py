@@ -344,3 +344,78 @@ def order_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("pearson_r"),
     )
+
+
+_MED_FRAME = 6  # trailing frame: 6 preceding + current = 7 rows
+
+
+@register(
+    "events_rolling_median",
+    ops="EXT-rolling-median,W1 (order-statistic window frame)",
+    doc="Per-user trailing 7-row median of event value (integer cents): "
+    "Spark has no percentile-over-frame, so the frame's values ride a "
+    "collect_list window (<=7 elements by construction), are array_"
+    "sorted, and the median falls out closed-form (middle element, or "
+    "the mean of the two middles — exact halves of cents, so the "
+    "double is bit-identical to DuckDB's windowed median). Windows "
+    "partition per user; the frame is O(1), so state never scales "
+    "with data. Rolled up per event_type: events above their own "
+    "trailing median (momentum detector) + the max rolling median.",
+    oracle=f"""
+WITH cents AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS v
+  FROM events
+),
+med AS (
+  SELECT event_type, v,
+         median(v) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {_MED_FRAME} PRECEDING AND CURRENT ROW
+         ) AS roll_med
+  FROM cents
+)
+SELECT event_type,
+       CAST(COUNT(1) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN v > roll_med THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above_trailing_median,
+       MAX(roll_med) AS max_rolling_median
+FROM med
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_MED_FRAME, 0)
+    )
+    frame = F.array_sort(F.collect_list("v").over(w))
+    n = F.size(frame)
+    # 1-based middle positions; odd frames hit the same element twice.
+    lo = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(frame, (n / 2 + 1).cast("int"))
+    med = events.select(
+        "event_type",
+        "v",
+        ((lo + hi) / F.lit(2.0)).alias("roll_med"),
+    )
+    return (
+        med.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("v") > F.col("roll_med"), 1).otherwise(0)
+            ).alias("n_above_trailing_median"),
+            F.max("roll_med").alias("max_rolling_median"),
+        )
+        .orderBy("event_type")
+    )

@@ -629,3 +629,96 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PMI_MIN_PAIR = 20
+
+
+@register(
+    "pmi_collocations_topk",
+    ops="EXT-pmi,A1,J1,O3 (pointwise mutual information collocations)",
+    doc="Top-50 bigram collocations by PMI: adjacent token pairs vs "
+    "unigram frequencies, scored as the exact integer ratio "
+    "c12*N*1e6 div (c1*c2) — monotone in PMI, no float logs, so ranks "
+    "agree across engines bit-for-bit; decimal(38,0) arithmetic keeps "
+    "the c12*N*1e6 product exact at corpus scale (int64 would overflow "
+    "past N~9e6 at the min pair count). Unigram counts broadcast-join "
+    "onto the pair relation (vocab << corpus); min pair support 20 "
+    "prunes the long tail before the joins; top-k via orderBy+limit is "
+    "a distributed TakeOrdered, never a global window.",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+),
+uni AS (
+  SELECT t AS w, CAST(COUNT(1) AS BIGINT) AS c
+  FROM (SELECT unnest(tok) AS t FROM toks) GROUP BY t
+),
+n_total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+pairs AS (
+  SELECT tok[i] AS w1, tok[i + 1] AS w2, CAST(COUNT(1) AS BIGINT) AS c12
+  FROM (SELECT tok, unnest(range(1, len(tok))) AS i FROM toks
+        WHERE len(tok) >= 2)
+  GROUP BY w1, w2
+  HAVING COUNT(1) >= {_PMI_MIN_PAIR}
+)
+SELECT p.w1, p.w2, p.c12,
+       u1.c AS c1, u2.c AS c2,
+       CAST(p.c12 * n.n * 1000000 // (u1.c * u2.c) AS BIGINT) AS pmi_ppm
+FROM pairs p
+JOIN uni u1 ON p.w1 = u1.w
+JOIN uni u2 ON p.w2 = u2.w
+CROSS JOIN n_total n
+ORDER BY pmi_ppm DESC, w1, w2
+LIMIT 50
+""",
+)
+def pmi_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.split(F.col("text"), " ").alias("tok"))
+    uni = (
+        toks.select(F.explode("tok").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_total = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    pairs = (
+        toks.filter(F.size("tok") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tok") - 1),
+                    lambda i: F.struct(
+                        F.element_at("tok", i).alias("w1"),
+                        F.element_at("tok", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= _PMI_MIN_PAIR)
+    )
+    u1 = uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")
+    u2 = uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")
+    return (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.expr(
+                "CAST(CAST(c12 AS DECIMAL(38,0)) * n * 1000000"
+                " div (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"
+            ).alias("pmi_ppm"),
+        )
+        .orderBy(F.desc("pmi_ppm"), "w1", "w2")
+        .limit(50)
+    )

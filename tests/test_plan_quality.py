@@ -19,6 +19,7 @@ PANDAS_OK = {
     "media_feature_extract",
     "cogroup_order_reconciliation",
     "media_perceptual_buckets",  # same declared feature kernel as extract
+    "token_budget_selection",  # global_ordered_cumsum Arrow running-total
 }
 # Broadcast nested-loop is the intended strategy for the brute-force
 # similarity baseline, the IVF centroid assignment (tiny broadcast
@@ -55,6 +56,9 @@ BNLJ_OK = {
     "customer_order_gap_stats",  # 1-row gap-total broadcast
     "ngram_lm_surprisal",  # 1-row vocab-size broadcast
     "ivf_incremental_assign",  # k-row centroid broadcast (IVF assign)
+    "token_budget_selection",  # 1-row corpus-token-total broadcast
+    "pmi_collocations_topk",  # 1-row corpus-token-total broadcast
+    "source_ablation_impact",  # 1-row corpus-scalars broadcast
 }
 
 

@@ -1,0 +1,224 @@
+"""Round-5 operator tests: global_ordered_cumsum adversarial checks and
+semantic invariants for the curation / history / PMI queries (their
+value-level parity is covered by test_oracle_parity's registry sweep)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from formula_1_spark.operators.windows import global_ordered_cumsum
+from formula_1_spark.queries.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_cumsum_matches_window_oracle(spark):
+    df = spark.range(0, 5000).select(
+        "id",
+        (F.col("id") * 37 % 101).alias("k"),
+        ((F.col("id") * 13) % 50 + 1).alias("v"),
+    )
+    got = global_ordered_cumsum(
+        df, [F.desc("k"), F.asc("id")], "v", "cum", n_parts=13
+    )
+    exp = df.withColumn(
+        "cum",
+        F.sum("v").over(
+            Window.orderBy(F.desc("k"), F.asc("id")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    g = {r["id"]: r["cum"] for r in got.collect()}
+    e = {r["id"]: r["cum"] for r in exp.collect()}
+    assert g == e
+
+
+def test_cumsum_single_and_empty(spark):
+    one = spark.range(7, 8).select("id", F.lit(5).alias("v"))
+    assert global_ordered_cumsum(one, [F.asc("id")], "v", "cum").collect()[
+        0
+    ]["cum"] == 5
+    empty = spark.range(0).select("id", F.lit(1).alias("v"))
+    assert global_ordered_cumsum(empty, [F.asc("id")], "v", "cum").count() == 0
+
+
+def test_cumsum_more_partitions_than_rows(spark):
+    df = spark.range(0, 3).select("id", (F.col("id") + 1).alias("v"))
+    got = {
+        r["id"]: r["cum"]
+        for r in global_ordered_cumsum(
+            df, [F.asc("id")], "v", "cum", n_parts=16
+        ).collect()
+    }
+    assert got == {0: 1, 1: 3, 2: 6}
+
+
+def test_segment_dedup_retention_invariants(spark, sf_dir):
+    rows = REGISTRY["segment_dedup_retention"].fn(spark, sf_dir).collect()
+    assert rows
+    total_kept = sum(r["segs_kept"] for r in rows)
+    total_segs = sum(r["segs_total"] for r in rows)
+    # kept == corpus-wide distinct segments (first occurrence each).
+    from formula_1_spark.queries.curation import _doc_segments
+    from formula_1_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_distinct = _doc_segments(docs).select("seg_text").distinct().count()
+    assert total_kept == n_distinct
+    for r in rows:
+        assert 0 <= r["segs_kept"] <= r["segs_total"]
+        assert r["docs_intact"] + r["docs_emptied"] <= r["docs_total"]
+        assert r["retained_ppm"] == r["segs_kept"] * 1000000 // r["segs_total"]
+    assert total_kept < total_segs  # the corpus does contain duplicates
+
+
+def test_token_budget_selection_respects_budget(spark, sf_dir):
+    rows = REGISTRY["token_budget_selection"].fn(spark, sf_dir).collect()
+    tokens_total = sum(r["tokens_total"] for r in rows)
+    tokens_kept = sum(r["tokens_kept"] for r in rows)
+    budget = tokens_total * 30 // 100
+    assert 0 < tokens_kept <= budget
+    # Greedy tightness: the next-ranked doc would overflow the budget, so
+    # the kept total must be within max-doc-tokens of it.
+    from formula_1_spark.sources.tables import load_table
+
+    max_doc = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.size(F.split("text", " ")).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert budget - tokens_kept < max_doc
+
+
+def test_scd2_intervals_partition_time(spark, sf_dir):
+    rows = REGISTRY["scd2_customer_priority"].fn(spark, sf_dir).collect()
+    assert rows
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r["custkey"], []).append(r)
+    for cust, ivs in by_cust.items():
+        ivs.sort(key=lambda r: r["version"])
+        # versions contiguous from 1; adjacent intervals chain exactly;
+        # exactly one open/current interval per customer.
+        assert [r["version"] for r in ivs] == list(range(1, len(ivs) + 1))
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["effective_to"] == b["effective_from"]
+            assert a["is_current"] == 0
+        assert ivs[-1]["is_current"] == 1
+        assert ivs[-1]["effective_to"] == "9999-12-31 00:00:00"
+        # consecutive intervals represent actual changes
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["priority"] != b["priority"]
+
+
+def test_pmi_support_and_ordering(spark, sf_dir):
+    rows = REGISTRY["pmi_collocations_topk"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    keys = [(-r["pmi_ppm"], r["w1"], r["w2"]) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r["c12"] >= 20
+        assert r["c1"] >= r["c12"] and r["c2"] >= r["c12"]
+
+
+def test_kanonymity_accounts_every_customer(spark, sf_dir):
+    from formula_1_spark.sources.tables import load_table
+
+    rows = REGISTRY["kanonymity_audit"].fn(spark, sf_dir).collect()
+    n_customers = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["n_customers"] for r in rows) == n_customers
+    for r in rows:
+        assert r["singleton_groups"] <= r["n_groups"]
+        assert r["customers_at_risk"] <= r["n_customers"]
+        assert 1 <= r["min_k"] <= r["max_k"]
+
+
+def test_cluster_aware_split_is_leak_free(spark, sf_dir):
+    from formula_1_spark.queries.dedup import _shared_cluster_assignment
+
+    rows = REGISTRY["cluster_aware_split"].fn(spark, sf_dir).collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # every clustered doc's whole cluster lands in ONE split: re-derive
+    # the per-doc split and check max==min per cluster.
+    assignment = _shared_cluster_assignment(spark, sf_dir)
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    spans = (
+        assignment.withColumn("b", b)
+        .groupBy("cluster_id")
+        .agg((F.max("b") != F.min("b")).alias("spans"))
+        .filter("spans")
+        .count()
+    )
+    assert spans == 0
+    from formula_1_spark.sources.tables import load_table
+
+    assert sum(r["n_docs"] for r in rows) == load_table(
+        spark, sf_dir, "documents"
+    ).count()
+
+
+def test_source_ablation_accounts_all_tokens(spark, sf_dir):
+    rows = REGISTRY["source_ablation_impact"].fn(spark, sf_dir).collect()
+    from formula_1_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_all = (
+        docs.select(F.size(F.split("text", " ")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r["n_tokens"] for r in rows) == n_all
+    v_all = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .distinct()
+        .count()
+    )
+    # exclusive types are disjoint across sources: their union is bounded
+    # by (and here, since every type lives somewhere, <=) the vocabulary.
+    assert sum(r["exclusive_types"] for r in rows) <= v_all
+    for r in rows:
+        assert 0 <= r["token_share_ppm"] <= 1_000_000
+        assert r["ttr_without_ppm"] > 0
+
+
+def test_rolling_median_matches_pandas(spark, sf_dir):
+    """Independent recomputation: pandas rolling(7, min_periods=1).median
+    per user over the same ordered cents."""
+    from formula_1_spark.sources.tables import load_table
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+        )
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    events["roll_med"] = (
+        events.groupby("user_id")["v"]
+        .rolling(7, min_periods=1)
+        .median()
+        .reset_index(level=0, drop=True)
+    )
+    above = (
+        (events["v"] > events["roll_med"]).groupby(events["event_type"]).sum()
+    )
+    got = {
+        r["event_type"]: r["n_above_trailing_median"]
+        for r in REGISTRY["events_rolling_median"].fn(spark, sf_dir).collect()
+    }
+    assert got == {k: int(v) for k, v in above.items()}

@@ -92,6 +92,14 @@ SLATE = [
     "ngram_lm_surprisal", "url_dedup_canonical",
     "dedup_incremental_compaction", "ivf_incremental_assign",
     "dedup_cluster_canonical_quality",
+    # round-5 curation/history slate: segment-grain dedup application,
+    # budgeted selection on the two-phase cumsum, QID audit, SCD2 build,
+    # PMI collocations, streaming watermark dedup
+    "segment_dedup_retention", "token_budget_selection",
+    "kanonymity_audit", "scd2_customer_priority",
+    "pmi_collocations_topk", "stream_dedup_watermark",
+    "cluster_aware_split", "source_ablation_impact",
+    "events_rolling_median",
 ]
 
 
