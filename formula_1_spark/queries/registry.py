@@ -157,6 +157,8 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.url_ops",
         "formula_1_spark.queries.curation",
         "formula_1_spark.queries.history",
+        "formula_1_spark.queries.corpus_audit",
+        "formula_1_spark.queries.corpus_fingerprint",
     ):
         try:
             __import__(mod)

@@ -59,6 +59,7 @@ BNLJ_OK = {
     "token_budget_selection",  # 1-row corpus-token-total broadcast
     "pmi_collocations_topk",  # 1-row corpus-token-total broadcast
     "source_ablation_impact",  # 1-row corpus-scalars broadcast
+    "boilerplate_phrase_filter",  # 1-row doc-total + phrase-count broadcast
 }
 
 

@@ -222,3 +222,62 @@ def test_rolling_median_matches_pandas(spark, sf_dir):
         for r in REGISTRY["events_rolling_median"].fn(spark, sf_dir).collect()
     }
     assert got == {k: int(v) for k, v in above.items()}
+
+
+def test_code_switch_audit_bounds(spark, sf_dir):
+    rows = REGISTRY["code_switch_audit"].fn(spark, sf_dir).collect()
+    from formula_1_spark.sources.tables import load_table
+
+    assert sum(r["docs_total"] for r in rows) == load_table(
+        spark, sf_dir, "documents"
+    ).count()
+    for r in rows:
+        assert 0 <= r["code_switched_docs"] <= r["docs_total"]
+        assert 0 <= r["max_langs_present"] <= 3
+
+
+def test_split_ngram_coverage_shape(spark, sf_dir):
+    rows = REGISTRY["split_ngram_coverage"].fn(spark, sf_dir).collect()
+    assert {r["split"] for r in rows} == {"val", "test"}
+    for r in rows:
+        assert 0 < r["covered_grams"] <= r["n_grams"]
+        assert r["coverage_ppm"] == r["covered_grams"] * 1000000 // r["n_grams"]
+
+
+def test_boilerplate_filter_df_threshold(spark, sf_dir):
+    rows = REGISTRY["boilerplate_phrase_filter"].fn(spark, sf_dir).collect()
+    n_phrases = {r["corpus_boiler_phrases"] for r in rows}
+    assert len(n_phrases) == 1  # corpus-level constant on every row
+    # independently recount boilerplate bigrams
+    from formula_1_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.count()
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)) - 1),
+        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+    )
+    df_counts = (
+        docs.select("doc_id", F.explode(bigrams).alias("g"))
+        .distinct()
+        .groupBy("g")
+        .count()
+    )
+    expected = df_counts.filter(F.col("count") * 100 > 30 * d).count()
+    assert n_phrases == {expected}
+
+
+def test_source_quality_calibration_buckets(spark, sf_dir):
+    rows = REGISTRY["source_quality_calibration"].fn(spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, bs in by_source.items():
+        bs.sort(key=lambda r: r["quartile"])
+        assert [b["quartile"] for b in bs] == list(
+            range(1, len(bs) + 1)
+        )
+        # score ranges are disjoint and ordered across buckets
+        for a, b in zip(bs, bs[1:]):
+            assert a["max_q"] < b["min_q"]

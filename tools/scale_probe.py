@@ -100,6 +100,8 @@ SLATE = [
     "pmi_collocations_topk", "stream_dedup_watermark",
     "cluster_aware_split", "source_ablation_impact",
     "events_rolling_median",
+    "code_switch_audit", "split_ngram_coverage",
+    "boilerplate_phrase_filter", "source_quality_calibration",
 ]
 
 
