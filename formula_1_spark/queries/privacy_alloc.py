@@ -1,0 +1,271 @@
+"""Privacy-publishing + exact-allocation operators (round 5, slate 5):
+the governance math a pipeline runs before releasing aggregates or
+drawing a fixed-size corpus sample.
+
+* ``ldiversity_audit`` — l-diversity (Machanavajjhala et al., ICDE
+  2006) complements the existing k-anonymity audit: a quasi-identifier
+  group is unsafe when its SENSITIVE attribute (order priority) takes
+  fewer than l distinct values, even if the group itself is large.
+  QI = (customer nation, market segment, order year); two aggregates,
+  both on high-cardinality-spreadable keys.
+* ``proportional_allocation_plan`` — largest-remainder (Hamilton)
+  apportionment: allocate an exact N-doc sampling budget across
+  (lang, source) strata so that every stratum gets floor(N*n/T) and
+  the N - sum(floor) leftovers go to the largest remainders
+  (deterministic tie-break). Pure integer math; the only window runs
+  on the bounded stratum relation (langs x sources), never on rows.
+* ``small_cell_suppression`` — statistical-disclosure control: cells
+  of the (customer, order priority) contingency table with fewer than 5
+  orders are suppressed before publication; reports per priority how
+  much volume suppression costs. Cell keys are customer-grain —
+  high-cardinality, spreadable.
+
+All ppm columns are integer ``div`` with decimal(38,0) lifts where a
+corpus-scale sum crosses int64 after the 1e6 multiply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from formula_1_spark.queries.registry import register
+from formula_1_spark.sources.tables import fan_out, load_table
+
+_PPM = 1_000_000
+
+_L_MIN = 3  # a QI group needs >= 3 distinct priorities to be safe
+
+
+@register(
+    "ldiversity_audit",
+    ops="EXT-ldiversity,J1,A1,A5 (sensitive-attribute diversity audit)",
+    doc="l-diversity audit: QI = (nation, market segment, order year), "
+    "sensitive attribute = order priority. A group with fewer than 3 "
+    "distinct priorities lets an attacker who can place a customer in "
+    "the group infer their order behavior, however large the group. "
+    "Per market segment: QI groups, failing groups, priority-singleton "
+    "groups, min/max distinct priorities, at-risk orders and ppm.",
+    oracle=f"""
+WITH qid AS (
+  SELECT c.c_mktsegment,
+         c.c_nationkey,
+         CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+         CAST(COUNT(1) AS BIGINT) AS k,
+         CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS l
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, c.c_nationkey, yr
+)
+SELECT c_mktsegment,
+       CAST(COUNT(1) AS BIGINT) AS qid_groups,
+       CAST(SUM(CASE WHEN l < {_L_MIN} THEN 1 ELSE 0 END) AS BIGINT)
+         AS failing_groups,
+       CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS singleton_groups,
+       CAST(MIN(l) AS BIGINT) AS min_l,
+       CAST(MAX(l) AS BIGINT) AS max_l,
+       CAST(SUM(CASE WHEN l < {_L_MIN} THEN k ELSE 0 END) AS BIGINT)
+         AS orders_at_risk,
+       CAST(SUM(CASE WHEN l < {_L_MIN} THEN k ELSE 0 END) * {_PPM}
+            // SUM(k) AS BIGINT) AS at_risk_ppm
+FROM qid
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = fan_out(load_table(spark, sf_dir, "orders"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    qid = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            "c_mktsegment",
+            "c_nationkey",
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.countDistinct("o_orderpriority").alias("l"),
+        )
+    )
+    risk = F.sum(F.when(F.col("l") < _L_MIN, F.col("k")).otherwise(0))
+    return (
+        qid.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("qid_groups"),
+            F.sum(
+                F.when(F.col("l") < _L_MIN, 1).otherwise(0)
+            ).alias("failing_groups"),
+            F.sum(F.when(F.col("l") == 1, 1).otherwise(0)).alias(
+                "singleton_groups"
+            ),
+            F.min("l").alias("min_l"),
+            F.max("l").alias("max_l"),
+            risk.alias("orders_at_risk"),
+            # decimal lift: at-risk order counts * 1e6 cross int64 at
+            # warehouse scale
+            F.expr(
+                "(cast(sum(CASE WHEN l < 3 THEN k ELSE 0 END)"
+                f" as decimal(38,0)) * {_PPM}) div sum(k)"
+            ).alias("at_risk_ppm"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_ALLOC_N = 1000  # total sampling budget to apportion
+
+
+@register(
+    "proportional_allocation_plan",
+    ops="EXT-allocation,A1,W2 (largest-remainder sampling apportionment)",
+    doc="Hamilton / largest-remainder apportionment of an exact "
+    "1000-doc sampling budget across (lang, source) strata: every "
+    "stratum gets floor(N*n/T); the N - sum(floor) leftover seats go "
+    "to the largest remainders (ties: lang, source). Integer-exact — "
+    "allocations sum to N by construction. The ranking window runs on "
+    "the aggregated stratum relation, whose size is bounded by "
+    "langs x sources at any corpus scale.",
+    oracle=f"""
+WITH strata AS (
+  SELECT lang, source, CAST(COUNT(1) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM strata),
+quota AS (
+  SELECT s.lang, s.source, s.n_docs,
+         CAST(({_ALLOC_N} * s.n_docs) // t.t AS BIGINT) AS quota_base,
+         CAST(({_ALLOC_N} * s.n_docs) % t.t AS BIGINT) AS remainder
+  FROM strata s CROSS JOIN tot t
+),
+leftover AS (
+  SELECT CAST({_ALLOC_N} - SUM(quota_base) AS BIGINT) AS extras
+  FROM quota
+),
+ranked AS (
+  SELECT q.*, l.extras,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY q.remainder DESC, q.lang, q.source) AS BIGINT) AS rk
+  FROM quota q CROSS JOIN leftover l
+)
+SELECT lang, source, n_docs, quota_base, remainder,
+       CAST(CASE WHEN rk <= extras THEN 1 ELSE 0 END AS BIGINT)
+         AS got_extra,
+       CAST(quota_base
+            + CASE WHEN rk <= extras THEN 1 ELSE 0 END AS BIGINT)
+         AS allocated
+FROM ranked
+ORDER BY lang, source
+""",
+)
+def proportional_allocation_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # The stratum relation is referenced three times (quota, total,
+    # leftover); persist it so the corpus is scanned ONCE, not per
+    # reference — it is bounded at langs x sources rows at any scale.
+    strata = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .persist()
+    )
+    tot = strata.agg(F.sum("n_docs").alias("t"))
+    quota = strata.join(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        F.expr(f"({_ALLOC_N} * n_docs) div t").alias("quota_base"),
+        F.expr(f"({_ALLOC_N} * n_docs) % t").alias("remainder"),
+    )
+    leftover = quota.agg(
+        (F.lit(_ALLOC_N) - F.sum("quota_base")).alias("extras")
+    )
+    # Bounded post-agg window: the stratum relation is langs x sources
+    # rows at ANY corpus scale, so a global ordering here is safe.
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("remainder"), F.asc("lang"), F.asc("source"))
+    )
+    return (
+        quota.join(F.broadcast(leftover))
+        .withColumn("rk", rk.cast("bigint"))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "quota_base",
+            "remainder",
+            F.when(F.col("rk") <= F.col("extras"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("got_extra"),
+            (
+                F.col("quota_base")
+                + F.when(F.col("rk") <= F.col("extras"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("allocated"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_CELL_MIN = 5  # publication threshold: cells below this are suppressed
+
+
+@register(
+    "small_cell_suppression",
+    ops="EXT-suppression,A1,A5 (statistical disclosure control)",
+    doc="Small-cell suppression before publishing the (customer, order "
+    "priority) contingency table: cells with fewer than 5 orders are "
+    "withheld. Per priority: cells, suppressed cells, suppressed and "
+    "published order volume, suppression ppm. Cell keys are "
+    "customer-grain (high cardinality) — the aggregate spreads.",
+    oracle=f"""
+WITH cells AS (
+  SELECT o_custkey, o_orderpriority, CAST(COUNT(1) AS BIGINT) AS n
+  FROM orders GROUP BY o_custkey, o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(COUNT(1) AS BIGINT) AS cells,
+       CAST(SUM(CASE WHEN n < {_CELL_MIN} THEN 1 ELSE 0 END) AS BIGINT)
+         AS suppressed_cells,
+       CAST(SUM(CASE WHEN n < {_CELL_MIN} THEN n ELSE 0 END) AS BIGINT)
+         AS suppressed_orders,
+       CAST(SUM(CASE WHEN n >= {_CELL_MIN} THEN n ELSE 0 END) AS BIGINT)
+         AS published_orders,
+       CAST(SUM(CASE WHEN n < {_CELL_MIN} THEN n ELSE 0 END) * {_PPM}
+            // SUM(n) AS BIGINT) AS suppressed_ppm
+FROM cells
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def small_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = fan_out(load_table(spark, sf_dir, "orders"))
+    cells = orders.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cells.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cells"),
+            F.sum(
+                F.when(F.col("n") < _CELL_MIN, 1).otherwise(0)
+            ).alias("suppressed_cells"),
+            F.sum(
+                F.when(F.col("n") < _CELL_MIN, F.col("n")).otherwise(0)
+            ).alias("suppressed_orders"),
+            F.sum(
+                F.when(F.col("n") >= _CELL_MIN, F.col("n")).otherwise(0)
+            ).alias("published_orders"),
+            # decimal lift: order volume * 1e6 crosses int64 at scale
+            F.expr(
+                "(cast(sum(CASE WHEN n < 5 THEN n ELSE 0 END)"
+                f" as decimal(38,0)) * {_PPM}) div sum(n)"
+            ).alias("suppressed_ppm"),
+        )
+        .orderBy("o_orderpriority")
+    )

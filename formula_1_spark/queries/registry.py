@@ -159,6 +159,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.history",
         "formula_1_spark.queries.corpus_audit",
         "formula_1_spark.queries.corpus_fingerprint",
+        "formula_1_spark.queries.privacy_alloc",
     ):
         try:
             __import__(mod)

@@ -60,6 +60,8 @@ BNLJ_OK = {
     "pmi_collocations_topk",  # 1-row corpus-token-total broadcast
     "source_ablation_impact",  # 1-row corpus-scalars broadcast
     "boilerplate_phrase_filter",  # 1-row doc-total + phrase-count broadcast
+    "winnow_fingerprint_dedup",  # 1-row shared-fingerprint-count broadcast
+    "proportional_allocation_plan",  # 1-row corpus-total + extras broadcast
 }
 
 
@@ -67,6 +69,11 @@ BNLJ_OK = {
 # cardinality is bounded by the DOMAIN, not the data scale.
 SINGLE_PARTITION_OK = {
     "nation_trade_pagerank",  # nation graph: <=25 nodes by TPC-H schema
+    # largest-remainder rank over the persisted stratum aggregate: the
+    # InMemoryTableScan feeding the window's SinglePartition exchange is
+    # the post-agg (lang, source) relation — bounded by the domain, but
+    # the checker can't see through the cache boundary to the Aggregate
+    "proportional_allocation_plan",
 }
 
 
@@ -179,6 +186,10 @@ UNPARTITIONED_WINDOW_OK = {
     ),
     "windows_events.py": "lag over the hour-grain rollup (~1e5 rows/decade)",
     "text_analysis.py": "cumulative window over the 10 NTILE batch rows",
+    "privacy_alloc.py": (
+        "largest-remainder rank over the stratum aggregate "
+        "(bounded at langs x sources rows at any corpus scale)"
+    ),
 }
 
 

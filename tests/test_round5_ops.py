@@ -281,3 +281,141 @@ def test_source_quality_calibration_buckets(spark, sf_dir):
         # score ranges are disjoint and ordered across buckets
         for a, b in zip(bs, bs[1:]):
             assert a["max_q"] < b["min_q"]
+
+
+def test_winnow_fingerprint_invariants(spark, sf_dir):
+    rows = REGISTRY["winnow_fingerprint_dedup"].fn(spark, sf_dir).collect()
+    from formula_1_spark.sources.tables import load_table
+
+    assert sum(r["docs_total"] for r in rows) == load_table(
+        spark, sf_dir, "documents"
+    ).count()
+    shared = {r["shared_fps"] for r in rows}
+    assert len(shared) == 1  # corpus-level constant on every row
+    for r in rows:
+        assert r["docs_fingerprinted"] <= r["docs_total"]
+        assert r["dup_candidate_docs"] <= r["docs_fingerprinted"]
+        assert r["total_fps"] >= r["docs_fingerprinted"]
+
+
+def test_tokenizer_fertility_recompute_one_group(spark, sf_dir):
+    import re
+
+    import duckdb
+
+    from formula_1_spark.queries.text_analysis import BPE_PATTERN
+
+    rows = REGISTRY["tokenizer_fertility_audit"].fn(spark, sf_dir).collect()
+    r0 = rows[0]
+    docs = duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE lang = '{r0['lang']}' AND source = '{r0['source']}'"
+    ).fetchall()
+    pat = re.compile(BPE_PATTERN)
+    words = sum(len(re.split(r"\s+", t.strip())) for (t,) in docs)
+    segs = sum(len(pat.findall(t)) for (t,) in docs)
+    byts = sum(len(t.encode("utf-8")) for (t,) in docs)
+    assert r0["docs"] == len(docs)
+    assert r0["words"] == words
+    assert r0["bpe_segments"] == segs
+    assert r0["utf8_bytes"] == byts
+    assert r0["fertility_ppm"] == segs * 1_000_000 // words
+
+
+def test_zipf_doubling_monotone(spark, sf_dir):
+    rows = REGISTRY["zipf_rank_doubling"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r["rank"] in {1, 2, 4, 8, 16, 32, 64, 128}
+        # frequency is non-increasing in rank
+        assert r["freq"] >= r["freq_at_double"]
+        assert r["doubling_ratio_ppm"] >= 1_000_000
+
+
+def test_oov_rate_token_totals(spark, sf_dir):
+    import duckdb
+
+    rows = REGISTRY["oov_rate_audit"].fn(spark, sf_dir).collect()
+    (total,) = duckdb.sql(
+        "SELECT COUNT(1) FROM (SELECT unnest(string_split(text, ' ')) "
+        f"FROM read_parquet('{sf_dir}/documents.parquet'))"
+    ).fetchone()
+    assert sum(r["tokens_total"] for r in rows) == total
+    for r in rows:
+        assert 0 <= r["oov_tokens"] <= r["tokens_total"]
+        assert r["oov_ppm"] == r["oov_tokens"] * 1_000_000 // r["tokens_total"]
+
+
+def test_event_attribution_matches_pandas(spark, sf_dir):
+    import duckdb
+
+    pdf = duckdb.sql(
+        "SELECT user_id, event_type, ts, event_id, "
+        "CAST(round(value * 100) AS BIGINT) AS cents "
+        f"FROM read_parquet('{sf_dir}/events.parquet') "
+        "ORDER BY user_id, ts, event_id"
+    ).df()
+    expected: dict[tuple, list] = {}
+    for _, g in pdf.groupby("user_id", sort=False):
+        first = g.iloc[0]["event_type"]
+        last_np = None
+        for _, e in g.iterrows():
+            if e["event_type"] == "purchase":
+                key = (first, last_np or "none")
+                agg = expected.setdefault(key, [0, 0])
+                agg[0] += 1
+                agg[1] += int(e["cents"])
+            if e["event_type"] != "purchase":
+                last_np = e["event_type"]
+    got = {
+        (r["first_touch"], r["last_touch"]): [r["purchases"], r["revenue_cents"]]
+        for r in REGISTRY["event_attribution_first_last"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expected
+
+
+def test_ldiversity_bounds(spark, sf_dir):
+    import duckdb
+
+    rows = REGISTRY["ldiversity_audit"].fn(spark, sf_dir).collect()
+    (n_orders,) = duckdb.sql(
+        f"SELECT COUNT(1) FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchone()
+    assert sum(r["qid_groups"] for r in rows) > 0
+    assert sum(r["orders_at_risk"] for r in rows) <= n_orders
+    for r in rows:
+        assert r["singleton_groups"] <= r["failing_groups"] <= r["qid_groups"]
+        assert 1 <= r["min_l"] <= r["max_l"] <= 5  # 5 order priorities
+
+
+def test_proportional_allocation_sums_to_budget(spark, sf_dir):
+    rows = REGISTRY["proportional_allocation_plan"].fn(spark, sf_dir).collect()
+    assert sum(r["allocated"] for r in rows) == 1000
+    base = sum(r["quota_base"] for r in rows)
+    assert sum(r["got_extra"] for r in rows) == 1000 - base
+    for r in rows:
+        assert r["allocated"] - r["quota_base"] in (0, 1)
+    # Hamilton: extras go to the largest remainders, so no stratum left
+    # without an extra may out-remainder one that got an extra.
+    with_extra = [r for r in rows if r["got_extra"] == 1]
+    without = [r for r in rows if r["got_extra"] == 0]
+    if with_extra and without:
+        assert max(r["remainder"] for r in without) <= min(
+            r["remainder"] for r in with_extra
+        )
+
+
+def test_small_cell_suppression_partition(spark, sf_dir):
+    import duckdb
+
+    rows = REGISTRY["small_cell_suppression"].fn(spark, sf_dir).collect()
+    (n_orders,) = duckdb.sql(
+        f"SELECT COUNT(1) FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchone()
+    assert (
+        sum(r["suppressed_orders"] + r["published_orders"] for r in rows)
+        == n_orders
+    )
+    for r in rows:
+        assert r["suppressed_cells"] <= r["cells"]

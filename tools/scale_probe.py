@@ -102,6 +102,11 @@ SLATE = [
     "events_rolling_median",
     "code_switch_audit", "split_ngram_coverage",
     "boilerplate_phrase_filter", "source_quality_calibration",
+    "winnow_fingerprint_dedup", "tokenizer_fertility_audit",
+    "zipf_rank_doubling", "oov_rate_audit",
+    "event_attribution_first_last",
+    "ldiversity_audit", "proportional_allocation_plan",
+    "small_cell_suppression",
 ]
 
 
