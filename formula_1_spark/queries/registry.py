@@ -160,6 +160,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.corpus_audit",
         "formula_1_spark.queries.corpus_fingerprint",
         "formula_1_spark.queries.privacy_alloc",
+        "formula_1_spark.queries.audit_metrics",
     ):
         try:
             __import__(mod)

@@ -62,6 +62,8 @@ BNLJ_OK = {
     "boilerplate_phrase_filter",  # 1-row doc-total + phrase-count broadcast
     "winnow_fingerprint_dedup",  # 1-row shared-fingerprint-count broadcast
     "proportional_allocation_plan",  # 1-row corpus-total + extras broadcast
+    "vocab_coverage_curve",  # 8-row cutoff relation (rk <= v) + 1-row total
+    "orders_priority_chisq_drift",  # 1-row corpus-total broadcast
 }
 
 

@@ -419,3 +419,74 @@ def test_small_cell_suppression_partition(spark, sf_dir):
     )
     for r in rows:
         assert r["suppressed_cells"] <= r["cells"]
+
+
+def test_vocab_coverage_curve_monotone(spark, sf_dir):
+    import duckdb
+
+    rows = REGISTRY["vocab_coverage_curve"].fn(spark, sf_dir).collect()
+    assert [r["vocab_size"] for r in rows] == [
+        64, 128, 256, 512, 1024, 2048, 4096, 8192,
+    ]
+    (total,) = duckdb.sql(
+        "SELECT SUM(len(string_split(text, ' '))) "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()
+    for a, b in zip(rows, rows[1:]):
+        # coverage can only grow with vocabulary size
+        assert a["covered_tokens"] <= b["covered_tokens"]
+        assert a["terms_in_vocab"] <= b["terms_in_vocab"]
+    for r in rows:
+        assert r["terms_in_vocab"] <= r["vocab_size"]
+        assert 0 < r["covered_tokens"] <= total
+        assert r["coverage_ppm"] == r["covered_tokens"] * 1_000_000 // total
+
+
+def test_kappa_lang_agreement_identities(spark, sf_dir):
+    rows = REGISTRY["kappa_lang_agreement"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["po_ppm"] <= 1_000_000
+        assert 0 < r["pe_ppm"] <= 1_000_000
+        assert r["po_ppm"] * r["n_docs"] // 1_000_000 <= r["agree"] + 1
+        if r["pe_ppm"] >= 1_000_000:
+            assert r["kappa_ppm"] == 1_000_000
+        else:
+            # both engines truncate integer division toward zero
+            num = (r["po_ppm"] - r["pe_ppm"]) * 1_000_000
+            den = 1_000_000 - r["pe_ppm"]
+            q = abs(num) // den
+            assert r["kappa_ppm"] == (q if num >= 0 else -q)
+
+
+def test_chisq_drift_null_distribution(spark, sf_dir):
+    rows = REGISTRY["orders_priority_chisq_drift"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["chisq_index_ppm"] >= 0
+        assert 0 <= r["max_delta_ppm"] < 1_000_000
+        # the index bounds the largest single-cell contribution
+        assert (
+            r["chisq_index_ppm"]
+            >= r["max_delta_ppm"] ** 2 // 1_000_000 - 5
+        )
+
+
+def test_user_contribution_bounds_partition(spark, sf_dir):
+    import duckdb
+
+    rows = REGISTRY["user_contribution_bounds"].fn(spark, sf_dir).collect()
+    (n_orders,) = duckdb.sql(
+        f"SELECT COUNT(1) FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchone()
+    assert sum(r["orders_total"] for r in rows) == n_orders
+    for r in rows:
+        assert 1 <= r["l1_sensitivity"] <= r["orders_total"]
+        assert r["contributors"] * r["l1_sensitivity"] >= r["orders_total"]
+        assert r["dominated"] == (
+            r["l1_sensitivity"] * 2 > r["orders_total"]
+        )
+        assert (
+            r["dominance_ppm"]
+            == r["l1_sensitivity"] * 1_000_000 // r["orders_total"]
+        )

@@ -107,6 +107,8 @@ SLATE = [
     "event_attribution_first_last",
     "ldiversity_audit", "proportional_allocation_plan",
     "small_cell_suppression",
+    "vocab_coverage_curve", "kappa_lang_agreement",
+    "orders_priority_chisq_drift", "user_contribution_bounds",
 ]
 
 
