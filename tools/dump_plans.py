@@ -46,6 +46,8 @@ SLATE = {
     "token_length_deciles": "exact two-phase NTILE: range shuffle + per-partition row_number + broadcast offsets, no single-partition window",
     "customer_rfm_segments": "three two-phase NTILE(4) passes over the persisted customer rollup; all shuffles parallel",
     "tpch_q18_large_orders": "post-agg top-k via two-phase rank prune, not an unpartitioned window",
+    "winnow_fingerprint_dedup": "fingerprints from per-row array math; only distinct (doc, fp) ints shuffle; 1-row shared-count broadcast",
+    "vocab_coverage_curve": "zero-shuffle two-phase top-8192 ranks; 8-row cutoff + 1-row total broadcast joins",
 }
 
 
