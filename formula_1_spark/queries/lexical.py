@@ -155,3 +155,132 @@ FROM (
 def bm25_corpus_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return bm25_scores(docs, list(_QUERY_TERMS), k=15)
+
+
+_PPM = 1_000_000
+
+_RRF_K = 60  # standard RRF damping constant (Cormack et al., SIGIR 2009)
+_FUSE_TOPK = 50  # depth of each input ranking
+
+
+@register(
+    "rrf_rank_fusion",
+    ops="EXT-rrf,J1,W2 (reciprocal-rank fusion of two retrieval signals)",
+    doc=f"Reciprocal-rank fusion (RRF, k={_RRF_K}) of two rankings of "
+    f"the corpus for the fixed query {_QUERY_TERMS}: BM25 top-"
+    f"{_FUSE_TOPK} and a plain integer tf x idf_q sum top-{_FUSE_TOPK}. "
+    "Each input ranking is an exact two-phase global top-k; the fused "
+    "relation is bounded at 2k rows, so the final re-rank is another "
+    "two-phase pass over a tiny relation. rrf_ppm = sum over lists of "
+    "1e6 div (60 + rank), with 0 for a list the doc missed (rank "
+    "sentinel 0) — pure integer math, bit-exact cross-engine.",
+    oracle=f"""
+WITH {_TERMS_CTES},
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+tot AS (SELECT SUM(dl) AS total_len FROM dl),
+matched AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+  FROM tf JOIN dl USING (doc_id)
+  WHERE tf.term IN {_QUERY_TERMS!r}
+),
+part AS (
+  SELECT m.doc_id, m.term, m.dl,
+         CAST(i.idf_q AS DOUBLE)
+           * (CAST(m.tf AS DOUBLE) * CAST({_K1P1!r} AS DOUBLE))
+           / (CAST(m.tf AS DOUBLE)
+              + CAST({BM25_K1!r} AS DOUBLE)
+                * (CAST({_ONE_MINUS_B!r} AS DOUBLE)
+                   + CAST({BM25_B!r} AS DOUBLE) * CAST(m.dl AS DOUBLE)
+                     / (CAST(t.total_len AS DOUBLE) / CAST(n.n AS DOUBLE))))
+           AS part
+  FROM matched m
+  JOIN idf i USING (term), tot t, nd n
+),
+piv AS (
+  SELECT doc_id,
+         MAX(CASE WHEN term = '{_QUERY_TERMS[0]}' THEN part END) AS s_0,
+         MAX(CASE WHEN term = '{_QUERY_TERMS[1]}' THEN part END) AS s_1,
+         MAX(CASE WHEN term = '{_QUERY_TERMS[2]}' THEN part END) AS s_2
+  FROM part GROUP BY doc_id
+),
+bm AS (
+  SELECT doc_id, CAST(rk AS BIGINT) AS r_bm25
+  FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY
+      0.0 + COALESCE(s_0, 0.0) + COALESCE(s_1, 0.0) + COALESCE(s_2, 0.0)
+        DESC, doc_id ASC) AS rk
+    FROM piv
+  ) WHERE rk <= {_FUSE_TOPK}
+),
+ti AS (
+  SELECT doc_id, CAST(rk AS BIGINT) AS r_tfidf
+  FROM (
+    SELECT m.doc_id, ROW_NUMBER() OVER (
+      ORDER BY SUM(m.tf * i.idf_q) DESC, m.doc_id ASC) AS rk
+    FROM matched m JOIN idf i USING (term)
+    GROUP BY m.doc_id
+  ) WHERE rk <= {_FUSE_TOPK}
+),
+fused AS (
+  SELECT COALESCE(b.doc_id, t.doc_id) AS doc_id,
+         COALESCE(b.r_bm25, 0) AS bm25_rank,
+         COALESCE(t.r_tfidf, 0) AS tfidf_rank,
+         COALESCE({_PPM} // ({_RRF_K} + b.r_bm25), 0)
+           + COALESCE({_PPM} // ({_RRF_K} + t.r_tfidf), 0) AS rrf_ppm
+  FROM bm b FULL OUTER JOIN ti t ON b.doc_id = t.doc_id
+)
+SELECT doc_id, bm25_rank, tfidf_rank,
+       CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_ppm DESC, doc_id ASC)
+            AS BIGINT) AS fused_rank
+FROM fused
+ORDER BY fused_rank
+""",
+)
+def rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.tfidf import doc_terms, idf_table
+    from formula_1_spark.operators.windows import two_phase_global_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    qt = list(_QUERY_TERMS)
+
+    bm = bm25_scores(docs, qt, k=_FUSE_TOPK).select(
+        "doc_id", F.col("rank").cast("bigint").alias("r_bm25")
+    )
+
+    terms = doc_terms(docs)
+    idf = idf_table(terms, docs.count()).filter(F.col("term").isin(qt))
+    ti_scored = (
+        terms.filter(F.col("term").isin(qt))
+        .join(F.broadcast(idf.select("term", "idf_q")), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_q")).alias("score2"))
+    )
+    ti = two_phase_global_topk(
+        ti_scored,
+        [F.desc("score2"), F.asc("doc_id")],
+        _FUSE_TOPK,
+        alias="rk",
+        unique_order=True,
+    ).select("doc_id", F.col("rk").cast("bigint").alias("r_tfidf"))
+
+    rrf = F.coalesce(
+        F.expr(f"{_PPM} div ({_RRF_K} + r_bm25)"), F.lit(0)
+    ) + F.coalesce(F.expr(f"{_PPM} div ({_RRF_K} + r_tfidf)"), F.lit(0))
+    fused = bm.join(ti, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("r_bm25", F.lit(0)).alias("bm25_rank"),
+        F.coalesce("r_tfidf", F.lit(0)).alias("tfidf_rank"),
+        rrf.cast("bigint").alias("rrf_ppm"),
+    )
+    # Bounded re-rank: the fused relation holds at most 2k rows at ANY
+    # corpus scale, so a second two-phase pass is effectively free.
+    return two_phase_global_topk(
+        fused,
+        [F.desc("rrf_ppm"), F.asc("doc_id")],
+        2 * _FUSE_TOPK,
+        alias="fused_rank",
+        unique_order=True,
+    ).withColumn(
+        "fused_rank", F.col("fused_rank").cast("bigint")
+    ).orderBy("fused_rank")

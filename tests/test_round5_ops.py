@@ -490,3 +490,21 @@ def test_user_contribution_bounds_partition(spark, sf_dir):
             r["dominance_ppm"]
             == r["l1_sensitivity"] * 1_000_000 // r["orders_total"]
         )
+
+
+def test_rrf_fusion_identities(spark, sf_dir):
+    rows = REGISTRY["rrf_rank_fusion"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    # fused rank is a 1..n permutation in rrf_ppm-descending order
+    assert [r["fused_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert (a["rrf_ppm"], -a["doc_id"]) >= (b["rrf_ppm"], -b["doc_id"])
+    for r in rows:
+        expect = 0
+        if r["bm25_rank"] > 0:
+            expect += 1_000_000 // (60 + r["bm25_rank"])
+        if r["tfidf_rank"] > 0:
+            expect += 1_000_000 // (60 + r["tfidf_rank"])
+        assert r["rrf_ppm"] == expect
+        # present in at least one list
+        assert r["bm25_rank"] > 0 or r["tfidf_rank"] > 0
