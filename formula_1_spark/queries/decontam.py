@@ -380,3 +380,156 @@ def embedding_decontamination(
             ).alias("worst_eval_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination pre-filter with measured FPR
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 20  # filter positions (1 Mi bits = 32768 x 32-bit words)
+_BLOOM_SHIFT = 2048  # second hash = bits 11-30 of the 32-bit gram hash
+
+
+@register(
+    "bloom_decontam_audit",
+    ops="EXT-bloom,A1,J1 (bit-level mergeable sketch + measured FPR)",
+    doc=f"Sketch-based decontamination gate: the held-out split's "
+    f"{DECONTAM_N}-gram hashes populate a {_BLOOM_M}-bit Bloom filter "
+    "(k=2 positions from disjoint-ish bit ranges of the 32-bit gram "
+    "hash; 32-bit words packed in BIGINT, OR-merged with bit_or — a "
+    "mergeable one-pass build). Training grams probe the broadcast "
+    "word table and are scored against the exact semi-join truth: per "
+    "train bucket, probes, bloom hits, true hits, false positives, "
+    "verified-zero false negatives, and the measured FPR in ppm. At "
+    "100 TB this is the cheap first gate: the 256 KB filter rides "
+    "every executor and the exact join only sees bloom survivors.",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,
+         {_BUCKET_SQL} AS b
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, b, t,
+         unnest(range(0, greatest(len(t) - {DECONTAM_N - 1}, 0))) AS i
+  FROM toks
+),
+grams AS (
+  SELECT DISTINCT b,
+         ('0x' || substr(md5(array_to_string(
+            list_slice(t, i + 1, i + {DECONTAM_N}), ' ')), 1, 8))::BIGINT AS g
+  FROM idx
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE b >= 8),
+pos AS (
+  SELECT g % {_BLOOM_M} AS p FROM ev
+  UNION ALL
+  SELECT (g // {_BLOOM_SHIFT}) % {_BLOOM_M} FROM ev
+),
+bloom AS (
+  SELECT p // 32 AS w, bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS wv
+  FROM pos GROUP BY w
+),
+tr AS (SELECT DISTINCT b, g FROM grams WHERE b < 8),
+probed AS (
+  SELECT t.b,
+         ((COALESCE(b1.wv, 0) >> CAST((t.g % {_BLOOM_M}) % 32 AS INTEGER))
+            & 1) AS bit1,
+         ((COALESCE(b2.wv, 0)
+             >> CAST(((t.g // {_BLOOM_SHIFT}) % {_BLOOM_M}) % 32 AS INTEGER))
+            & 1) AS bit2,
+         CASE WHEN e.g IS NULL THEN 0 ELSE 1 END AS in_eval
+  FROM tr t
+  LEFT JOIN bloom b1 ON b1.w = (t.g % {_BLOOM_M}) // 32
+  LEFT JOIN bloom b2
+    ON b2.w = ((t.g // {_BLOOM_SHIFT}) % {_BLOOM_M}) // 32
+  LEFT JOIN ev e ON e.g = t.g
+)
+SELECT b AS bucket,
+       CAST(COUNT(1) AS BIGINT) AS grams_probed,
+       CAST(SUM(bit1 * bit2) AS BIGINT) AS bloom_hits,
+       CAST(SUM(in_eval) AS BIGINT) AS true_hits,
+       CAST(SUM(bit1 * bit2 * (1 - in_eval)) AS BIGINT) AS false_pos,
+       CAST(SUM(in_eval * (1 - bit1 * bit2)) AS BIGINT) AS false_neg,
+       CAST(CASE WHEN COUNT(1) = SUM(in_eval) THEN 0
+            ELSE SUM(bit1 * bit2 * (1 - in_eval)) * {1000000}
+                 // (COUNT(1) - SUM(in_eval)) END AS BIGINT) AS fpr_ppm
+FROM probed
+GROUP BY b
+ORDER BY bucket
+""",
+)
+def bloom_decontam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.queries.dedup import _shared_relations
+
+    tok = _shared_relations(spark, sf_dir)["tok"]
+    sh = shingles_from_tokens(tok, DECONTAM_N)
+    grams = sh.select(
+        split_bucket("doc_id").alias("b"), F.explode("sh").alias("g")
+    ).distinct()
+    ev = grams.filter(F.col("b") >= 8).select("g").distinct()
+    pos = ev.select(
+        F.explode(
+            F.array(
+                F.col("g") % _BLOOM_M,
+                (F.col("g") / F.lit(_BLOOM_SHIFT)).cast("bigint")
+                % _BLOOM_M,
+            )
+        ).alias("p")
+    )
+    # One-pass mergeable build: 32-bit masks OR-folded per word. The
+    # whole filter is 32768 rows (~256 KB) — broadcast everywhere.
+    bloom = (
+        pos.select(
+            (F.col("p") / 32).cast("bigint").alias("w"),
+            F.expr("shiftleft(1L, cast(p % 32 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("wv"))
+    )
+    tr = grams.filter(F.col("b") < 8).select("b", "g").distinct()
+    p1 = F.col("g") % _BLOOM_M
+    p2 = (F.col("g") / F.lit(_BLOOM_SHIFT)).cast("bigint") % _BLOOM_M
+    b1 = bloom.select(F.col("w").alias("w1"), F.col("wv").alias("wv1"))
+    b2 = bloom.select(F.col("w").alias("w2"), F.col("wv").alias("wv2"))
+    probed = (
+        tr.withColumn("p1", p1)
+        .withColumn("p2", p2)
+        .join(
+            F.broadcast(b1), (F.col("p1") / 32).cast("bigint") == F.col("w1"), "left"
+        )
+        .join(
+            F.broadcast(b2), (F.col("p2") / 32).cast("bigint") == F.col("w2"), "left"
+        )
+        .join(
+            F.broadcast(ev.withColumn("in_ev", F.lit(1))), "g", "left"
+        )
+        .select(
+            "b",
+            F.expr(
+                "(shiftright(coalesce(wv1, 0L), cast(p1 % 32 as int)) & 1)"
+            ).alias("bit1"),
+            F.expr(
+                "(shiftright(coalesce(wv2, 0L), cast(p2 % 32 as int)) & 1)"
+            ).alias("bit2"),
+            F.coalesce("in_ev", F.lit(0)).alias("in_eval"),
+        )
+    )
+    hit = F.col("bit1") * F.col("bit2")
+    return (
+        probed.groupBy(F.col("b").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("grams_probed"),
+            F.sum(hit).alias("bloom_hits"),
+            F.sum("in_eval").alias("true_hits"),
+            F.sum(hit * (1 - F.col("in_eval"))).alias("false_pos"),
+            F.sum(F.col("in_eval") * (1 - hit)).alias("false_neg"),
+            F.expr(
+                "cast(CASE WHEN count(1) = sum(in_eval) THEN 0"
+                " ELSE (cast(sum(bit1 * bit2 * (1 - in_eval))"
+                f" as decimal(38,0)) * {1_000_000})"
+                " div (count(1) - sum(in_eval)) END as bigint)"
+            ).alias("fpr_ppm"),
+        )
+        .orderBy("bucket")
+    )

@@ -508,3 +508,16 @@ def test_rrf_fusion_identities(spark, sf_dir):
         assert r["rrf_ppm"] == expect
         # present in at least one list
         assert r["bm25_rank"] > 0 or r["tfidf_rank"] > 0
+
+
+def test_bloom_decontam_no_false_negatives(spark, sf_dir):
+    rows = REGISTRY["bloom_decontam_audit"].fn(spark, sf_dir).collect()
+    assert [r["bucket"] for r in rows] == list(range(8))
+    for r in rows:
+        # Bloom filters admit false positives, NEVER false negatives
+        assert r["false_neg"] == 0
+        assert r["bloom_hits"] == r["true_hits"] + r["false_pos"]
+        assert r["true_hits"] <= r["grams_probed"]
+        neg = r["grams_probed"] - r["true_hits"]
+        expect = 0 if neg == 0 else r["false_pos"] * 1_000_000 // neg
+        assert r["fpr_ppm"] == expect

@@ -108,7 +108,7 @@ SLATE = [
     "ldiversity_audit", "proportional_allocation_plan",
     "small_cell_suppression",
     "vocab_coverage_curve", "kappa_lang_agreement",
-    "rrf_rank_fusion",
+    "rrf_rank_fusion", "bloom_decontam_audit",
     "orders_priority_chisq_drift", "user_contribution_bounds",
 ]
 
