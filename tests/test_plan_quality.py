@@ -36,6 +36,7 @@ BNLJ_OK = {
     "embedding_quantization",  # 1-row per-dim stats broadcast
     "heavy_hitters_topk",  # 1-row totals x 1-row flags scalar broadcast
     "bm25_corpus_search",  # 1-row corpus total-length broadcast
+    "rrf_rank_fusion",  # same 1-row total-length broadcast via bm25_scores
     "sample_temperature_mixture",  # 1-row min-count broadcast
     "similarity_ann_pq",  # same tiny-codebook broadcast assigns as IVF
     "hard_negative_mining",  # probe-broadcast anti-label corpus scan
