@@ -49,68 +49,69 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 
 
 # The correctness driver snapshots the FIRST 50 registry entries in
-# iteration order each round. Round 5 pins the full 50-slot window
-# explicitly: the 10 queries that have never had a green driver row
-# (the 3 r04 HUGEINT-oracle reds + the 5 r3c profiles deferred per plan +
-# the r04 addition + f1_gold_driver_standings, whose only r01 row predates
-# its oracle) come first — after this round, cumulative driver coverage is
-# 171/171. The remaining 40 slots re-check the OLDEST greens (r01-era) as a
-# regression watch. New round-5+ queries register BEHIND this pinned
-# window. Names absent from REGISTRY are skipped; registered names absent
-# from this list keep registration order after it.
+# iteration order each round. Round 6 pins the full 50-slot window
+# explicitly: the 32 round-5 additions — the only queries that have never
+# had a driver CORRECTNESS row (they registered behind the round-5 window
+# per the growth protocol; all are locally bit-exact via
+# tests/test_oracle_parity.py) — come first. After this round, cumulative
+# driver coverage is 203/203 on the pre-round-6 registry. The remaining 18
+# slots re-check the STALEST greens (last green in r02) as a regression
+# watch. New round-6+ queries register BEHIND this pinned window. Names
+# absent from REGISTRY are skipped; registered names absent from this list
+# keep registration order after it.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never driver-green: must all turn green in round 5 ---
-    "lang_id_confusion_matrix",
-    "source_mix_drift",
-    "customer_rfm_segments",
-    "shingle_df_profile",
-    "embedding_cosine_histogram",
-    "events_hour_of_day_profile",
-    "customer_order_gap_stats",
-    "orders_mom_change",
-    "dedup_semantic_clusters_scaled",
-    "f1_gold_driver_standings",
-    # --- regression re-checks: oldest driver greens first (r01/r02) ---
-    "ctas_priority_summary",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q4_priority_exists",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_histogram",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q22_global_sales_opportunity",
-    "customers_left_join_orders",
-    "race_results_denorm",
-    "driver_standings",
-    "constructor_standings",
-    "adjusted_points_report",
-    "dominant_customers_topk",
-    "events_json_extract",
-    "scalar_functions",
-    "filter_scan_project",
-    "customer_retention_setops",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_stream_stream_join",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "similarity_topk_bruteforce",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "text_quality_profile",
-    "text_lang_report",
-    "text_bpe_tokens",
-    "media_feature_extract",
+    # --- never driver-checked (all 32 round-5 additions) ---
+    "ivf_incremental_assign",
+    "dedup_incremental_compaction",
+    "dedup_cluster_canonical_quality",
+    "cluster_aware_split",
+    "pmi_collocations_topk",
+    "bloom_decontam_audit",
+    "rrf_rank_fusion",
+    "events_rolling_median",
+    "ngram_lm_surprisal",
+    "url_dedup_canonical",
+    "segment_dedup_retention",
+    "token_budget_selection",
+    "kanonymity_audit",
+    "source_ablation_impact",
+    "scd2_customer_priority",
+    "stream_dedup_watermark",
+    "code_switch_audit",
+    "split_ngram_coverage",
+    "boilerplate_phrase_filter",
+    "source_quality_calibration",
+    "winnow_fingerprint_dedup",
+    "tokenizer_fertility_audit",
+    "zipf_rank_doubling",
+    "oov_rate_audit",
+    "event_attribution_first_last",
+    "ldiversity_audit",
+    "proportional_allocation_plan",
+    "small_cell_suppression",
+    "vocab_coverage_curve",
+    "kappa_lang_agreement",
+    "orders_priority_chisq_drift",
+    "user_contribution_bounds",
+    # --- regression re-checks: stalest driver greens (last green r02) ---
+    "events_stream_static_enrich",
+    "timeseries_gap_fill",
+    "event_transition_matrix",
+    "embedding_quantization",
+    "dedup_semantic_clusters",
+    "dedup_incremental_minhash",
+    "source_quality_rollup",
+    "filter_cascade_audit",
+    "media_frame_sample_plan",
+    "media_resize_plan",
+    "asof_join_events",
+    "range_join_signup_funnel",
+    "orders_priority_pivot",
+    "lineitem_cube",
+    "quantity_percentiles",
+    "global_topk_two_phase",
+    "distinct_counts",
+    "funnel_staged_conversion",
 )
 
 
