@@ -72,6 +72,7 @@ def tfidf_topk_pairs(
     max_df: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Top-``k`` lexically-similar documents for every query doc
     (``query_pred`` selects the query set) by exact TF-IDF cosine.
@@ -81,7 +82,8 @@ def tfidf_topk_pairs(
     post-stopword-strip corpora; at scale set the cap so bucket sizes
     stay bounded). Scoring of surviving pairs uses all shared terms.
     """
-    n_docs = docs.count()  # parquet-footer count, driver round-trip only
+    if n_docs is None:
+        n_docs = docs.count()  # fallback; callers pass the memoized count
     terms = doc_terms(docs, id_col, text_col).persist()
     idf = idf_table(terms, n_docs)
 
@@ -160,6 +162,7 @@ def bm25_scores(
     k: int = 15,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Top-``k`` documents for a fixed term query under BM25
     (k1=1.2, b=0.75, quantized rational IDF).
@@ -169,7 +172,8 @@ def bm25_scores(
     the FIXED literal order of ``query_terms`` via conditional
     aggregation — never a float SUM whose accumulation order floats.
     """
-    n_docs = docs.count()
+    if n_docs is None:
+        n_docs = docs.count()  # fallback; callers pass the memoized count
     terms = doc_terms(docs, id_col, text_col).persist()
     dl = terms.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     total_len = dl.agg(F.sum("dl").alias("total_len"))  # 1 row

@@ -27,7 +27,7 @@ from formula_1_spark.operators.dedup import (
 )
 from formula_1_spark.operators.sampling import hash_uniform_sql
 from formula_1_spark.queries.registry import register
-from formula_1_spark.sources.tables import load_table
+from formula_1_spark.sources.tables import load_table, table_row_count
 
 # The four doc-dedup queries share the tokenize → shingle → verified-pair
 # prefix. Computed once per (session, sf_dir) and persisted: in the
@@ -421,7 +421,8 @@ def dedup_embedding_cosine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame
     from formula_1_spark.sources.tables import fan_out
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    return cosine_near_dup_pairs_scaled(emb, threshold=0.45)
+    n = table_row_count(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs_scaled(emb, threshold=0.45, n_vectors=n)
 
 
 # SemDeDup-style semantic dedup: k-means cells as candidate buckets,
@@ -534,7 +535,7 @@ def dedup_semantic_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFram
     from formula_1_spark.operators.similarity import semantic_dedup_pairs_scaled
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = table_row_count(spark, sf_dir, "embeddings")
     k = max(8, int(math.ceil(math.sqrt(float(n)))))
     return semantic_dedup_pairs_scaled(emb, n_cells=k, iters=2, threshold=0.45)
 

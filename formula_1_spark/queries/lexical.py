@@ -25,7 +25,7 @@ from formula_1_spark.operators.tfidf import (
     tfidf_topk_pairs,
 )
 from formula_1_spark.queries.registry import register
-from formula_1_spark.sources.tables import load_table
+from formula_1_spark.sources.tables import load_table, table_row_count
 
 # Shared CTE prefix: tokenize -> tf -> df -> quantized rational idf.
 _TERMS_CTES = f"""
@@ -89,7 +89,8 @@ FROM (
 )
 def tfidf_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return tfidf_topk_pairs(docs, F.col("doc_id") < 10, k=10)
+    n = table_row_count(spark, sf_dir, "documents")
+    return tfidf_topk_pairs(docs, F.col("doc_id") < 10, k=10, n_docs=n)
 
 
 _QUERY_TERMS = ("spark", "query", "join")
@@ -154,7 +155,8 @@ FROM (
 )
 def bm25_corpus_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return bm25_scores(docs, list(_QUERY_TERMS), k=15)
+    n = table_row_count(spark, sf_dir, "documents")
+    return bm25_scores(docs, list(_QUERY_TERMS), k=15, n_docs=n)
 
 
 _PPM = 1_000_000
@@ -242,14 +244,15 @@ def rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula_1_spark.operators.windows import two_phase_global_topk
 
     docs = load_table(spark, sf_dir, "documents")
+    n = table_row_count(spark, sf_dir, "documents")
     qt = list(_QUERY_TERMS)
 
-    bm = bm25_scores(docs, qt, k=_FUSE_TOPK).select(
+    bm = bm25_scores(docs, qt, k=_FUSE_TOPK, n_docs=n).select(
         "doc_id", F.col("rank").cast("bigint").alias("r_bm25")
     )
 
     terms = doc_terms(docs)
-    idf = idf_table(terms, docs.count()).filter(F.col("term").isin(qt))
+    idf = idf_table(terms, n).filter(F.col("term").isin(qt))
     ti_scored = (
         terms.filter(F.col("term").isin(qt))
         .join(F.broadcast(idf.select("term", "idf_q")), "term")

@@ -5,9 +5,11 @@ scores each document by the perplexity of a small n-gram LM and drops the
 tails. This module implements the Spark-native version of that filter with
 a word-bigram LM trained ON the corpus itself in the same plan:
 
-* ``c_bg(w1,w2)`` and prefix totals ``c_pre(w1)`` come from ONE aggregate
-  over the doc×bigram relation (the prefix total is a window over the
-  bigram-TYPE relation — vocabulary-grain, never the token stream).
+* ``c_bg(w1,w2)`` and prefix totals ``c_pre(w1)`` come from aggregates
+  over the doc×bigram relation (the prefix total is a two-level hash
+  aggregate over the bigram-TYPE relation joined back on ``w1`` —
+  vocabulary-grain, never the token stream, and no hot-prefix window
+  partition a stopword ``w1`` could pin to one core).
 * Per-bigram add-one-smoothed probability ``p = (c_bg+1)/(c_pre+V)``.
 * Cross-entropy is accumulated in INTEGER BITS: ``floor(log2(1/p)) =
   length(bin((c_pre+V) div (c_bg+1))) - 1`` — exact in both engines
@@ -29,7 +31,7 @@ scoring; extension per SURVEY.md §2's training-data-pipeline list.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from formula_1_spark.queries.registry import register
@@ -110,7 +112,14 @@ def ngram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token stream shuffles ONCE; the prefix total is a window over the
     # bigram-TYPE relation — vocabulary-grain, spillable, never the docs.
     cbg = dbg.groupBy("w1", "w2").agg(F.sum("c_in_doc").alias("c_bg"))
-    cbg2 = cbg.withColumn("c_pre", F.sum("c_bg").over(Window.partitionBy("w1")))
+    # Prefix totals as a two-level aggregate (map-side partials -> tiny
+    # w1-grain merge) joined back on w1, NOT a Window.partitionBy("w1"):
+    # a window must colocate every bigram type sharing a hot prefix
+    # ("the", ...) in ONE unsplittable partition, while the hash
+    # aggregate merges <= num_partitions partial sums per w1 and the
+    # w1-keyed join back is AQE-skew-splittable.
+    c_pre_tbl = cbg.groupBy("w1").agg(F.sum("c_bg").alias("c_pre"))
+    cbg2 = cbg.join(c_pre_tbl, "w1")
     voc = bg.agg(F.count_distinct("w2").alias("v"))
     scored = (
         dbg.join(cbg2, ["w1", "w2"])

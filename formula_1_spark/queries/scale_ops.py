@@ -281,7 +281,9 @@ def skew_split_confs(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     without tuning; the force flag stops the cost model vetoing the
     split because the downstream aggregation re-shuffles anyway.
     Used by tests/test_plan_quality.py::test_aqe_skew_join_splits."""
-    n_rows = load_table(spark, sf_dir, "lineitem").count()
+    from formula_1_spark.sources.tables import table_row_count
+
+    n_rows = table_row_count(spark, sf_dir, "lineitem")
     est_hot = max(2048, n_rows * 8)  # ~compressed bytes of the hot key
     advisory = max(1024, est_hot // 8)
     return {

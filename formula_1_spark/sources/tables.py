@@ -95,3 +95,45 @@ def load_tables(
             df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+# Base-table row counts, memoized per (resolved path, mtime, size) so a
+# regenerated testdata directory invalidates naturally. Row counts come
+# straight from parquet footers (pyarrow metadata read) — no Spark job, no
+# data scan. Several operators size themselves from N (quantized IDF,
+# corpus-scaled LSH banding, AQE skew thresholds); before this memo each
+# such query paid an eager ``df.count()`` action per invocation — a full
+# file-listing + footer sweep that at 100 TB is millions of driver RPCs
+# repeated per query. Now it is one footer sweep per table per process.
+_ROW_COUNT_MEMO: dict[tuple, int] = {}
+
+
+def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact row count of a base table from parquet footer metadata."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
+    except OSError:
+        key = (os.path.abspath(path), None, None)
+    if key not in _ROW_COUNT_MEMO:
+        _ROW_COUNT_MEMO[key] = _parquet_num_rows(spark, path)
+    return _ROW_COUNT_MEMO[key]
+
+
+def _parquet_num_rows(spark: SparkSession, path: str) -> int:
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.read_metadata(os.path.join(root, f)).num_rows
+            return total
+        return pq.read_metadata(path).num_rows
+    except Exception:
+        # Remote filesystems pyarrow can't reach locally: fall back to a
+        # Spark metadata-only count (still footer-driven for parquet).
+        return spark.read.parquet(path).count()
