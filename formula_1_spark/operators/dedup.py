@@ -485,3 +485,102 @@ def containment_pairs_from_shingles(
             "jaccard",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span extents (substring-level dedup, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def positional_gram_postings(
+    docs: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, g): one row per token ``k``-gram, ``pos`` 0-based,
+    ``g`` the 60-bit md5 prefix of the space-joined gram (see
+    :func:`md5_long` for the DuckDB-identical hash). The positional
+    postings relation behind exact substring-level dedup: unlike the
+    DISTINCT shingle sets the Jaccard family uses, positions are kept so
+    consecutive matches can be stitched back into maximal spans.
+    Expression-only gram construction (``transform(sequence)``), one
+    ``posexplode`` — postings volume is exactly the token count."""
+    tok = fan_out(docs).select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
+    )
+    grams = F.when(
+        F.size("t") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - k),
+            lambda i: md5_long(F.concat_ws(" ", F.slice("t", i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return tok.select(
+        "doc_id", F.posexplode(grams).alias("pos", "g")
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+
+
+def df_capped_postings(
+    pos: DataFrame, max_df: int, min_df: int = 1
+) -> DataFrame:
+    """Drop grams held by more than ``max_df`` (or fewer than ``min_df``)
+    distinct docs BEFORE any pair generation. This is the knob that
+    bounds the per-gram join fan-out: a boilerplate gram shared by a
+    million docs would otherwise explode into 10^12 pairs. Hot grams are
+    boilerplate by definition and have their own detector
+    (``boilerplate_phrase_filter``); dropping them is the Lee et al.
+    suffix-array df-threshold re-expressed as an inverted-index cap."""
+    keep = (
+        pos.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("d"))
+        .filter((F.col("d") >= min_df) & (F.col("d") <= max_df))
+        .select("g")
+    )
+    return pos.join(keep, "g", "leftsemi")
+
+
+def duplicated_span_extents(
+    pos_a: DataFrame,
+    pos_b: DataFrame,
+    k: int,
+    min_span_tokens: int,
+    anti_reflexive: bool = True,
+) -> DataFrame:
+    """Maximal duplicated-span extents between two positional-posting
+    relations: (doc_a, doc_b, a_start, b_start, span_tokens), one row per
+    maximal run of >= ``min_span_tokens - k + 1`` consecutive matching
+    k-grams (a shared substring of ``L`` tokens is exactly a run of
+    ``L - k + 1`` consecutive gram matches).
+
+    Matching gram occurrences (pa, pb) lying on one diagonal
+    ``pa - pb`` with consecutive pa form a run; runs are found with the
+    classic gaps-and-islands trick ``pa - row_number()`` — the window is
+    partitioned by (pair, diagonal), so its size is bounded by the
+    shorter doc's length, never by corpus size. The only corpus-scale
+    shuffles are the gram-keyed join (fan-out bounded by
+    :func:`df_capped_postings`) and the pair-keyed island aggregate.
+
+    Spark-native stand-in for the suffix-array pass of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"):
+    recall-exact for spans >= min_span_tokens on df-surviving grams.
+    """
+    a = pos_a.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g"
+    )
+    b = pos_b.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g"
+    )
+    pairs = a.join(b, "g")
+    if anti_reflexive:
+        pairs = pairs.filter(F.col("doc_a") < F.col("doc_b"))
+    pairs = pairs.withColumn("diag", F.col("pa") - F.col("pb"))
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = pairs.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            (F.count(F.lit(1)) + (k - 1)).cast("bigint").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span_tokens)
+        .drop("diag", "grp")
+    )

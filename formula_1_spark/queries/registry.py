@@ -162,6 +162,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.corpus_fingerprint",
         "formula_1_spark.queries.privacy_alloc",
         "formula_1_spark.queries.audit_metrics",
+        "formula_1_spark.queries.span_extents",
     ):
         try:
             __import__(mod)

@@ -1,0 +1,303 @@
+"""Exact substring-level dedup (round 6): duplicated-span EXTENTS.
+
+The dedup family so far answers "which doc pairs are near-duplicates"
+(set-similarity grain). Lee et al. 2022 ("Deduplicating Training Data
+Makes Language Models Better") showed the span grain matters too: a
+training corpus keeps both docs of a pair but should excise the shared
+substring itself. These queries re-express that suffix-array pass with
+Spark-native relational ops:
+
+* ``dedup_span_extents`` — one row per MAXIMAL shared token span
+  (doc_a, doc_b, a_start, b_start, span_tokens). Positional k-gram
+  postings (k=8) are df-capped, joined on the gram hash, and stitched
+  into maximal runs with a gaps-and-islands window per (pair, diagonal
+  pa-pb) — a shared L-token substring is exactly a run of L-k+1
+  consecutive gram matches, so recall is exact for spans >= 12 tokens
+  on df-surviving grams.
+* ``doc_dup_span_coverage`` — per-source duplicated-token budget: the
+  union of span intervals per doc (two chained per-doc windows: running
+  max-end marks island starts, running sum numbers the islands), giving
+  tokens-covered-by-any-shared-span without double-counting overlaps.
+  This is the "what fraction of the corpus is duplicated text" number
+  the Lee et al. paper reports per corpus.
+* ``decontam_span_overlap`` — the same span core run CROSS-relation:
+  train-split docs (md5 buckets 0-7, same rule as
+  ``dataset_hash_split``) against held-out eval docs (buckets 8-9),
+  reporting per train doc the span count, longest contaminated span,
+  and distinct eval docs hit — span-grain contamination evidence where
+  ``benchmark_decontamination`` gives only gram-overlap counts.
+
+Scale: postings volume == token count (one posexplode, hash inside
+codegen); the ONLY corpus-scale shuffles are the gram-keyed join (per-
+gram fan-out bounded by the df cap — hot boilerplate grams are excluded
+by definition, and have their own detector in
+``boilerplate_phrase_filter``) and the pair-keyed island aggregate.
+Every window here is partitioned at (pair, diagonal) or per-doc grain —
+bounded by document length, never corpus size.
+
+Reference scope: extends the reference's curation surface; no
+counterpart notebook exists (the reference's `Transform Silver Data.py`
+dedups at whole-row grain only), so parity is oracle-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from formula_1_spark.operators.dedup import (
+    df_capped_postings,
+    duplicated_span_extents,
+    positional_gram_postings,
+)
+from formula_1_spark.queries.decontam import split_bucket
+from formula_1_spark.queries.registry import register
+from formula_1_spark.sources.tables import load_table
+
+_K = 8  # tokens per gram
+_MIN_SPAN = 12  # report spans of >= 12 shared tokens (runs of >= 5 grams)
+_MAX_DF = 64  # grams in more docs than this are boilerplate, not dup signal
+_PPM = 1_000_000
+
+# Shared oracle prefix: positional postings -> df cap -> diagonal runs.
+# ``{pred}`` lets the self- and cross-relation variants reuse the CTE.
+_SPAN_CTES = f"""
+WITH toks AS (
+  SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 AS b,
+         string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, b, i AS pos,
+         ('0x' || substr(md5(array_to_string(
+            list_slice(t, i + 1, i + {_K}), ' ')), 1, 15))::BIGINT AS g
+  FROM toks, unnest(range(0, greatest(len(t) - {_K - 1}, 0))) u(i)
+),
+keep AS (
+  SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS d FROM pos GROUP BY g)
+  WHERE d BETWEEN 2 AND {_MAX_DF}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b, a.pos AS pa, bb.pos AS pb,
+         a.pos - bb.pos AS diag
+  FROM pos a JOIN pos bb USING (g)
+  WHERE {{pred}} AND g IN (SELECT g FROM keep)
+),
+isl AS (
+  SELECT doc_a, doc_b, diag, pa, pb,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pa) AS grp
+  FROM pairs
+),
+spans AS (
+  SELECT doc_a, doc_b,
+         CAST(MIN(pa) AS BIGINT) AS a_start,
+         CAST(MIN(pb) AS BIGINT) AS b_start,
+         CAST(COUNT(*) + {_K} - 1 AS BIGINT) AS span_tokens
+  FROM isl GROUP BY doc_a, doc_b, diag, grp
+  HAVING COUNT(*) + {_K} - 1 >= {_MIN_SPAN}
+)
+"""
+
+_SELF_CTES = _SPAN_CTES.format(pred="a.doc_id < bb.doc_id")
+
+
+def _self_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pos = df_capped_postings(
+        positional_gram_postings(docs, _K), max_df=_MAX_DF, min_df=2
+    ).persist()
+    return duplicated_span_extents(
+        pos, pos, k=_K, min_span_tokens=_MIN_SPAN, anti_reflexive=True
+    )
+
+
+@register(
+    "dedup_span_extents",
+    ops="EXT-dedup-substring,W1,A5 (maximal duplicated-span extents)",
+    doc="Maximal shared-substring extents per doc pair: positional "
+    "8-gram postings (60-bit md5 hashes, df-capped at 64 docs) joined "
+    "on the gram, stitched into maximal runs by a gaps-and-islands "
+    "window per (pair, pa-pb diagonal). One row per span of >= 12 "
+    "shared tokens with both start offsets. The span-grain complement "
+    "of crossdoc_ngram_spans' gram-grain discovery.",
+    oracle=_SELF_CTES
+    + """
+SELECT doc_a, doc_b, a_start, b_start, span_tokens
+FROM spans
+ORDER BY doc_a, doc_b, a_start, b_start
+""",
+)
+def dedup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _self_spans(spark, sf_dir).orderBy(
+        "doc_a", "doc_b", "a_start", "b_start"
+    )
+
+
+@register(
+    "doc_dup_span_coverage",
+    ops="EXT-dedup-substring,A1,W1 (duplicated-token budget per source)",
+    doc="Per-source duplicated-token coverage: union the >= 12-token "
+    "shared-span intervals per doc (running-max-end window marks "
+    "island starts, running-sum numbers islands — both per-doc grain), "
+    "sum merged extents, divide by source token totals in integer ppm. "
+    "The Lee et al. corpus-duplication headline number.",
+    oracle=_SELF_CTES
+    + f""",
+iv AS (
+  SELECT doc_a AS doc_id, a_start AS s, a_start + span_tokens AS e FROM spans
+  UNION
+  SELECT doc_b, b_start, b_start + span_tokens FROM spans
+),
+marked AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+),
+grp AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS gid
+  FROM marked
+),
+merged AS (
+  SELECT doc_id, MAX(e) - MIN(s) AS covered FROM grp GROUP BY doc_id, gid
+),
+per_doc AS (
+  SELECT doc_id, SUM(covered) AS dup_tokens FROM merged GROUP BY doc_id
+),
+doc_tok AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok
+  FROM documents
+)
+SELECT d.source,
+       CAST(COUNT(1) AS BIGINT) AS docs_total,
+       CAST(COUNT(p.doc_id) AS BIGINT) AS docs_with_dup_spans,
+       CAST(COALESCE(SUM(p.dup_tokens), 0) AS BIGINT) AS dup_tokens,
+       CAST(SUM(d.n_tok) AS BIGINT) AS total_tokens,
+       CAST(COALESCE(SUM(p.dup_tokens), 0) * {_PPM} // SUM(d.n_tok)
+            AS BIGINT) AS dup_token_ppm
+FROM doc_tok d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+""",
+)
+def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spans = _self_spans(spark, sf_dir)
+    iv = (
+        spans.select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("a_start").alias("s"),
+            (F.col("a_start") + F.col("span_tokens")).alias("e"),
+        )
+        .union(
+            spans.select(
+                "doc_b",
+                "b_start",
+                F.col("b_start") + F.col("span_tokens"),
+            )
+        )
+        .distinct()
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = iv.withColumn("prev_max", F.max("e").over(w_prev))
+    grp = marked.withColumn(
+        "gid",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    merged = grp.groupBy("doc_id", "gid").agg(
+        (F.max("e") - F.min("s")).alias("covered")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.sum("covered").alias("dup_tok")
+    )
+    doc_tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+    return (
+        doc_tok.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_total"),
+            F.count("dup_tok").alias("docs_with_dup_spans"),
+            F.coalesce(F.sum("dup_tok"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.expr(
+                f"cast((coalesce(sum(dup_tok), 0) * {_PPM})"
+                " div sum(n_tok) as bigint)"
+            ).alias("dup_token_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_CROSS_CTES = _SPAN_CTES.format(pred="a.b < 8 AND bb.b >= 8")
+
+
+@register(
+    "decontam_span_overlap",
+    ops="EXT-decontam,EXT-dedup-substring (span-grain contamination)",
+    doc="Span-grain decontamination: the duplicated-span core run "
+    "cross-relation, train-split docs (md5 buckets 0-7) vs held-out "
+    "eval docs (8-9). Per contaminated train doc: span count, longest "
+    "contaminated span in tokens, total span tokens, distinct eval "
+    "docs hit. Evidence grain benchmark_decontamination (gram counts) "
+    "cannot give: WHERE the leak is and how long it runs.",
+    oracle=_CROSS_CTES.replace("d BETWEEN 2 AND", "d BETWEEN 1 AND")
+    + """
+SELECT doc_a AS train_id,
+       CAST(COUNT(1) AS BIGINT) AS n_spans,
+       CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens,
+       CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+       CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_eval_docs
+FROM spans
+GROUP BY doc_a
+ORDER BY doc_a
+""",
+)
+def decontam_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pos = df_capped_postings(
+        positional_gram_postings(docs, _K), max_df=_MAX_DF, min_df=1
+    ).withColumn("b", split_bucket("doc_id"))
+    pos = pos.persist()
+    spans = duplicated_span_extents(
+        pos.filter(F.col("b") < 8).drop("b"),
+        pos.filter(F.col("b") >= 8).drop("b"),
+        k=_K,
+        min_span_tokens=_MIN_SPAN,
+        anti_reflexive=False,
+    )
+    return (
+        spans.groupBy(F.col("doc_a").alias("train_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max("span_tokens").alias("max_span_tokens"),
+            F.sum("span_tokens").cast("bigint").alias("dup_tokens"),
+            F.count_distinct("doc_b").alias("n_eval_docs"),
+        )
+        .orderBy("train_id")
+    )
