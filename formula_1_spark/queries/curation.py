@@ -431,3 +431,160 @@ def source_ablation_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Class-balance reweighting plan (round 6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "class_balance_reweighting",
+    ops="EXT-curation-reweight,A1 (inverse-frequency class weights)",
+    doc="Inverse-frequency class-balance weights over the language "
+    "column: weight_ppm = total / (n_classes * class_count) in integer "
+    "ppm, plus the post-reweight share per class (integer cross-check "
+    "that the weighted mixture is ~uniform) and the raw-vs-uniform "
+    "deficit. Two bounded aggregates + a 1-row totals broadcast — the "
+    "standard loss-reweighting / sampler-weight table at any scale.",
+    oracle="""
+WITH per_class AS (
+  SELECT lang, COUNT(1) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT SUM(n_docs) AS n_total, COUNT(1) AS n_classes FROM per_class
+),
+weighted AS (
+  SELECT p.lang, p.n_docs, t.n_total, t.n_classes,
+         p.n_docs * 1000000 // t.n_total AS raw_share_ppm,
+         t.n_total * 1000000 // (t.n_classes * p.n_docs) AS weight_ppm
+  FROM per_class p CROSS JOIN tot t
+)
+SELECT lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(raw_share_ppm AS BIGINT) AS raw_share_ppm,
+       CAST(weight_ppm AS BIGINT) AS weight_ppm,
+       CAST(n_docs::HUGEINT * weight_ppm * 1000000
+            // (SELECT SUM(n_docs::HUGEINT * (n_total * 1000000 // (n_classes * n_docs)))
+                FROM weighted) AS BIGINT) AS reweighted_share_ppm
+FROM weighted
+ORDER BY lang
+""",
+)
+def class_balance_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_class = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_class.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.count(F.lit(1)).alias("n_classes"),
+    )
+    weighted = per_class.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr("(n_docs * 1000000) div n_total").alias("raw_share_ppm"),
+        F.expr("(n_total * 1000000) div (n_classes * n_docs)").alias(
+            "weight_ppm"
+        ),
+    )
+    # decimal(38,0) lift: n_docs * weight_ppm * 1e6 overflows int64 once
+    # class counts reach ~1e7 docs — the 10x-probe bug pattern.
+    wsum = weighted.agg(
+        F.sum(
+            F.expr("cast(n_docs as decimal(38,0)) * weight_ppm")
+        ).alias("w_total")
+    )
+    return (
+        weighted.join(F.broadcast(wsum))
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("raw_share_ppm").cast("bigint").alias("raw_share_ppm"),
+            F.col("weight_ppm").cast("bigint").alias("weight_ppm"),
+            F.expr(
+                "cast((cast(n_docs as decimal(38,0)) * weight_ppm * 1000000)"
+                " div w_total as bigint)"
+            ).alias("reweighted_share_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Output-shard packing plan (round 6)
+# ---------------------------------------------------------------------------
+
+_SHARD_TOKENS = 2_000  # tokens per output shard (test-scale knob)
+
+
+@register(
+    "shard_packing_plan",
+    ops="EXT-curation-sharding,A1,W1 (balanced output-shard assignment)",
+    doc="Deterministic output-shard packing: docs in doc_id order are "
+    "packed greedily into fixed token-budget shards — shard_id = "
+    "(cumulative_tokens - 1) div budget on the exact two-phase global "
+    "cumsum (global_ordered_cumsum: ONE range shuffle + Arrow running "
+    "total, no single-partition window). Per shard: docs, tokens, "
+    "doc_id range, fill ppm. The write-side plan every 100 TB export "
+    "needs: balanced files without a global sort bottleneck.",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM sized
+),
+assigned AS (
+  SELECT doc_id, n_tokens,
+         (cum_tokens - 1) // {_SHARD_TOKENS} AS shard_id
+  FROM cum
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(COUNT(1) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+       CAST(SUM(n_tokens) * 1000000 // {_SHARD_TOKENS} AS BIGINT)
+         AS fill_ppm
+FROM assigned
+GROUP BY shard_id
+ORDER BY shard_id
+""",
+)
+def shard_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    cum = global_ordered_cumsum(
+        sized, [F.asc("doc_id")], "n_tokens", "cum_tokens"
+    )
+    assigned = cum.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(cum_tokens - 1) div {_SHARD_TOKENS}").alias("shard_id"),
+    )
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+            F.expr(
+                f"cast((sum(n_tokens) * 1000000) div {_SHARD_TOKENS}"
+                " as bigint)"
+            ).alias("fill_ppm"),
+        )
+        .select(F.col("shard_id").cast("bigint").alias("shard_id"), "n_docs",
+                "tokens", "first_doc", "last_doc", "fill_ppm")
+        .orderBy("shard_id")
+    )

@@ -173,3 +173,77 @@ def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("nation_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Native recursive CTE (Spark 4 WITH RECURSIVE) — reachability profile
+# ---------------------------------------------------------------------------
+
+_REACH_HOPS = 4
+_REACH_TOP = 3
+
+# ONE SQL text, run verbatim by BOTH engines: Spark 4.x executes WITH
+# RECURSIVE natively (each recursion level is a distributed join against
+# the previous level's result — the engine-native replacement for the
+# driver-side frontier loop in nation_trade_shortest_path), and DuckDB
+# runs the identical ANSI text as the oracle. UNION ALL + MIN(d) instead
+# of UNION keeps the recursive member cheap (no per-level distinct); the
+# path fan-out is bounded by top-3 edges per node and 4 levels.
+_REACH_SQL = f"""
+WITH RECURSIVE trade AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(1) AS n
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY c.c_nationkey, s.s_nationkey
+),
+e AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rk
+    FROM trade
+  ) ranked WHERE rk <= {_REACH_TOP}
+),
+walk(origin, node, d) AS (
+  SELECT n_nationkey AS origin, n_nationkey AS node, 0 AS d FROM nation
+  UNION ALL
+  SELECT w.origin, e.dst, w.d + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.d < {_REACH_HOPS}
+),
+min_hops AS (
+  SELECT origin, node, MIN(d) AS hops FROM walk GROUP BY origin, node
+)
+SELECT origin, CAST(hops AS INT) AS hops,
+       CAST(COUNT(1) AS BIGINT) AS n_reachable
+FROM min_hops
+GROUP BY origin, hops
+ORDER BY origin, hops
+"""
+
+
+@register(
+    "trade_reach_recursive_sql",
+    ops="EXT-recursive-cte,A5,J5 (native WITH RECURSIVE reachability)",
+    doc="Engine-native recursive CTE (Spark 4 WITH RECURSIVE): hop-count "
+    "reachability profile over the top-3 trade-partner graph — how many "
+    "nations each origin first reaches at hop d. The SAME SQL text runs "
+    "on Spark (each recursion level a distributed join) and DuckDB. "
+    "UNION ALL + MIN(d) bounds the recursive member (no per-level "
+    "distinct); fan-out capped by top-3 edges x 4 levels. The declarative "
+    "counterpart of nation_trade_shortest_path's driver-side frontier "
+    "loop (operators/graph.py discipline).",
+    oracle=_REACH_SQL,
+)
+def trade_reach_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.sources.tables import load_tables
+
+    load_tables(
+        spark,
+        sf_dir,
+        ["lineitem", "orders", "customer", "supplier", "nation"],
+        register=True,
+    )
+    return spark.sql(_REACH_SQL)

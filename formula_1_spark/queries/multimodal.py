@@ -178,3 +178,130 @@ def media_perceptual_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_items") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup banding (round 6)
+# ---------------------------------------------------------------------------
+
+_HAM_MAX = 3  # 4-chunk pigeonhole: recall is EXACT for hamming <= 3
+
+
+@register(
+    "media_phash_near_dup",
+    ops="EXT-multimodal-dedup,J4,A5 (pHash Hamming band join)",
+    doc="Perceptual-hash near-dup detection for media payloads — the "
+    "image-dedup shape every 100 TB multimodal corpus runs. Stand-in "
+    "perceptual kernel (fake-codec caveat of the media family): 60-bit "
+    "SimHash over the payload's byte 4-gram multiset — locality-"
+    "sensitive, so near-identical payloads land at small Hamming "
+    "distance; swap for a real DCT pHash when codecs exist. Candidates "
+    "via the 4x15-bit chunk pigeonhole WITHIN a media_type (exact "
+    "recall for hamming <= 3), verified by bit_count(xor). Only "
+    "(type, chunk) buckets ever join — never all pairs.",
+    oracle=f"""
+WITH {_MEDIA_CTE},
+grams AS (
+  SELECT media_type, media_id,
+         unnest(list_transform(
+           range(0, greatest(len(payload_text) - 4, 0) + 1),
+           i -> substr(payload_text, i + 1, 4))) AS t
+  FROM media
+),
+th AS (
+  SELECT media_type, media_id,
+         ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+  FROM grams
+),
+bits AS (
+  SELECT media_type, media_id, j.j AS j,
+         SUM(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(range(0, 60)) AS j) j
+  GROUP BY media_type, media_id, j.j
+),
+sig AS (
+  SELECT media_type, media_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
+              AS BIGINT) AS sig
+  FROM bits GROUP BY media_type, media_id
+),
+chunks AS (
+  SELECT media_type, media_id, sig, c.c AS chunk_id,
+         (sig >> (c.c * 15)) & 32767 AS chunk_val
+  FROM sig, (SELECT unnest(range(0, 4)) AS c) c
+),
+pairs AS (
+  SELECT DISTINCT x.media_type, x.media_id AS media_id_1,
+         y.media_id AS media_id_2,
+         CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+  FROM chunks x
+  JOIN chunks y ON x.media_type = y.media_type
+               AND x.chunk_id = y.chunk_id AND x.chunk_val = y.chunk_val
+  WHERE x.media_id < y.media_id
+)
+SELECT media_type, media_id_1, media_id_2, hamming
+FROM pairs WHERE hamming <= {_HAM_MAX}
+ORDER BY media_type, media_id_1, media_id_2
+""",
+)
+def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.dedup import simhash_signatures
+    from formula_1_spark.sources.tables import fan_out
+
+    media = documents_as_media(
+        fan_out(load_table(spark, sf_dir, "documents"))
+    )
+    txt = F.decode(F.col("payload"), "UTF-8")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.length(txt) - 4, F.lit(0))),
+        lambda i: txt.substr(i + 1, F.lit(4)),
+    )
+    tok_rel = media.select("media_type", "media_id", grams.alias("toks"))
+    sigs = simhash_signatures(tok_rel, id_col="media_id").join(
+        media.select("media_id", "media_type"), "media_id"
+    )
+    chunk_w = 15
+    chunks = sigs.select(
+        "media_type",
+        "media_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), c * chunk_w).bitwiseAND(
+                        F.lit((1 << chunk_w) - 1)
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    x = chunks.select(
+        "media_type",
+        "chunk_id",
+        "chunk_val",
+        F.col("media_id").alias("media_id_1"),
+        F.col("sig").alias("sig1"),
+    )
+    y = chunks.select(
+        "media_type",
+        "chunk_id",
+        "chunk_val",
+        F.col("media_id").alias("media_id_2"),
+        F.col("sig").alias("sig2"),
+    )
+    return (
+        x.join(y, ["media_type", "chunk_id", "chunk_val"])
+        .filter(F.col("media_id_1") < F.col("media_id_2"))
+        .select(
+            "media_type",
+            "media_id_1",
+            "media_id_2",
+            F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= _HAM_MAX)
+        .orderBy("media_type", "media_id_1", "media_id_2")
+    )

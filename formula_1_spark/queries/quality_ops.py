@@ -271,3 +271,134 @@ def quality_vs_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_rate_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style heuristic quality gate (round 6)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+_GOPHER_MIN_WORDS = 10
+_GOPHER_MAX_WORDS = 1000
+
+_STOP_HITS_SQL = " + ".join(
+    f"(CASE WHEN list_contains(t, '{s}') THEN 1 ELSE 0 END)"
+    for s in _STOPWORDS
+)
+
+
+@register(
+    "gopher_quality_gate",
+    ops="EXT-quality-gopher,A3,F1-F10 (heuristic rule battery)",
+    doc="Gopher-style (Rae et al. 2021, Appendix A) heuristic quality "
+    "rules, integer-exact per doc and rolled up per source: word-count "
+    "bounds, mean word length in [3,10] (cross-multiplied, no floats), "
+    ">= 2 distinct stopwords, >= 80% alphabetic words, < 10% "
+    "symbol-to-word ratio. One scan, pure Column math; the per-rule "
+    "pass counts say WHICH rule gates each source's loss.",
+    oracle=f"""
+WITH d AS (
+  SELECT source, string_split_regex(trim(text), '\\s+') AS t,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS sum_len,
+         len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym
+  FROM documents
+),
+per_doc AS (
+  SELECT source,
+         len(t) AS n_words,
+         sum_len,
+         n_sym,
+         {_STOP_HITS_SQL} AS stop_hits,
+         len(list_filter(t, x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha
+  FROM d
+),
+flags AS (
+  SELECT source,
+         CASE WHEN n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+              THEN 1 ELSE 0 END AS r_wordcount,
+         CASE WHEN sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+              THEN 1 ELSE 0 END AS r_meanwordlen,
+         CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r_stopwords,
+         CASE WHEN n_alpha * 10 >= n_words * 8 THEN 1 ELSE 0 END AS r_alpha,
+         CASE WHEN n_sym * 10 < n_words THEN 1 ELSE 0 END AS r_symbol
+  FROM per_doc
+)
+SELECT source,
+       CAST(COUNT(1) AS BIGINT) AS docs,
+       CAST(SUM(r_wordcount) AS BIGINT) AS pass_wordcount,
+       CAST(SUM(r_meanwordlen) AS BIGINT) AS pass_meanwordlen,
+       CAST(SUM(r_stopwords) AS BIGINT) AS pass_stopwords,
+       CAST(SUM(r_alpha) AS BIGINT) AS pass_alpha,
+       CAST(SUM(r_symbol) AS BIGINT) AS pass_symbol,
+       CAST(SUM(r_wordcount * r_meanwordlen * r_stopwords
+                * r_alpha * r_symbol) AS BIGINT) AS pass_all,
+       CAST(SUM(r_wordcount * r_meanwordlen * r_stopwords
+                * r_alpha * r_symbol) * 1000000 // COUNT(1) AS BIGINT)
+         AS pass_all_ppm
+FROM flags
+GROUP BY source
+ORDER BY source
+""",
+)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    t = F.split(F.trim("text"), r"\s+")
+    stop_hits = sum(
+        F.when(F.array_contains(t, s), 1).otherwise(0) for s in _STOPWORDS
+    )
+    per_doc = docs.select(
+        "source",
+        F.size(t).alias("n_words"),
+        F.length(F.regexp_replace("text", r"\s+", "")).alias("sum_len"),
+        F.regexp_count("text", F.lit(r"#|\.\.\.")).alias("n_sym"),
+        stop_hits.alias("stop_hits"),
+        F.size(F.filter(t, lambda x: x.rlike("^[a-z]+$"))).alias("n_alpha"),
+    )
+    flags = per_doc.select(
+        "source",
+        F.when(
+            F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS), 1
+        )
+        .otherwise(0)
+        .alias("r_wordcount"),
+        F.when(
+            (F.col("sum_len") >= 3 * F.col("n_words"))
+            & (F.col("sum_len") <= 10 * F.col("n_words")),
+            1,
+        )
+        .otherwise(0)
+        .alias("r_meanwordlen"),
+        F.when(F.col("stop_hits") >= 2, 1).otherwise(0).alias("r_stopwords"),
+        F.when(F.col("n_alpha") * 10 >= F.col("n_words") * 8, 1)
+        .otherwise(0)
+        .alias("r_alpha"),
+        F.when(F.col("n_sym") * 10 < F.col("n_words"), 1)
+        .otherwise(0)
+        .alias("r_symbol"),
+    )
+    pass_all = (
+        F.col("r_wordcount")
+        * F.col("r_meanwordlen")
+        * F.col("r_stopwords")
+        * F.col("r_alpha")
+        * F.col("r_symbol")
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("r_wordcount").cast("bigint").alias("pass_wordcount"),
+            F.sum("r_meanwordlen").cast("bigint").alias("pass_meanwordlen"),
+            F.sum("r_stopwords").cast("bigint").alias("pass_stopwords"),
+            F.sum("r_alpha").cast("bigint").alias("pass_alpha"),
+            F.sum("r_symbol").cast("bigint").alias("pass_symbol"),
+            F.sum(pass_all).cast("bigint").alias("pass_all"),
+            F.expr(
+                "cast((sum(r_wordcount * r_meanwordlen * r_stopwords"
+                " * r_alpha * r_symbol) * 1000000) div count(1) as bigint)"
+            ).alias("pass_all_ppm"),
+        )
+        .orderBy("source")
+    )

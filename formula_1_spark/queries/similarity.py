@@ -549,3 +549,140 @@ def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit: approximate top-10 vs exact top-10 (round 6)
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 10
+
+_GT_CTES = f"""
+bf_scored AS (
+  SELECT qq.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {_COS.format(a="qq.embedding", b="e.embedding")} AS cos
+  FROM embeddings e, embeddings qq
+  WHERE qq.vec_id < 10 AND e.vec_id <> qq.vec_id
+),
+gt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS r
+    FROM bf_scored) bfr WHERE r <= {_RECALL_K}
+)"""
+
+_LSH_RES_CTES = f"""
+lq AS (SELECT * FROM bands WHERE vec_id < 10),
+lsh_cand AS (
+  SELECT DISTINCT lq.vec_id AS query_id, lq.embedding AS q_vec,
+                  c.vec_id AS neighbor_id, c.embedding AS c_vec
+  FROM lq JOIN bands c ON lq.band_id = c.band_id AND lq.band_key = c.band_key
+  WHERE lq.vec_id <> c.vec_id
+),
+lsh_res AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY {_COS.format(a="q_vec", b="c_vec")} DESC,
+                                     neighbor_id ASC) AS r
+    FROM lsh_cand) lr WHERE r <= {_RECALL_K}
+)"""
+
+_IVF_RES_CTES = f"""
+corpus_scored AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec, c.cell_id,
+         {_COS.format(a="e.embedding", b="c.cent")} AS cell_cos
+  FROM embeddings e, centroids c
+),
+corpus_cells AS (
+  SELECT neighbor_id, c_vec, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY neighbor_id ORDER BY cell_cos DESC, cell_id ASC) AS r
+    FROM corpus_scored) ccr WHERE r <= 1
+),
+query_scored AS (
+  SELECT e.vec_id AS query_id, e.embedding AS q_vec, c.cell_id,
+         {_COS.format(a="e.embedding", b="c.cent")} AS cell_cos
+  FROM embeddings e, centroids c
+  WHERE e.vec_id < 10
+),
+query_cells AS (
+  SELECT query_id, q_vec, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cell_cos DESC, cell_id ASC) AS r
+    FROM query_scored) qcr WHERE r <= 2
+),
+ivf_cand AS (
+  SELECT DISTINCT qc.query_id, qc.q_vec, cc.neighbor_id, cc.c_vec
+  FROM query_cells qc JOIN corpus_cells cc ON qc.cell_id = cc.cell_id
+  WHERE qc.query_id <> cc.neighbor_id
+),
+ivf_res AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY {_COS.format(a="q_vec", b="c_vec")} DESC,
+                                     neighbor_id ASC) AS r
+    FROM ivf_cand) ir WHERE r <= {_RECALL_K}
+)"""
+
+
+@register(
+    "ann_recall_audit",
+    ops="EXT-sim-recall-audit,A3,J-semi (ANN recall@10 vs exact)",
+    doc="Recall@10 audit for BOTH ANN paths against the exact brute-force "
+    "top-10 (the measurement behind choosing banding/cell knobs, same "
+    "role minhash_recall_audit plays for the dedup family): per (method, "
+    "query) the approximate-vs-exact top-10 intersection size and recall "
+    "ppm. All three pipelines are deterministic (md5 hyperplanes, "
+    "floor-quantized k-means, neighbor-id tiebreaks), so the audit is "
+    "exactly oracle-checkable.",
+    oracle=f"""
+WITH {_BANDS_CTE},
+{_BANDS_LONG},
+{_kmeans_ctes(n_cells=8, iters=2)},
+{_GT_CTES},
+{_LSH_RES_CTES},
+{_IVF_RES_CTES},
+per AS (
+  SELECT 'ivf' AS method, query_id, COUNT(1) AS hits
+  FROM (SELECT * FROM ivf_res INTERSECT SELECT * FROM gt) ih GROUP BY query_id
+  UNION ALL
+  SELECT 'lsh' AS method, query_id, COUNT(1) AS hits
+  FROM (SELECT * FROM lsh_res INTERSECT SELECT * FROM gt) lh GROUP BY query_id
+),
+qids AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10),
+methods AS (SELECT 'ivf' AS method UNION ALL SELECT 'lsh')
+SELECT m.method, qi.query_id,
+       CAST(COALESCE(p.hits, 0) AS BIGINT) AS hits_top10,
+       CAST(COALESCE(p.hits, 0) * 1000000 // {_RECALL_K} AS BIGINT)
+         AS recall_ppm
+FROM methods m CROSS JOIN qids qi
+LEFT JOIN per p ON p.method = m.method AND p.query_id = qi.query_id
+ORDER BY m.method, qi.query_id
+""",
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    gt = brute_force_topk(emb, q, k=_RECALL_K).select("query_id", "neighbor_id")
+    gt = gt.localCheckpoint(eager=False)  # ground truth reused by both methods
+    qids = q.select(F.col("vec_id").alias("query_id"))
+
+    def recall_of(res: DataFrame, method: str) -> DataFrame:
+        hits = (
+            res.select("query_id", "neighbor_id")
+            .join(gt, ["query_id", "neighbor_id"], "leftsemi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        return qids.join(hits, "query_id", "left").select(
+            F.lit(method).alias("method"),
+            "query_id",
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits_top10"),
+            F.expr(
+                f"cast((coalesce(hits, 0) * 1000000) div {_RECALL_K} as bigint)"
+            ).alias("recall_ppm"),
+        )
+
+    ivf = recall_of(ivf_topk(emb, q, k=_RECALL_K), "ivf")
+    lsh = recall_of(lsh_topk(emb, q, k=_RECALL_K), "lsh")
+    return ivf.unionByName(lsh).orderBy("method", "query_id")

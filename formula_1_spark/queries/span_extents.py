@@ -301,3 +301,117 @@ def decontam_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("train_id")
     )
+
+
+@register(
+    "span_excision_plan",
+    ops="EXT-dedup-substring,A1 (apply stage: excise duplicated spans)",
+    doc="The APPLY stage of substring dedup: every >= 12-token shared "
+    "span keeps its occurrence in the LOWER doc_id and is excised from "
+    "the higher (Lee et al. excise rather than drop whole docs). "
+    "Excised-token budgets come from the same per-doc interval union "
+    "as doc_dup_span_coverage, restricted to the losing side. Per "
+    "source: affected docs, tokens excised, and the post-excision "
+    "corpus share kept (integer ppm).",
+    oracle=_SELF_CTES
+    + f""",
+iv AS (
+  SELECT DISTINCT doc_b AS doc_id, b_start AS s,
+         b_start + span_tokens AS e
+  FROM spans
+),
+marked AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+),
+grp AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS gid
+  FROM marked
+),
+merged AS (
+  SELECT doc_id, MAX(e) - MIN(s) AS excised FROM grp GROUP BY doc_id, gid
+),
+per_doc AS (
+  SELECT doc_id, SUM(excised) AS tokens_excised FROM merged GROUP BY doc_id
+),
+doc_tok AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok
+  FROM documents
+)
+SELECT d.source,
+       CAST(COUNT(1) AS BIGINT) AS docs_total,
+       CAST(COUNT(p.doc_id) AS BIGINT) AS docs_excised,
+       CAST(COALESCE(SUM(p.tokens_excised), 0) AS BIGINT) AS tokens_excised,
+       CAST(SUM(d.n_tok) AS BIGINT) AS tokens_total,
+       CAST((SUM(d.n_tok) - COALESCE(SUM(p.tokens_excised), 0)) * {_PPM}
+            // SUM(d.n_tok) AS BIGINT) AS kept_ppm
+FROM doc_tok d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+""",
+)
+def span_excision_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spans = _self_spans(spark, sf_dir)
+    iv = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("span_tokens")).alias("e"),
+    ).distinct()
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = (
+        iv.withColumn("prev_max", F.max("e").over(w_prev))
+        .withColumn(
+            "gid",
+            F.sum(
+                F.when(
+                    F.col("prev_max").isNull()
+                    | (F.col("s") > F.col("prev_max")),
+                    1,
+                ).otherwise(0)
+            ).over(w_run),
+        )
+        .groupBy("doc_id", "gid")
+        .agg((F.max("e") - F.min("s")).alias("excised"))
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.sum("excised").alias("tokens_excised")
+    )
+    doc_tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+    return (
+        doc_tok.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_total"),
+            F.count("tokens_excised").alias("docs_excised"),
+            F.coalesce(F.sum("tokens_excised"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_excised"),
+            F.sum("n_tok").cast("bigint").alias("tokens_total"),
+            F.expr(
+                f"cast(((sum(n_tok) - coalesce(sum(tokens_excised), 0))"
+                f" * {_PPM}) div sum(n_tok) as bigint)"
+            ).alias("kept_ppm"),
+        )
+        .orderBy("source")
+    )

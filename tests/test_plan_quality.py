@@ -20,6 +20,7 @@ PANDAS_OK = {
     "cogroup_order_reconciliation",
     "media_perceptual_buckets",  # same declared feature kernel as extract
     "token_budget_selection",  # global_ordered_cumsum Arrow running-total
+    "shard_packing_plan",  # same global_ordered_cumsum Arrow pass
 }
 # Broadcast nested-loop is the intended strategy for the brute-force
 # similarity baseline, the IVF centroid assignment (tiny broadcast
@@ -65,6 +66,9 @@ BNLJ_OK = {
     "proportional_allocation_plan",  # 1-row corpus-total + extras broadcast
     "vocab_coverage_curve",  # 8-row cutoff relation (rk <= v) + 1-row total
     "orders_priority_chisq_drift",  # 1-row corpus-total broadcast
+    "ann_recall_audit",  # same k-means centroid + query-probe broadcasts
+    #   as similarity_ann_ivf / similarity_topk_bruteforce (its inputs)
+    "class_balance_reweighting",  # 1-row totals broadcast x2 (bounded)
 }
 
 
