@@ -642,46 +642,29 @@ def lsh_topk(
     )
 
 
-def pq_topk(
+def pq_subspace_model(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     m: int = 4,
     n_codes: int = 8,
     learn_iters: int = 2,
     dims: int = 64,
-    n_candidates: int = 20,
-) -> DataFrame:
-    """Product-quantization ANN with asymmetric distance computation
-    (ADC), the memory-bound scale path (Jégou et al. 2011): the vector
-    space splits into ``m`` subspaces, each with its own ``n_codes``-cell
-    deterministic k-means codebook (:func:`kmeans_centroids` on the
-    slice); every corpus vector compresses to ``m`` small codes
-    (log2(n_codes) bits each — a 64-float vector becomes m bytes at
-    rest). A query never touches corpus vectors during candidate
-    generation: it precomputes ``m x n_codes`` subspace dot products
-    (the ADC lookup table, broadcast — tiny), and a candidate's
-    approximate score is the FIXED-ORDER sum of m table lookups, so the
-    approximation is bit-exact cross-engine. Top-``n_candidates`` per
-    query by ADC score then re-rank by exact cosine.
+):
+    """Shared PQ training front end: split every vector into ``m``
+    subspaces and learn one deterministic spherical-k-means codebook per
+    subspace. Returns ``(corpus_long, cents, sub_structs, w_assign)`` —
+    the long (vec_id, s, sub-vector) relation, the trained (s, cell_id,
+    cent) codebooks (localCheckpointed), the subspace-split Column for
+    re-use on a query relation, and the per-(s, vec_id) assignment
+    window. Used by :func:`pq_topk` (ADC search) and the PQ distortion
+    audit.
 
-    Scale design: corpus-side work per subspace is one broadcast-
-    centroid assignment (argmax over n_codes, no shuffle beyond the
-    window by vec_id) and the candidate scoring joins the CODES relation
-    (m ints per vector) against broadcast ADC tables — the full-width
-    embedding column is only read again for the final candidate re-rank.
+    All m subspaces ride ONE long relation off a single scan, so
+    codebook training / encoding are each ONE subspace-keyed DAG instead
+    of m sequential chains (measured 4.8x on the registered query at
+    sf0.1). Values are identical to per-subspace runs — every
+    aggregation below is keyed by s.
     """
-    from formula_1_spark.functions.vectors import dot
-
     sub = dims // m
-    qv = _vec_base(queries, "query_id", "q_vec")
-    cv = _vec_base(corpus, "neighbor_id", "c_vec")
-
-    # All m subspaces ride ONE long relation (vec_id, s, sub-vector) off a
-    # single scan, so codebook training / encoding / ADC are each ONE
-    # subspace-keyed DAG instead of m sequential chains (measured 4.8x on
-    # the registered query at sf0.1). Values are identical to per-subspace runs —
-    # every aggregation below is keyed by s.
     sub_structs = F.array(
         *[
             F.struct(
@@ -741,6 +724,45 @@ def pq_topk(
             ).alias("cent")
         )
     cents = cents.localCheckpoint(eager=False)  # GC-freed, no CacheManager pin
+    return corpus_long, cents, sub_structs, w_assign
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 8,
+    learn_iters: int = 2,
+    dims: int = 64,
+    n_candidates: int = 20,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC), the memory-bound scale path (Jégou et al. 2011): the vector
+    space splits into ``m`` subspaces, each with its own ``n_codes``-cell
+    deterministic k-means codebook (:func:`kmeans_centroids` on the
+    slice); every corpus vector compresses to ``m`` small codes
+    (log2(n_codes) bits each — a 64-float vector becomes m bytes at
+    rest). A query never touches corpus vectors during candidate
+    generation: it precomputes ``m x n_codes`` subspace dot products
+    (the ADC lookup table, broadcast — tiny), and a candidate's
+    approximate score is the FIXED-ORDER sum of m table lookups, so the
+    approximation is bit-exact cross-engine. Top-``n_candidates`` per
+    query by ADC score then re-rank by exact cosine.
+
+    Scale design: corpus-side work per subspace is one broadcast-
+    centroid assignment (argmax over n_codes, no shuffle beyond the
+    window by vec_id) and the candidate scoring joins the CODES relation
+    (m ints per vector) against broadcast ADC tables — the full-width
+    embedding column is only read again for the final candidate re-rank.
+    """
+    from formula_1_spark.functions.vectors import dot
+
+    qv = _vec_base(queries, "query_id", "q_vec")
+    cv = _vec_base(corpus, "neighbor_id", "c_vec")
+    corpus_long, cents, sub_structs, w_assign = pq_subspace_model(
+        corpus, m=m, n_codes=n_codes, learn_iters=learn_iters, dims=dims
+    )
 
     codes_long = (
         corpus_long.join(F.broadcast(cents), "s")

@@ -7,7 +7,7 @@ hyperplanes, left-fold double arithmetic), so BOTH get exact oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from formula_1_spark.operators.similarity import (
@@ -686,3 +686,235 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = recall_of(ivf_topk(emb, q, k=_RECALL_K), "ivf")
     lsh = recall_of(lsh_topk(emb, q, k=_RECALL_K), "lsh")
     return ivf.unionByName(lsh).orderBy("method", "query_id")
+
+
+# ---------------------------------------------------------------------------
+# PQ distortion / codebook-balance audit (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _pq_distortion_oracle() -> str:
+    parts = []
+    unions = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
+        parts.append(
+            f"sub{s} AS MATERIALIZED (SELECT vec_id, embedding[{lo}:{hi}] "
+            f"AS embedding FROM embeddings)"
+        )
+        parts.append(
+            _kmeans_ctes_src(f"s{s}", f"sub{s}", _PQ_CODES, _PQ_ITERS, _PQ_SUB)
+        )
+        cos = _COS.format(a="e.embedding", b="c.cent")
+        parts.append(f"""asg{s} AS (
+  SELECT vec_id, cell_id, cos FROM (
+    SELECT e.vec_id, c.cell_id, {cos} AS cos,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos} DESC, c.cell_id ASC) AS r
+    FROM sub{s} e, s{s}cent c) q{s} WHERE r = 1
+)""")
+        unions.append(
+            f"SELECT {s} AS subspace, vec_id, cell_id, cos FROM asg{s}"
+        )
+    parts.append("allsub AS (\n" + "\nUNION ALL\n".join(unions) + "\n)")
+    parts.append("""per_cell AS (
+  SELECT subspace, cell_id, COUNT(1) AS n FROM allsub GROUP BY subspace, cell_id
+),
+balance AS (
+  SELECT subspace, COUNT(1) AS n_codes_used, MAX(n) AS max_cell,
+         SUM(n) AS n_vectors
+  FROM per_cell GROUP BY subspace
+),
+dist AS (
+  SELECT subspace,
+         SUM(CAST(FLOOR(cos * 1000000.0) AS BIGINT)) AS sumq,
+         MIN(CAST(FLOOR(cos * 1000000.0) AS BIGINT)) AS min_cos_ppm
+  FROM allsub GROUP BY subspace
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT b.subspace,
+       CAST(b.n_vectors AS BIGINT) AS n_vectors,
+       CAST(b.n_codes_used AS BIGINT) AS n_codes_used,
+       CAST(b.max_cell * 1000000 // b.n_vectors AS BIGINT)
+         AS max_cell_share_ppm,
+       CAST(d.sumq // b.n_vectors AS BIGINT) AS mean_cos_ppm,
+       CAST(d.min_cos_ppm AS BIGINT) AS min_cos_ppm
+FROM balance b JOIN dist d USING (subspace)
+ORDER BY b.subspace
+"""
+    )
+
+
+@register(
+    "pq_distortion_audit",
+    ops="EXT-sim-pq-audit,A1,W1 (PQ reconstruction + balance audit)",
+    doc="Is the 4x-compression PQ codebook safe? Per subspace: vectors, "
+    "codes actually used, the hottest code's share (codebook balance — "
+    "a collapsed codebook means ADC scores carry no signal), and the "
+    "mean/min cosine between each sub-vector and its assigned centroid "
+    "(reconstruction quality) in floor-quantized integer ppm. The "
+    "compression-side complement of ann_recall_audit, sharing "
+    "pq_subspace_model with similarity_ann_pq.",
+    oracle=_pq_distortion_oracle(),
+)
+def pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.similarity import cosine, pq_subspace_model
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus_long, cents, _, w_assign = pq_subspace_model(
+        emb, m=_PQ_M, n_codes=_PQ_CODES, learn_iters=_PQ_ITERS, dims=64
+    )
+    assigned = (
+        corpus_long.join(F.broadcast(cents), "s")
+        .withColumn("cell_cos", cosine(F.col("embedding"), F.col("cent")))
+        .withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("s").alias("subspace"),
+            "vec_id",
+            "cell_id",
+            F.floor(F.col("cell_cos") * 1000000.0)
+            .cast("bigint")
+            .alias("cos_q"),
+        )
+    )
+    per_cell = assigned.groupBy("subspace", "cell_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    balance = per_cell.groupBy("subspace").agg(
+        F.count(F.lit(1)).alias("n_codes_used"),
+        F.max("n").alias("max_cell"),
+        F.sum("n").alias("n_vectors"),
+    )
+    dist = assigned.groupBy("subspace").agg(
+        F.sum("cos_q").alias("sumq"),
+        F.min("cos_q").alias("min_cos_ppm"),
+    )
+    return (
+        balance.join(dist, "subspace")
+        .select(
+            "subspace",
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            F.col("n_codes_used").cast("bigint").alias("n_codes_used"),
+            F.expr("cast((max_cell * 1000000) div n_vectors as bigint)").alias(
+                "max_cell_share_ppm"
+            ),
+            F.expr("cast(sumq div n_vectors as bigint)").alias(
+                "mean_cos_ppm"
+            ),
+            F.col("min_cos_ppm").cast("bigint").alias("min_cos_ppm"),
+        )
+        .orderBy("subspace")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitext mining with the forward margin criterion (round 6)
+# ---------------------------------------------------------------------------
+
+_MARGIN_K = 4  # margin denominator: mean of the top-4 neighborhood
+_MARGIN_THR = 1_020_000  # accept margin >= 1.02 (ppm)
+_BUCKET_SQL_VEC = "('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 10"
+
+
+@register(
+    "bitext_margin_mining",
+    ops="EXT-sim-bitext,J4,W1 (margin-criterion pair mining)",
+    doc="Bitext-style pair mining (Artetxe & Schwenk 2019 forward margin "
+    "criterion): deterministic md5 buckets split the embedding corpus "
+    "into side A (buckets 0-4) and side B (5-9); for each probe in a "
+    "FIXED panel of A ids (every 5th id < 250 — probe-broadcast "
+    "discipline of embedding_decontamination, probe count pinned so "
+    "the brute B-scan stays linear in the corpus), score all of B, "
+    "and accept the top "
+    "neighbor iff cos / mean(top-4 cos) clears the margin (ratio of "
+    "FIXED-ORDER 4-term sums, floor-ppm). At 100 TB the B-side scan is "
+    "replaced by IVF/LSH candidates (similarity_ann_*); the margin "
+    "math is identical.",
+    oracle=f"""
+WITH sides AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL_VEC} AS b FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS src_id, embedding AS x FROM sides
+  WHERE b < 5 AND vec_id % 5 = 0 AND vec_id < 250
+),
+tgt AS (SELECT vec_id AS tgt_id, embedding AS y FROM sides WHERE b >= 5),
+scored AS (
+  SELECT p.src_id, t.tgt_id,
+         {_COS.format(a="p.x", b="t.y")} AS cos
+  FROM probes p, tgt t
+),
+ranked AS (
+  SELECT src_id, tgt_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY src_id
+                            ORDER BY cos DESC, tgt_id ASC) AS r
+  FROM scored
+),
+piv AS (
+  SELECT src_id,
+         MAX(CASE WHEN r = 1 THEN tgt_id END) AS tgt_id,
+         MAX(CASE WHEN r = 1 THEN cos END) AS c1,
+         MAX(CASE WHEN r = 2 THEN cos END) AS c2,
+         MAX(CASE WHEN r = 3 THEN cos END) AS c3,
+         MAX(CASE WHEN r = 4 THEN cos END) AS c4
+  FROM ranked WHERE r <= {_MARGIN_K} GROUP BY src_id
+)
+SELECT src_id, tgt_id,
+       CAST(FLOOR(c1 * {_MARGIN_K} * 1000000.0 / (((c1 + c2) + c3) + c4))
+            AS BIGINT) AS margin_ppm,
+       CAST(CASE WHEN FLOOR(c1 * {_MARGIN_K} * 1000000.0
+                            / (((c1 + c2) + c3) + c4)) >= {_MARGIN_THR}
+                 THEN 1 ELSE 0 END AS INT) AS accepted
+FROM piv
+ORDER BY src_id
+""",
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.queries.decontam import split_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sides = emb.withColumn("b", split_bucket("vec_id"))
+    # Fixed probe panel (~25 ids at any corpus size): the registered
+    # query measures the margin math, not a corpus-wide mine — a full
+    # mine routes candidates through similarity_ann_* instead of the
+    # brute B-side scan, which would scale as probes x corpus.
+    probes = sides.filter(
+        (F.col("b") < 5) & (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 250)
+    ).select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("x"))
+    tgt = sides.filter(F.col("b") >= 5).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("y")
+    )
+    from formula_1_spark.operators.similarity import cosine
+
+    scored = F.broadcast(probes).crossJoin(tgt).select(
+        "src_id", "tgt_id", cosine(F.col("x"), F.col("y")).alias("cos")
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("tgt_id"))
+    piv = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _MARGIN_K)
+        .groupBy("src_id")
+        .agg(
+            F.max(F.when(F.col("r") == 1, F.col("tgt_id"))).alias("tgt_id"),
+            *[
+                F.max(F.when(F.col("r") == i, F.col("cos"))).alias(f"c{i}")
+                for i in range(1, _MARGIN_K + 1)
+            ],
+        )
+    )
+    margin = F.floor(
+        F.col("c1")
+        * _MARGIN_K
+        * 1000000.0
+        / (((F.col("c1") + F.col("c2")) + F.col("c3")) + F.col("c4"))
+    ).cast("bigint")
+    return piv.select(
+        "src_id",
+        "tgt_id",
+        margin.alias("margin_ppm"),
+        F.when(margin >= _MARGIN_THR, 1).otherwise(0).cast("int").alias(
+            "accepted"
+        ),
+    ).orderBy("src_id")

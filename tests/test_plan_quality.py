@@ -69,6 +69,7 @@ BNLJ_OK = {
     "ann_recall_audit",  # same k-means centroid + query-probe broadcasts
     #   as similarity_ann_ivf / similarity_topk_bruteforce (its inputs)
     "class_balance_reweighting",  # 1-row totals broadcast x2 (bounded)
+    "bitext_margin_mining",  # probe-broadcast B-side scan (decontam shape)
 }
 
 
