@@ -48,6 +48,8 @@ SLATE = {
     "tpch_q18_large_orders": "post-agg top-k via two-phase rank prune, not an unpartitioned window",
     "winnow_fingerprint_dedup": "fingerprints from per-row array math; only distinct (doc, fp) ints shuffle; 1-row shared-count broadcast",
     "vocab_coverage_curve": "zero-shuffle two-phase top-8192 ranks; 8-row cutoff + 1-row total broadcast joins",
+    "dedup_span_extents": "positional grams in codegen; df-capped gram join; islands window bounded by (pair, diagonal)",
+    "shard_packing_plan": "two-phase global cumsum: ONE range shuffle + Arrow running total + broadcast offsets",
 }
 
 
