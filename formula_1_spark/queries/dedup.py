@@ -1240,3 +1240,113 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard threshold sensitivity sweep (round 6)
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS_PPM = (250_000, 400_000, 500_000, 600_000, 750_000, 900_000)
+
+
+@register(
+    "dedup_threshold_sweep",
+    ops="EXT-dedup-tuning,A3,J4 (threshold sensitivity curve)",
+    doc="Threshold-sensitivity curve for near-dup dedup: verify exact "
+    "word-3-gram Jaccard once at the loosest setting (>= 0.25, same "
+    "shared shingle relation and df<=50 inverted index as the Jaccard "
+    "family), then report pair count and affected-doc count at each "
+    "candidate threshold from ONE pass of conditional aggregates. The "
+    "tuning evidence for picking the production threshold — how many "
+    "pairs/docs each notch of strictness gives up.",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+posting AS (SELECT doc_id, unnest(sh) AS shingle FROM shf),
+rare AS (
+  SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(1) <= 50
+),
+cand AS (
+  SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+  FROM posting p1
+  JOIN rare r ON p1.shingle = r.shingle
+  JOIN posting p2 ON p2.shingle = p1.shingle
+  WHERE p1.doc_id < p2.doc_id
+),
+verified AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.sh, sb.sh))
+           / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN shf sa ON sa.doc_id = c.a
+  JOIN shf sb ON sb.doc_id = c.b
+  WHERE len(list_intersect(sa.sh, sb.sh))
+          / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))) >= 0.25
+),
+thr AS (
+  SELECT unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS_PPM)}])
+    AS threshold_ppm
+),
+hits AS (
+  SELECT t.threshold_ppm, v.a, v.b
+  FROM verified v JOIN thr t
+    ON v.jaccard * 1000000 >= t.threshold_ppm
+),
+docs_hit AS (
+  SELECT threshold_ppm, doc_id FROM (
+    SELECT threshold_ppm, a AS doc_id FROM hits
+    UNION
+    SELECT threshold_ppm, b FROM hits
+  ) u
+)
+SELECT t.threshold_ppm,
+       CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(d.n_docs, 0) AS BIGINT) AS docs_affected
+FROM thr t
+LEFT JOIN (SELECT threshold_ppm, COUNT(1) AS n_pairs FROM hits
+           GROUP BY threshold_ppm) p USING (threshold_ppm)
+LEFT JOIN (SELECT threshold_ppm, COUNT(DISTINCT doc_id) AS n_docs
+           FROM docs_hit GROUP BY threshold_ppm) d USING (threshold_ppm)
+ORDER BY t.threshold_ppm
+""",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.dedup import jaccard_pairs_from_shingles
+
+    ent = _shared_relations(spark, sf_dir)
+    # Loosest verify once (shared shingles + candidate index); every
+    # threshold row is a conditional aggregate over the SAME relation —
+    # the sweep costs one verification pass, not six.
+    verified = jaccard_pairs_from_shingles(
+        ent["sh"], threshold=0.25, max_df=50, cand=ent["cand"]
+    ).select("doc_id_1", "doc_id_2", "jaccard")
+    thr = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS_PPM])
+        ).alias("threshold_ppm")
+    )
+    hits = verified.join(
+        F.broadcast(thr),
+        F.col("jaccard") * 1_000_000 >= F.col("threshold_ppm"),
+    )
+    pairs = hits.groupBy("threshold_ppm").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    docs_hit = (
+        hits.select("threshold_ppm", F.col("doc_id_1").alias("doc_id"))
+        .union(hits.select("threshold_ppm", "doc_id_2"))
+        .distinct()
+        .groupBy("threshold_ppm")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+    )
+    return (
+        thr.join(pairs, "threshold_ppm", "left")
+        .join(docs_hit, "threshold_ppm", "left")
+        .select(
+            "threshold_ppm",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0))
+            .cast("bigint")
+            .alias("docs_affected"),
+        )
+        .orderBy("threshold_ppm")
+    )

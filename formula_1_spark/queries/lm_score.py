@@ -94,6 +94,21 @@ LIMIT {_TOP_K}
 """,
 )
 def ngram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = doc_surprisal(spark, sf_dir)
+    return (
+        doc.withColumn(
+            "millibits_per_token", F.expr("(total_bits * 1000) div n_bigrams")
+        )
+        .orderBy(F.desc("millibits_per_token"), F.asc("doc_id"))
+        .limit(_TOP_K)
+        .select("doc_id", "n_bigrams", "total_bits", "millibits_per_token")
+    )
+
+
+def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram cross-entropy relation (doc_id, n_bigrams,
+    total_bits) — the full-corpus LM scoring shared by the registered
+    top-k view and the correlation audit."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
@@ -126,17 +141,131 @@ def ngram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(voc))
         .withColumn("ratio", F.expr("(c_pre + v) div (c_bg + 1)"))
     )
-    doc = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.sum("c_in_doc").alias("n_bigrams"),
         F.sum(
             F.col("c_in_doc") * (F.length(F.bin(F.col("ratio"))) - 1).cast("bigint")
         ).alias("total_bits"),
     )
-    return (
-        doc.withColumn(
-            "millibits_per_token", F.expr("(total_bits * 1000) div n_bigrams")
-        )
-        .orderBy(F.desc("millibits_per_token"), F.asc("doc_id"))
-        .limit(_TOP_K)
-        .select("doc_id", "n_bigrams", "total_bits", "millibits_per_token")
+
+
+# ---------------------------------------------------------------------------
+# Does the LM filter agree with the heuristic quality score? (round 6)
+# ---------------------------------------------------------------------------
+
+_LM_CTES = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+bg AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+dbg AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(1) AS BIGINT) AS c_in_doc
+  FROM bg GROUP BY doc_id, w1, w2
+),
+cbg AS (
+  SELECT w1, w2, CAST(SUM(c_in_doc) AS BIGINT) AS c_bg
+  FROM dbg GROUP BY w1, w2
+),
+cbg2 AS (
+  SELECT w1, w2, c_bg,
+         CAST(SUM(c_bg) OVER (PARTITION BY w1) AS BIGINT) AS c_pre
+  FROM cbg
+),
+voc AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM bg),
+lm_scored AS (
+  SELECT d.doc_id, d.c_in_doc,
+         (c.c_pre + voc.v) // (c.c_bg + 1) AS ratio
+  FROM dbg d JOIN cbg2 c ON d.w1 = c.w1 AND d.w2 = c.w2, voc
+),
+doc AS (
+  SELECT doc_id,
+         CAST(SUM(c_in_doc) AS BIGINT) AS n_bigrams,
+         CAST(SUM(c_in_doc * (length(bin(ratio)) - 1)) AS BIGINT)
+           AS total_bits
+  FROM lm_scored GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "surprisal_quality_correlation",
+    ops="EXT-lm-quality-audit,A1 (exact-sufficient-statistics Pearson r)",
+    doc="Cross-family calibration audit: does the bigram-LM surprisal "
+    "filter agree with the cheap distinct-token quality proxy? Pearson "
+    "r between per-doc millibits-per-token and distinct-token ppm from "
+    "EXACT decimal(38,0) sufficient statistics (n, Σx, Σy, Σxy, Σx², "
+    "Σy² — map-side combinable, no streaming-float corr), one identical "
+    "double formula both engines. On real corpora repetitive docs are "
+    "low-surprisal AND low-distinct (positive r); near-zero r on the "
+    "synthetic corpus means the two filters are complementary there.",
+    oracle=_LM_CTES
+    + """,
+pts AS (
+  SELECT d.doc_id,
+         (d.total_bits * 1000) // d.n_bigrams AS x,
+         len(list_distinct(string_split(t2.text, ' '))) * 1000000
+           // len(string_split(t2.text, ' ')) AS y
+  FROM doc d JOIN documents t2 USING (doc_id)
+),
+stats AS (
+  SELECT CAST(COUNT(1) AS BIGINT) AS n_docs,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+         SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+  FROM pts
+)
+SELECT n_docs,
+       CAST(sx AS BIGINT) AS sum_surprisal,
+       CAST(sy AS BIGINT) AS sum_quality,
+       (n_docs * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(n_docs * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(n_docs * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS pearson_r
+FROM stats
+""",
+)
+def surprisal_quality_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    doc = doc_surprisal(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) * 1000000"
+            " div size(split(text, ' ')) AS BIGINT)"
+        ).alias("y"),
+    )
+    pts = doc.select(
+        "doc_id", F.expr("(total_bits * 1000) div n_bigrams").alias("x")
+    ).join(quality, "doc_id")
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    stats = pts.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(d("x")).alias("sx"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(d("x") * F.col("y")).alias("sxy"),
+        F.sum(d("x") * F.col("x")).alias("sxx"),
+        F.sum(d("y") * F.col("y")).alias("syy"),
+    )
+    dd = lambda c: F.col(c).cast("double")
+    n = F.col("n_docs")
+    r = (n * dd("sxy") - dd("sx") * dd("sy")) / (
+        F.sqrt(n * dd("sxx") - dd("sx") * dd("sx"))
+        * F.sqrt(n * dd("syy") - dd("sy") * dd("sy"))
+    )
+    return stats.select(
+        "n_docs",
+        F.col("sx").cast("bigint").alias("sum_surprisal"),
+        F.col("sy").cast("bigint").alias("sum_quality"),
+        r.alias("pearson_r"),
     )

@@ -144,3 +144,54 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.try_variant_get("v", "$.k", "bigint") % 10).alias("k_bucket"),
         F.try_variant_get("v", "$.missing", "bigint").alias("absent_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4) — round 6
+# ---------------------------------------------------------------------------
+
+# Spark 4 executes the |> pipe form natively; Catalyst plans it exactly
+# like the ANSI equivalent (the oracle below) — same join reorder,
+# pushdown and partial aggregation. The pipe spelling is registered to
+# prove the modern-SQL surface through the driver gate, not as a new
+# physical shape.
+_PIPE_SQL = """
+FROM lineitem
+|> JOIN orders ON l_orderkey = o_orderkey
+|> WHERE o_orderstatus = 'F'
+|> EXTEND CAST(round(l_extendedprice * 100) AS BIGINT)
+     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c4
+|> AGGREGATE COUNT(*) AS n_lines, SUM(rev_c4) AS revenue_c4
+   GROUP BY o_orderpriority
+|> WHERE n_lines > 10
+|> ORDER BY o_orderpriority
+|> SELECT o_orderpriority, n_lines, revenue_c4
+"""
+
+
+@register(
+    "orders_pipe_syntax_report",
+    ops="EXT-sql-pipe,J1,A5,A6 (Spark 4 pipe-SQL surface)",
+    doc="SQL pipe syntax (Spark 4 |> operators: JOIN, WHERE, EXTEND, "
+    "AGGREGATE, post-agg WHERE as HAVING, ORDER BY, SELECT) through the "
+    "driver gate. Integer-cents revenue (price x (100 - discount-pct) "
+    "in c4 units) keeps the SUM order-independent. Oracle = the ANSI "
+    "spelling, so the check proves the pipe form plans to identical "
+    "values.",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_c4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+HAVING COUNT(*) > 10
+ORDER BY o_orderpriority
+""",
+)
+def orders_pipe_syntax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["lineitem", "orders"], register=True)
+    return spark.sql(_PIPE_SQL)

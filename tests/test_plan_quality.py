@@ -70,6 +70,9 @@ BNLJ_OK = {
     #   as similarity_ann_ivf / similarity_topk_bruteforce (its inputs)
     "class_balance_reweighting",  # 1-row totals broadcast x2 (bounded)
     "bitext_margin_mining",  # probe-broadcast B-side scan (decontam shape)
+    "surprisal_quality_correlation",  # same 1-row vocab-size broadcast
+    #   as ngram_lm_surprisal (shares doc_surprisal)
+    "dedup_threshold_sweep",  # 6-row threshold-grid theta broadcast
 }
 
 
