@@ -195,3 +195,62 @@ ORDER BY o_orderpriority
 def orders_pipe_syntax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, ["lineitem", "orders"], register=True)
     return spark.sql(_PIPE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Collation-aware grouping (Spark 4) — round 6
+# ---------------------------------------------------------------------------
+
+# The testdata is uniformly cased, so the query first derives a
+# mixed-case column deterministically (even keys lowercased) — the
+# collation's case-insensitive equality then has real work to do: under
+# UTF8_LCASE 'automobile' and 'AUTOMOBILE' group together WITHOUT a
+# normalizing projection, which is the point of engine-level collations
+# (comparisons, joins and aggregations pick up the semantics without
+# rewriting every expression). Output is projected through lower() so
+# the emitted representative is deterministic in both engines.
+_COLLATED_SQL = """
+WITH mixed AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+              ELSE c_mktsegment END AS seg,
+         c_acctbal
+  FROM customer
+)
+SELECT lower(COLLATE(seg, 'UTF8_LCASE')) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM mixed
+GROUP BY COLLATE(seg, 'UTF8_LCASE')
+ORDER BY segment
+"""
+
+
+@register(
+    "segment_collated_rollup",
+    ops="EXT-sql-collation,A5 (Spark 4 collation-aware grouping)",
+    doc="Engine-level collation (Spark 4 COLLATE 'UTF8_LCASE') through "
+    "the driver gate: a deterministically case-mixed market-segment "
+    "column groups case-insensitively WITHOUT a normalizing projection "
+    "in the GROUP BY — the aggregation itself carries the collation. "
+    "Oracle spells the same semantics as lower()-grouping. Integer-"
+    "cents balance sum keeps both engines bit-identical.",
+    oracle="""
+WITH mixed AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+              ELSE c_mktsegment END AS seg,
+         c_acctbal
+  FROM customer
+)
+SELECT lower(seg) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM mixed
+GROUP BY lower(seg)
+ORDER BY segment
+""",
+)
+def segment_collated_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["customer"], register=True)
+    return spark.sql(_COLLATED_SQL)

@@ -406,3 +406,38 @@ def events_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_events * 1000000) div t").alias("share_ppm"),
         F.expr("(n_events * 24 * 1000000) div t").alias("uniform_index_ppm"),
     )
+
+
+@register(
+    "events_purchase_attribution_outer",
+    ops="EXT-stream-join-outer,J-left (outer stream-stream interval join)",
+    doc="LEFT OUTER click -> purchase attribution: every purchase emits, "
+    "paired with same-user clicks in the preceding 30 minutes or with "
+    "NULL click columns when unattributed — the rows an attribution "
+    "pipeline must not drop. The SAME transform runs as a watermarked "
+    "OUTER stream-stream join (unmatched state flushes at watermark "
+    "expiry; tests/test_stream_join.py proves stream == batch with a "
+    "watermark-flushing sentinel); this entry oracle-checks the batch "
+    "semantics.",
+    oracle="""
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) AS purchase_us,
+       p.value,
+       c.event_id AS click_id,
+       epoch_us(c.ts) AS click_us
+FROM events p
+LEFT JOIN events c
+  ON c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts < c.ts + INTERVAL '30 minutes'
+WHERE p.event_type = 'purchase'
+""",
+)
+def events_purchase_attribution_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from formula_1_spark.streaming.joins import purchase_attribution_outer
+
+    return purchase_attribution_outer(load_table(spark, sf_dir, "events"))

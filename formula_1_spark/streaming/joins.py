@@ -94,3 +94,55 @@ def click_purchase_attribution(
         F.unix_micros("purchase_ts").alias("purchase_us"),
         "value",
     )
+
+
+def purchase_attribution_outer(
+    events: DataFrame,
+    horizon_minutes: int = 30,
+    watermark: str | None = None,
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase row pairs
+    with the same-user clicks in the preceding ``horizon_minutes``, and
+    purchases with NO such click still emit (click side NULL) — the
+    unattributed-conversion stream an attribution pipeline must not
+    drop.
+
+    On the streaming path this exercises the OUTER stream-stream state
+    machine: matched pairs emit immediately; an unmatched purchase is
+    held in the state store and emitted with NULLs only once the click
+    side's watermark passes ``purchase_ts + horizon`` (so correctness
+    depends on both watermarks — without them the join would neither
+    expire state nor ever emit NULL rows). Batch and stream agree
+    exactly; tests/test_stream_join.py proves it with a watermark-
+    flushing sentinel event.
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    if watermark is not None:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    horizon = F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + horizon),
+        "left_outer",
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "value",
+        "click_id",
+        F.unix_micros("click_ts").alias("click_us"),
+    )

@@ -110,6 +110,15 @@ SLATE = [
     "vocab_coverage_curve", "kappa_lang_agreement",
     "rrf_rank_fusion", "bloom_decontam_audit",
     "orders_priority_chisq_drift", "user_contribution_bounds",
+    # round-6 additions: substring-span dedup family, ANN/PQ audits,
+    # bitext mining, recursive/pipe SQL, quality gate, shard packing
+    "dedup_span_extents", "doc_dup_span_coverage", "decontam_span_overlap",
+    "span_excision_plan", "ann_recall_audit", "pq_distortion_audit",
+    "bitext_margin_mining", "trade_reach_recursive_sql",
+    "gopher_quality_gate", "class_balance_reweighting",
+    "shard_packing_plan", "media_phash_near_dup",
+    "orders_pipe_syntax_report", "surprisal_quality_correlation",
+    "dedup_threshold_sweep",
 ]
 
 
