@@ -9,7 +9,8 @@ bit-identical across engines and partition orders.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from formula_1_spark.queries.registry import register
 from formula_1_spark.sources.tables import load_table
@@ -441,3 +442,125 @@ def events_purchase_attribution_outer(
     from formula_1_spark.streaming.joins import purchase_attribution_outer
 
     return purchase_attribution_outer(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# LTTB-style time-series downsampling (round 6)
+# ---------------------------------------------------------------------------
+
+_LTTB_BUCKETS = 32
+
+
+@register(
+    "events_lttb_downsample",
+    ops="EXT-timeseries-downsample,W2,A1 (bucketed largest-triangle pick)",
+    doc="Dashboard downsampling, LTTB-style (Steinarsson 2013, the "
+    "parallel bucket-average variant: each candidate's triangle spans "
+    "the NEIGHBOR BUCKET AVERAGES rather than the sequentially-chosen "
+    "previous point, which removes the sequential dependency and makes "
+    "the pick embarrassingly parallel): exact two-phase NTILE(32) "
+    "buckets the series without a single-partition sort, floor-averaged "
+    "integer bucket centroids (micros x cents) ride a 32-row lag/lead, "
+    "and each bucket keeps its max |cross product| point. First/last "
+    "buckets keep their endpoints, preserving the series extent.",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id, epoch_us(ts) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y,
+         CAST(NTILE({_LTTB_BUCKETS}) OVER (ORDER BY epoch_us(ts), event_id)
+              AS INT) AS b
+  FROM events
+),
+bstats AS (
+  -- HUGEINT lift: SUM of epoch-micros overflows int64 past ~5k rows/bucket
+  SELECT b, CAST(SUM(x::HUGEINT) // COUNT(1) AS BIGINT) AS ax,
+         CAST(SUM(y::HUGEINT) // COUNT(1) AS BIGINT) AS ay
+  FROM pts GROUP BY b
+),
+nbr AS (
+  SELECT b,
+         LAG(ax) OVER (ORDER BY b) AS px, LAG(ay) OVER (ORDER BY b) AS py,
+         LEAD(ax) OVER (ORDER BY b) AS nx, LEAD(ay) OVER (ORDER BY b) AS ny
+  FROM bstats
+),
+scored AS (
+  SELECT p.b, p.event_id, p.x, p.y,
+         CASE WHEN n.px IS NULL OR n.nx IS NULL THEN NULL
+              ELSE abs((n.px - n.nx) * (p.y - n.py)
+                       - (n.px - p.x) * (n.ny - n.py)) END AS area2
+  FROM pts p JOIN nbr n USING (b)
+),
+picked AS (
+  SELECT b, event_id, x, y FROM (
+    SELECT b, event_id, x, y,
+           ROW_NUMBER() OVER (
+             PARTITION BY b
+             ORDER BY CASE
+               WHEN b = 1 THEN -x                       -- first point
+               WHEN b = {_LTTB_BUCKETS} THEN x          -- last point
+               ELSE -area2 END ASC, event_id ASC) AS r
+    FROM scored) s WHERE r = 1
+)
+SELECT b AS bucket, event_id, CAST(x AS BIGINT) AS ts_us,
+       CAST(y AS BIGINT) AS value_cents
+FROM picked ORDER BY bucket
+""",
+)
+def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.windows import global_ntile_two_phase
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("x"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("y"),
+    )
+    pts = global_ntile_two_phase(
+        pts, [F.asc("x"), F.asc("event_id")], _LTTB_BUCKETS, alias="b"
+    )
+    # decimal(38,0) lift: sum of epoch-micros overflows int64 once a
+    # bucket holds ~5k rows — the 10x-probe bug pattern.
+    bstats = pts.groupBy("b").agg(
+        F.expr(
+            "cast(sum(cast(x as decimal(38,0))) div count(1) as bigint)"
+        ).alias("ax"),
+        F.expr(
+            "cast(sum(cast(y as decimal(38,0))) div count(1) as bigint)"
+        ).alias("ay"),
+    )
+    w = Window.orderBy("b")  # 32 rows: bucket-grain, domain-bounded
+    nbr = bstats.select(
+        "b",
+        F.lag("ax").over(w).alias("px"),
+        F.lag("ay").over(w).alias("py"),
+        F.lead("ax").over(w).alias("nx"),
+        F.lead("ay").over(w).alias("ny"),
+    )
+    scored = pts.join(F.broadcast(nbr), "b").withColumn(
+        "area2",
+        F.when(
+            F.col("px").isNull() | F.col("nx").isNull(), F.lit(None)
+        ).otherwise(
+            F.abs(
+                (F.col("px") - F.col("nx")) * (F.col("y") - F.col("py"))
+                - (F.col("px") - F.col("x")) * (F.col("ny") - F.col("py"))
+            )
+        ),
+    )
+    pick_order = F.when(F.col("b") == 1, -F.col("x")).when(
+        F.col("b") == _LTTB_BUCKETS, F.col("x")
+    ).otherwise(-F.col("area2"))
+    wpick = Window.partitionBy("b").orderBy(
+        pick_order.asc(), F.asc("event_id")
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(wpick))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("b").alias("bucket"),
+            "event_id",
+            F.col("x").cast("bigint").alias("ts_us"),
+            F.col("y").cast("bigint").alias("value_cents"),
+        )
+        .orderBy("bucket")
+    )

@@ -195,7 +195,10 @@ UNPARTITIONED_WINDOW_OK = {
         "pareto cumsum over the <=100 two-phase survivors; "
         "month-over-month lag over month-grain rows"
     ),
-    "windows_events.py": "lag over the hour-grain rollup (~1e5 rows/decade)",
+    "windows_events.py": (
+        "lag over the hour-grain rollup (~1e5 rows/decade); "
+        "LTTB lag/lead over the 32-row bucket-centroid relation"
+    ),
     "text_analysis.py": "cumulative window over the 10 NTILE batch rows",
     "privacy_alloc.py": (
         "largest-remainder rank over the stratum aggregate "
