@@ -1350,3 +1350,98 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_ppm")
     )
+
+
+@register(
+    "dedup_cluster_density",
+    ops="EXT-dedup-cluster-audit,A1,J4 (per-cluster edge density)",
+    doc="Cluster cohesion audit over the shared connected components: "
+    "per non-singleton duplicate cluster, member count, verified-pair "
+    "edge count, and edge density vs the complete graph in integer ppm "
+    "(2E*1e6 div n(n-1)). Low-density giants are the classic LSH "
+    "false-merge signature (chains through borderline pairs) — this is "
+    "the audit that catches them before canonical selection collapses "
+    "distinct documents. Reuses the memoized assignment and pair "
+    "relations; only cluster-grain rows aggregate.",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+posting AS (SELECT doc_id, unnest(sh) AS shingle FROM shf),
+rare AS (
+  SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(1) <= 50
+),
+cand AS (
+  SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+  FROM posting p1
+  JOIN rare r ON p1.shingle = r.shingle
+  JOIN posting p2 ON p2.shingle = p1.shingle
+  WHERE p1.doc_id < p2.doc_id
+),
+verified AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.sh, sb.sh))
+           / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN shf sa ON sa.doc_id = c.a
+  JOIN shf sb ON sb.doc_id = c.b
+),
+pairs AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.node
+),
+lbl AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(1) AS BIGINT) AS n_members
+  FROM lbl GROUP BY cluster_id HAVING COUNT(1) >= 2
+),
+edge_cl AS (
+  SELECT la.cluster_id, CAST(COUNT(1) AS BIGINT) AS n_edges
+  FROM pairs p JOIN lbl la ON la.doc_id = p.a
+  GROUP BY la.cluster_id
+)
+SELECT s.cluster_id, s.n_members,
+       CAST(COALESCE(e.n_edges, 0) AS BIGINT) AS n_edges,
+       CAST(COALESCE(e.n_edges, 0) * 2 * 1000000
+            // (s.n_members * (s.n_members - 1)) AS BIGINT) AS density_ppm
+FROM sizes s LEFT JOIN edge_cl e USING (cluster_id)
+ORDER BY s.cluster_id
+""",
+)
+def dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assignment = _shared_cluster_assignment(spark, sf_dir)
+    pairs = _shared_relations(spark, sf_dir)["jaccard_pairs"].select(
+        F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b")
+    )
+    sizes = (
+        assignment.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    # Both endpoints of a verified pair share a cluster by construction,
+    # so attributing by endpoint a is exact.
+    edge_cl = (
+        pairs.join(
+            assignment.select(F.col("doc_id").alias("a"), "cluster_id"), "a"
+        )
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return (
+        sizes.join(edge_cl, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.coalesce("n_edges", F.lit(0)).cast("bigint").alias("n_edges"),
+            F.expr(
+                "cast((coalesce(n_edges, 0) * 2 * 1000000)"
+                " div (n_members * (n_members - 1)) as bigint)"
+            ).alias("density_ppm"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -370,3 +370,118 @@ def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cos").alias("min_cos"),
         F.max("cos").alias("max_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-dimension correlation audit (round 6)
+# ---------------------------------------------------------------------------
+
+_CORR_TOPK = 10
+
+
+@register(
+    "embedding_corr_pairs",
+    ops="EXT-embedding-corr,A1 (exact dim-pair correlation top-k)",
+    doc="Cross-dimension redundancy audit: Pearson correlation for every "
+    "(i < j) dimension pair from exact integer sufficient statistics on "
+    "the 1e-6 component grid — per-row pair products explode to dim^2/2 "
+    "rows but collapse map-side, so the SHUFFLE carries only 2016 "
+    "(i, j) keys regardless of corpus size (the whitening/PCA go-no-go "
+    "audit: strongly correlated dims mean the embedding wastes "
+    "capacity). Top-10 pairs by |corr| in floor-ppm; HUGEINT/decimal "
+    "sums (n * Σxy overflows int64 past ~1e6 vectors).",
+    oracle=f"""
+WITH ex AS (
+  SELECT vec_id, i.i AS dim,
+         CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(range(0, 64)) AS i) i
+),
+dimstats AS (
+  SELECT dim, COUNT(1) AS n,
+         SUM(q::HUGEINT) AS s, SUM(q::HUGEINT * q) AS ss
+  FROM ex GROUP BY dim
+),
+prods AS (
+  SELECT a.dim AS i, b.dim AS j, SUM(a.q::HUGEINT * b.q) AS sxy
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim < b.dim
+  GROUP BY a.dim, b.dim
+),
+corr AS (
+  SELECT p.i, p.j,
+         CAST(FLOOR(
+           (da.n * CAST(p.sxy AS DOUBLE) - CAST(da.s AS DOUBLE) * CAST(db.s AS DOUBLE))
+           * 1000000.0
+           / (sqrt(da.n * CAST(da.ss AS DOUBLE) - CAST(da.s AS DOUBLE) * CAST(da.s AS DOUBLE))
+            * sqrt(db.n * CAST(db.ss AS DOUBLE) - CAST(db.s AS DOUBLE) * CAST(db.s AS DOUBLE)))
+         ) AS BIGINT) AS corr_ppm
+  FROM prods p
+  JOIN dimstats da ON da.dim = p.i
+  JOIN dimstats db ON db.dim = p.j
+)
+SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j, corr_ppm
+FROM corr
+ORDER BY abs(corr_ppm) DESC, i, j
+LIMIT {_CORR_TOPK}
+""",
+)
+def embedding_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    qarr = F.transform(
+        "embedding",
+        lambda v: F.floor(v.cast("double") * 1000000.0).cast("bigint"),
+    )
+    base = emb.select("vec_id", qarr.alias("q"))
+    # Per-dim sufficient stats: 64-key aggregate.
+    ex = base.select("vec_id", F.posexplode("q").alias("dim", "qv"))
+    dimstats = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qv").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("qv").cast("decimal(38,0)") * F.col("qv")).alias("ss"),
+    )
+    # Per-row (i, j, qi*qj) pair products: dim^2/2 rows per vector that
+    # collapse in the map-side partial aggregate — the shuffle carries
+    # only the 2016 (i, j) keys.
+    pair_structs = F.expr(
+        """flatten(transform(sequence(0, 62), i ->
+             transform(sequence(i + 1, 63), j ->
+               struct(i AS i, j AS j, q[i] * q[j] AS p))))"""
+    )
+    prods = (
+        base.select(F.explode(pair_structs).alias("x"))
+        .groupBy(F.col("x.i").alias("i"), F.col("x.j").alias("j"))
+        .agg(F.sum(F.col("x.p").cast("decimal(38,0)")).alias("sxy"))
+    )
+    da = dimstats.select(
+        F.col("dim").alias("i"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+        F.col("ss").alias("ssa"),
+    )
+    db = dimstats.select(
+        F.col("dim").alias("j"),
+        F.col("s").alias("sb"),
+        F.col("ss").alias("ssb"),
+    )
+    dd = lambda c: F.col(c).cast("double")
+    corr = (
+        prods.join(F.broadcast(da), "i")
+        .join(F.broadcast(db), "j")
+        .select(
+            F.col("i").cast("int").alias("dim_i"),
+            F.col("j").cast("int").alias("dim_j"),
+            F.floor(
+                (F.col("na") * dd("sxy") - dd("sa") * dd("sb"))
+                * 1000000.0
+                / (
+                    F.sqrt(F.col("na") * dd("ssa") - dd("sa") * dd("sa"))
+                    * F.sqrt(F.col("na") * dd("ssb") - dd("sb") * dd("sb"))
+                )
+            )
+            .cast("bigint")
+            .alias("corr_ppm"),
+        )
+    )
+    return corr.orderBy(
+        F.abs("corr_ppm").desc(), "dim_i", "dim_j"
+    ).limit(_CORR_TOPK)
