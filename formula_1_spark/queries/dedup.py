@@ -1445,3 +1445,139 @@ def dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "dedup_pipeline_funnel",
+    ops="EXT-dedup-funnel,A1,A3 (end-to-end dedup stage accounting)",
+    doc="The whole dedup pipeline as one accounting query — doc and "
+    "token survival through stage 0 (raw), stage 1 (exact: one doc per "
+    "normalized fingerprint, min-id canonical), stage 2 (near-dup: "
+    "Jaccard>=0.5 connected-component canonicals, which subsume stage "
+    "1's since exact dups are also Jaccard dups). The per-stage kept "
+    "ppm is the headline number a corpus report quotes; every relation "
+    "is family-shared (fingerprint groupBy, memoized components).",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+posting AS (SELECT doc_id, unnest(sh) AS shingle FROM shf),
+rare AS (
+  SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(1) <= 50
+),
+cand AS (
+  SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+  FROM posting p1
+  JOIN rare r ON p1.shingle = r.shingle
+  JOIN posting p2 ON p2.shingle = p1.shingle
+  WHERE p1.doc_id < p2.doc_id
+),
+verified AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.sh, sb.sh))
+           / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN shf sa ON sa.doc_id = c.a
+  JOIN shf sb ON sb.doc_id = c.b
+),
+pairs AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.node
+),
+lbl AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+base AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+exact_keep AS (
+  SELECT fp, MIN(doc_id) AS keep_id FROM base GROUP BY fp
+),
+flagged AS (
+  SELECT b.doc_id, b.n_tok,
+         CASE WHEN e.keep_id = b.doc_id THEN 1 ELSE 0 END AS k1,
+         CASE WHEN l.cluster_id = b.doc_id THEN 1 ELSE 0 END AS k2
+  FROM base b
+  JOIN exact_keep e USING (fp)
+  JOIN lbl l USING (doc_id)
+),
+stages AS (
+  SELECT 0 AS stage, 'raw' AS name, COUNT(1) AS docs, SUM(n_tok) AS toks
+  FROM flagged
+  UNION ALL
+  SELECT 1, 'exact', SUM(k1), SUM(k1 * n_tok) FROM flagged
+  UNION ALL
+  SELECT 2, 'near_dup', SUM(k2), SUM(k2 * n_tok) FROM flagged
+),
+tot AS (SELECT docs AS d0, toks AS t0 FROM stages WHERE stage = 0)
+SELECT CAST(stage AS INT) AS stage, name,
+       CAST(docs AS BIGINT) AS docs_kept,
+       CAST(toks AS BIGINT) AS tokens_kept,
+       CAST(docs * 1000000 // t.d0 AS BIGINT) AS docs_kept_ppm,
+       CAST(toks * 1000000 // t.t0 AS BIGINT) AS tokens_kept_ppm
+FROM stages, tot t
+ORDER BY stage
+""",
+)
+def dedup_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    assignment = _shared_cluster_assignment(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tok"),
+        fingerprint("text").alias("fp"),
+    )
+    exact_keep = base.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    flagged = (
+        base.join(exact_keep, "fp")
+        .join(assignment.select("doc_id", "cluster_id"), "doc_id")
+        .select(
+            "n_tok",
+            F.when(F.col("keep_id") == F.col("doc_id"), 1)
+            .otherwise(0)
+            .alias("k1"),
+            F.when(F.col("cluster_id") == F.col("doc_id"), 1)
+            .otherwise(0)
+            .alias("k2"),
+        )
+    )
+    stages = flagged.agg(
+        F.count(F.lit(1)).alias("d0"),
+        F.sum("n_tok").alias("t0"),
+        F.sum("k1").alias("d1"),
+        F.sum(F.col("k1") * F.col("n_tok")).alias("t1"),
+        F.sum("k2").alias("d2"),
+        F.sum(F.col("k2") * F.col("n_tok")).alias("t2"),
+    )
+    rows = []
+    for stage, name, dc, tc in (
+        (0, "raw", "d0", "t0"),
+        (1, "exact", "d1", "t1"),
+        (2, "near_dup", "d2", "t2"),
+    ):
+        rows.append(
+            stages.select(
+                F.lit(stage).cast("int").alias("stage"),
+                F.lit(name).alias("name"),
+                F.col(dc).cast("bigint").alias("docs_kept"),
+                F.col(tc).cast("bigint").alias("tokens_kept"),
+                F.expr(f"cast(({dc} * 1000000) div d0 as bigint)").alias(
+                    "docs_kept_ppm"
+                ),
+                F.expr(f"cast(({tc} * 1000000) div t0 as bigint)").alias(
+                    "tokens_kept_ppm"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage")
