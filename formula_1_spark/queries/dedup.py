@@ -1452,11 +1452,17 @@ def dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops="EXT-dedup-funnel,A1,A3 (end-to-end dedup stage accounting)",
     doc="The whole dedup pipeline as one accounting query — doc and "
     "token survival through stage 0 (raw), stage 1 (exact: one doc per "
-    "normalized fingerprint, min-id canonical), stage 2 (near-dup: "
-    "Jaccard>=0.5 connected-component canonicals, which subsume stage "
-    "1's since exact dups are also Jaccard dups). The per-stage kept "
-    "ppm is the headline number a corpus report quotes; every relation "
-    "is family-shared (fingerprint groupBy, memoized components).",
+    "normalized fingerprint, min-id canonical), stage 2 (near-dup "
+    "APPLIED ON TOP of stage 1: kept docs are exact canonicals that "
+    "are also their Jaccard>=0.5 connected-component canonical — "
+    "monotone by construction). Normally the composition equals the "
+    "cluster-canonical set: exact dups have Jaccard 1, so a cluster "
+    "canonical is its fingerprint group's min id unless the exact pair "
+    "escaped the df-capped candidate index (all-hot shingles or <3 "
+    "tokens), in which case such a cluster conservatively keeps no "
+    "doc. The per-stage kept ppm is the headline number a corpus "
+    "report quotes; every relation is family-shared (fingerprint "
+    "groupBy, memoized components).",
     oracle=f"""
 WITH RECURSIVE {_SHINGLES_CTE},
 posting AS (SELECT doc_id, unnest(sh) AS shingle FROM shf),
@@ -1513,7 +1519,10 @@ stages AS (
   UNION ALL
   SELECT 1, 'exact', SUM(k1), SUM(k1 * n_tok) FROM flagged
   UNION ALL
-  SELECT 2, 'near_dup', SUM(k2), SUM(k2 * n_tok) FROM flagged
+  -- stage 2 composes on stage 1 (k1 * k2): monotone even when an exact
+  -- dup escapes the df-capped candidate index and sits in its own
+  -- singleton cluster (k2=1 while k1=0)
+  SELECT 2, 'near_dup', SUM(k1 * k2), SUM(k1 * k2 * n_tok) FROM flagged
 ),
 tot AS (SELECT docs AS d0, toks AS t0 FROM stages WHERE stage = 0)
 SELECT CAST(stage AS INT) AS stage, name,
@@ -1554,8 +1563,8 @@ def dedup_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("t0"),
         F.sum("k1").alias("d1"),
         F.sum(F.col("k1") * F.col("n_tok")).alias("t1"),
-        F.sum("k2").alias("d2"),
-        F.sum(F.col("k2") * F.col("n_tok")).alias("t2"),
+        F.sum(F.col("k1") * F.col("k2")).alias("d2"),
+        F.sum(F.col("k1") * F.col("k2") * F.col("n_tok")).alias("t2"),
     )
     rows = []
     for stage, name, dc, tc in (

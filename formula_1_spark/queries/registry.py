@@ -49,69 +49,70 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 
 
 # The correctness driver snapshots the FIRST 50 registry entries in
-# iteration order each round. Round 6 pins the full 50-slot window
-# explicitly: the 32 round-5 additions — the only queries that have never
-# had a driver CORRECTNESS row (they registered behind the round-5 window
+# iteration order each round. Round 7 pins the full 50-slot window
+# explicitly: the 21 round-6 additions — the only queries that have never
+# had a driver CORRECTNESS row (they registered behind the round-6 window
 # per the growth protocol; all are locally bit-exact via
-# tests/test_oracle_parity.py) — come first. After this round, cumulative
-# driver coverage is 203/203 on the pre-round-6 registry. The remaining 18
-# slots re-check the STALEST greens (last green in r02) as a regression
-# watch. New round-6+ queries register BEHIND this pinned window. Names
-# absent from REGISTRY are skipped; registered names absent from this list
-# keep registration order after it.
+# tests/test_oracle_parity.py) — come first. A green r07 makes cumulative
+# driver coverage 224/224 on the pre-round-7 registry. The remaining 29
+# slots re-check the STALEST greens (6 last green in r02, 23 last green in
+# r03) as a regression watch. New round-7+ queries register BEHIND this
+# pinned window. Names absent from REGISTRY are skipped; registered names
+# absent from this list keep registration order after it.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (all 32 round-5 additions) ---
-    "ivf_incremental_assign",
-    "dedup_incremental_compaction",
-    "dedup_cluster_canonical_quality",
-    "cluster_aware_split",
-    "pmi_collocations_topk",
-    "bloom_decontam_audit",
-    "rrf_rank_fusion",
-    "events_rolling_median",
-    "ngram_lm_surprisal",
-    "url_dedup_canonical",
-    "segment_dedup_retention",
-    "token_budget_selection",
-    "kanonymity_audit",
-    "source_ablation_impact",
-    "scd2_customer_priority",
-    "stream_dedup_watermark",
-    "code_switch_audit",
-    "split_ngram_coverage",
-    "boilerplate_phrase_filter",
-    "source_quality_calibration",
-    "winnow_fingerprint_dedup",
-    "tokenizer_fertility_audit",
-    "zipf_rank_doubling",
-    "oov_rate_audit",
-    "event_attribution_first_last",
-    "ldiversity_audit",
-    "proportional_allocation_plan",
-    "small_cell_suppression",
-    "vocab_coverage_curve",
-    "kappa_lang_agreement",
-    "orders_priority_chisq_drift",
-    "user_contribution_bounds",
+    # --- never driver-checked (all 21 round-6 additions) ---
+    "dedup_span_extents",
+    "doc_dup_span_coverage",
+    "decontam_span_overlap",
+    "span_excision_plan",
+    "shard_packing_plan",
+    "ann_recall_audit",
+    "trade_reach_recursive_sql",
+    "gopher_quality_gate",
+    "class_balance_reweighting",
+    "media_phash_near_dup",
+    "pq_distortion_audit",
+    "bitext_margin_mining",
+    "orders_pipe_syntax_report",
+    "surprisal_quality_correlation",
+    "dedup_threshold_sweep",
+    "segment_collated_rollup",
+    "events_purchase_attribution_outer",
+    "events_lttb_downsample",
+    "dedup_cluster_density",
+    "embedding_corr_pairs",
+    "dedup_pipeline_funnel",
     # --- regression re-checks: stalest driver greens (last green r02) ---
-    "events_stream_static_enrich",
-    "timeseries_gap_fill",
-    "event_transition_matrix",
-    "embedding_quantization",
-    "dedup_semantic_clusters",
-    "dedup_incremental_minhash",
-    "source_quality_rollup",
-    "filter_cascade_audit",
-    "media_frame_sample_plan",
-    "media_resize_plan",
-    "asof_join_events",
-    "range_join_signup_funnel",
-    "orders_priority_pivot",
-    "lineitem_cube",
-    "quantity_percentiles",
-    "global_topk_two_phase",
-    "distinct_counts",
-    "funnel_staged_conversion",
+    "approx_distinct_sketch",
+    "approx_quantile_sketch",
+    "cohort_retention_matrix",
+    "hll_mergeable_rollup",
+    "lineitem_unpivot_metrics",
+    "referential_integrity_audit",
+    # --- regression re-checks: next-stalest (last green r03) ---
+    "array_functions_battery",
+    "benchmark_decontamination",
+    "bucketed_colocated_join",
+    "cdc_stream_merge_orders",
+    "cogroup_order_reconciliation",
+    "corpus_mixture_plan",
+    "corpus_ngram_stats",
+    "crossdoc_ngram_spans",
+    "customers_semi_anti",
+    "data_quality_expectations",
+    "dataset_hash_split",
+    "date_arithmetic_battery",
+    "dedup_embedding_cosine_scaled",
+    "doc_chunking",
+    "doc_rarity_filter",
+    "entity_resolution_fuzzy",
+    "events_from_json_typed",
+    "events_variant_extract",
+    "heavy_hitters_topk",
+    "lateral_top_orders",
+    "lineitem_rollup",
+    "matview_incremental_orders",
+    "nation_trade_shortest_path",
 )
 
 
@@ -163,6 +164,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.privacy_alloc",
         "formula_1_spark.queries.audit_metrics",
         "formula_1_spark.queries.span_extents",
+        "formula_1_spark.queries.line_dedup",
     ):
         try:
             __import__(mod)

@@ -101,12 +101,36 @@ spans AS (
 
 _SELF_CTES = _SPAN_CTES.format(pred="a.doc_id < bb.doc_id")
 
+# The four span queries share the corpus-scale positional-postings
+# relation. Round 6 built (and persisted) it independently per query —
+# four pinned copies and no unpersist, exactly the executor-storage leak
+# the round-2 lesson warned about. Memoize ONE df-capped relation per
+# (session, sf_dir) behind a GC-freed lazy localCheckpoint, mirroring
+# dedup.py's _shared_relations. min_df=1 (not 2) so the decontam variant
+# can share it: df=1 grams add no self-join pairs (a.doc_id < bb.doc_id
+# removes same-doc matches, and a df=1 gram has no cross-doc match), so
+# the self-span results are unchanged vs the old min_df=2 relation.
+_POSTINGS: dict[tuple[str, str], DataFrame] = {}
+
+
+def _bucketed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pos = _POSTINGS.get(key)
+    if pos is None:
+        docs = load_table(spark, sf_dir, "documents")
+        pos = (
+            df_capped_postings(
+                positional_gram_postings(docs, _K), max_df=_MAX_DF, min_df=1
+            )
+            .withColumn("b", split_bucket("doc_id"))
+            .localCheckpoint(eager=False)
+        )
+        _POSTINGS[key] = pos
+    return pos
+
 
 def _self_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pos = df_capped_postings(
-        positional_gram_postings(docs, _K), max_df=_MAX_DF, min_df=2
-    ).persist()
+    pos = _bucketed_postings(spark, sf_dir).drop("b")
     return duplicated_span_extents(
         pos, pos, k=_K, min_span_tokens=_MIN_SPAN, anti_reflexive=True
     )
@@ -279,11 +303,7 @@ ORDER BY doc_a
 """,
 )
 def decontam_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pos = df_capped_postings(
-        positional_gram_postings(docs, _K), max_df=_MAX_DF, min_df=1
-    ).withColumn("b", split_bucket("doc_id"))
-    pos = pos.persist()
+    pos = _bucketed_postings(spark, sf_dir)
     spans = duplicated_span_extents(
         pos.filter(F.col("b") < 8).drop("b"),
         pos.filter(F.col("b") >= 8).drop("b"),

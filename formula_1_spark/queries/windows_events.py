@@ -484,10 +484,12 @@ nbr AS (
   FROM bstats
 ),
 scored AS (
+  -- HUGEINT products: micros-diff x cents-diff approaches int64 max on
+  -- wide time ranges (the r6 ADVICE cross-engine-overflow flag)
   SELECT p.b, p.event_id, p.x, p.y,
          CASE WHEN n.px IS NULL OR n.nx IS NULL THEN NULL
-              ELSE abs((n.px - n.nx) * (p.y - n.py)
-                       - (n.px - p.x) * (n.ny - n.py)) END AS area2
+              ELSE abs((n.px - n.nx)::HUGEINT * (p.y - n.py)
+                       - (n.px - p.x)::HUGEINT * (n.ny - n.py)) END AS area2
   FROM pts p JOIN nbr n USING (b)
 ),
 picked AS (
@@ -496,8 +498,8 @@ picked AS (
            ROW_NUMBER() OVER (
              PARTITION BY b
              ORDER BY CASE
-               WHEN b = 1 THEN -x                       -- first point
-               WHEN b = {_LTTB_BUCKETS} THEN x          -- last point
+               WHEN b = 1 THEN x::HUGEINT               -- series FIRST point
+               WHEN b = {_LTTB_BUCKETS} THEN -x::HUGEINT -- series LAST point
                ELSE -area2 END ASC, event_id ASC) AS r
     FROM scored) s WHERE r = 1
 )
@@ -536,20 +538,30 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ax").over(w).alias("nx"),
         F.lead("ay").over(w).alias("ny"),
     )
+    # decimal(38,0) products: micros-diff x cents-diff approaches int64
+    # max on wide time ranges — DuckDB would raise on BIGINT overflow
+    # while non-ANSI Spark wraps silently, a cross-engine divergence.
+    dec = "decimal(38,0)"
     scored = pts.join(F.broadcast(nbr), "b").withColumn(
         "area2",
         F.when(
             F.col("px").isNull() | F.col("nx").isNull(), F.lit(None)
         ).otherwise(
             F.abs(
-                (F.col("px") - F.col("nx")) * (F.col("y") - F.col("py"))
-                - (F.col("px") - F.col("x")) * (F.col("ny") - F.col("py"))
+                (F.col("px") - F.col("nx")).cast(dec)
+                * (F.col("y") - F.col("py")).cast(dec)
+                - (F.col("px") - F.col("x")).cast(dec)
+                * (F.col("ny") - F.col("py")).cast(dec)
             )
         ),
     )
-    pick_order = F.when(F.col("b") == 1, -F.col("x")).when(
-        F.col("b") == _LTTB_BUCKETS, F.col("x")
-    ).otherwise(-F.col("area2"))
+    # b=1 keeps the series' true FIRST point (min x), b=last its true
+    # LAST point (max x) — the r6 ADVICE caught these inverted.
+    pick_order = (
+        F.when(F.col("b") == 1, F.col("x").cast(dec))
+        .when(F.col("b") == _LTTB_BUCKETS, (-F.col("x")).cast(dec))
+        .otherwise(-F.col("area2"))
+    )
     wpick = Window.partitionBy("b").orderBy(
         pick_order.asc(), F.asc("event_id")
     )

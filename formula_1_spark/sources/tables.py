@@ -115,7 +115,11 @@ def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
         st = os.stat(path)
         key = (os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
     except OSError:
-        key = (os.path.abspath(path), None, None)
+        # No local stat (remote filesystem path): there is no cheap
+        # invalidation signal, so do NOT memoize — a stale cached N would
+        # silently mis-size IDF quantization / LSH banding / AQE
+        # thresholds after the remote table is regenerated.
+        return _parquet_num_rows(spark, path)
     if key not in _ROW_COUNT_MEMO:
         _ROW_COUNT_MEMO[key] = _parquet_num_rows(spark, path)
     return _ROW_COUNT_MEMO[key]
