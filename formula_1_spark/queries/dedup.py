@@ -1590,3 +1590,88 @@ def dedup_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# LSH band-occupancy diagnostics (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lsh_band_occupancy",
+    ops="EXT-dedup-minhash,A1 (LSH tuning diagnostics)",
+    doc="Band-bucket occupancy audit for the MinHash-LSH index "
+    "(dedup_minhash_lsh's 8 bands x 4 rows): per band — bucket count, "
+    "docs, singleton buckets (no candidate work), max bucket size (the "
+    "skew that bounds in-bucket pair explosion), and the exact "
+    "candidate-pair budget sum k*(k-1)/2. THE number to watch before "
+    "running LSH at 100 TB: if max_bucket grows super-linearly with the "
+    "corpus, the banding needs more rows per band. One extra aggregate "
+    "over the family-shared signature relation.",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+base AS (
+  SELECT doc_id, shingle % {MINHASH_P} AS x
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM shf)
+),
+sigagg AS (
+  SELECT doc_id,
+{_MINHASH_MINS}
+  FROM base GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, {_SIG_ARRAY} AS sigs FROM sigagg),
+bands AS (
+  SELECT doc_id, j.j AS band_id,
+         array_to_string(list_slice(sigs, j.j * 4 + 1, j.j * 4 + 4), ',') AS band_key
+  FROM sigs, (SELECT unnest(range(0, 8)) AS j) j
+),
+occ AS (
+  SELECT band_id, band_key, CAST(COUNT(1) AS BIGINT) AS k
+  FROM bands GROUP BY band_id, band_key
+)
+SELECT CAST(band_id AS INT) AS band_id,
+       CAST(COUNT(1) AS BIGINT) AS n_buckets,
+       CAST(SUM(k) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS singleton_buckets,
+       CAST(MAX(k) AS BIGINT) AS max_bucket,
+       CAST(SUM(k * (k - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM occ
+GROUP BY band_id
+ORDER BY band_id
+""",
+)
+def lsh_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.dedup import (
+        lsh_band_rows,
+        minhash_signatures,
+    )
+
+    sh = _shared_relations(spark, sf_dir)["sh"]
+    rows = lsh_band_rows(minhash_signatures(sh, 32), bands=8, r=4)
+    occ = rows.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return (
+        occ.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("k").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("k") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("singleton_buckets"),
+            F.max("k").cast("bigint").alias("max_bucket"),
+            F.sum(F.expr("k * (k - 1) div 2"))
+            .cast("bigint")
+            .alias("candidate_pairs"),
+        )
+        .select(
+            F.col("band_id").cast("int").alias("band_id"),
+            "n_buckets",
+            "n_docs",
+            "singleton_buckets",
+            "max_bucket",
+            "candidate_pairs",
+        )
+        .orderBy("band_id")
+    )

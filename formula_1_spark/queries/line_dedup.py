@@ -304,3 +304,158 @@ def line_source_reuse_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_lines"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (round 7)
+# ---------------------------------------------------------------------------
+
+_CDC_K = 4  # tokens per boundary-test gram
+_CDC_D = 16  # boundary divisor: P(cut) = 1/16 per gram -> ~16-token chunks
+
+
+@register(
+    "cdc_chunk_dedup",
+    ops="EXT-dedup-cdc,A1 (content-defined chunking dup audit)",
+    doc="Content-defined chunking dedup (FastCDC/LBFS-style, "
+    "re-expressed relationally): a chunk boundary falls after token "
+    "i+3 wherever the 4-token gram hash at i is divisible by 16 "
+    "(~16-token expected chunks), so boundaries SELF-SYNCHRONIZE — "
+    "unlike the fixed windows of segment/line dedup, an insertion "
+    "shifts at most one chunk before the cut pattern realigns, and "
+    "shared substrings across docs land in identical chunks. All "
+    "boundary math is per-row array HOFs (zero shuffle); the only "
+    "corpus-scale shuffle is the chunk-hash groupBy. Per source: "
+    "chunk/token totals, occurrences of globally-duplicated chunks "
+    "(corpus count >= 2), and the duplicated-token ppm.",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source, t, n,
+         CASE WHEN n >= {_CDC_K} THEN
+           list_filter(
+             list_transform(range(0, n - {_CDC_K} + 1),
+               i -> CASE WHEN ('0x' || substr(md5(array_to_string(
+                        list_slice(t, i + 1, i + {_CDC_K}), ' ')), 1, 15)
+                        )::BIGINT % {_CDC_D} = 0
+                    THEN i + {_CDC_K} ELSE NULL END),
+             x -> x IS NOT NULL AND x < n)
+         ELSE CAST([] AS BIGINT[]) END AS cuts
+  FROM d
+),
+b AS (
+  SELECT doc_id, source, t,
+         list_sort(list_distinct(
+           list_concat(list_concat([0], cuts), [n]))) AS bounds
+  FROM g
+),
+chunks AS (
+  SELECT doc_id, source,
+         array_to_string(
+           list_slice(t, bounds[j + 1] + 1, bounds[j + 2]), ' ') AS chunk_text,
+         bounds[j + 2] - bounds[j + 1] AS n_tok
+  FROM b, unnest(range(0, len(bounds) - 1)) u(j)
+),
+hashed AS (
+  SELECT doc_id, source, n_tok,
+         ('0x' || substr(md5(chunk_text), 1, 15))::BIGINT AS cg
+  FROM chunks
+),
+freq AS (SELECT cg, COUNT(1) AS cnt FROM hashed GROUP BY cg)
+SELECT h.source,
+       CAST(COUNT(1) AS BIGINT) AS chunks_total,
+       CAST(COUNT(DISTINCT h.cg) AS BIGINT) AS chunks_distinct,
+       CAST(SUM(CASE WHEN f.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_chunk_occurrences,
+       CAST(SUM(h.n_tok) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN f.cnt >= 2 THEN h.n_tok ELSE 0 END) AS BIGINT)
+         AS dup_tokens,
+       CAST(SUM(CASE WHEN f.cnt >= 2 THEN h.n_tok ELSE 0 END) * {_PPM}
+            // SUM(h.n_tok) AS BIGINT) AS dup_token_ppm
+FROM hashed h JOIN freq f USING (cg)
+GROUP BY h.source
+ORDER BY h.source
+""",
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    base = docs.select("doc_id", "source", t.alias("t"), n.alias("n"))
+    gram_hash = lambda i: md5_long(  # noqa: E731
+        F.concat_ws(" ", F.slice(F.col("t"), i + 1, _CDC_K))
+    )
+    cuts = F.when(
+        F.col("n") >= _CDC_K,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - _CDC_K),
+                lambda i: F.when(
+                    gram_hash(i) % _CDC_D == 0, i + _CDC_K
+                ),
+            ),
+            lambda x: x.isNotNull() & (x < F.col("n")),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.array(F.lit(0)), cuts.cast("array<int>"), F.array(F.col("n"))
+            )
+        )
+    )
+    with_bounds = base.withColumn("bounds", bounds)
+    chunks = with_bounds.select(
+        "doc_id",
+        "source",
+        "t",
+        "bounds",
+        F.explode(
+            F.sequence(F.lit(0), F.size("bounds") - 2)
+        ).alias("j"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.element_at("bounds", F.col("j") + 2)
+            - F.element_at("bounds", F.col("j") + 1)
+        ).cast("bigint").alias("n_tok"),
+        F.array_join(
+            F.slice(
+                F.col("t"),
+                F.element_at("bounds", F.col("j") + 1) + 1,
+                F.element_at("bounds", F.col("j") + 2)
+                - F.element_at("bounds", F.col("j") + 1),
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+    hashed = chunks.select(
+        "doc_id", "source", "n_tok", md5_long(F.col("chunk_text")).alias("cg")
+    )
+    freq = hashed.groupBy("cg").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = F.col("cnt") >= 2
+    return (
+        hashed.join(freq, "cg")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("chunks_total"),
+            F.count_distinct("cg").alias("chunks_distinct"),
+            F.sum(F.when(dup, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_chunk_occurrences"),
+            F.sum("n_tok").cast("bigint").alias("tokens_total"),
+            F.sum(F.when(dup, F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+            F.expr(
+                f"cast(sum(case when cnt >= 2 then n_tok else 0 end)"
+                f" * {_PPM} div sum(n_tok) as bigint)"
+            ).alias("dup_token_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -402,3 +402,110 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-threshold sweep (round 7)
+# ---------------------------------------------------------------------------
+
+_Q_BUCKET = 100_000  # threshold grid step (ppm)
+
+
+@register(
+    "quality_threshold_sweep",
+    ops="EXT-quality-sweep,A1,W1 (filter-cutoff operating curve)",
+    doc="DCLM-style quality-cutoff operating curve: score each doc by "
+    "distinct-token ppm (the token_budget_selection score), histogram "
+    "scores into 100k-ppm buckets with ONE scan, then a bounded "
+    "bucket-to-threshold explode over the <= 11-row histogram yields "
+    "docs/tokens kept at every grid threshold 0..1e6. The curve a "
+    "curation run reads to pick its filter cutoff; the corpus-scale "
+    "work is one aggregate — everything after runs on bucket grain, "
+    "never doc grain.",
+    oracle=f"""
+WITH scored AS (
+  SELECT len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) * 1000000
+           // len(string_split(text, ' ')) AS quality_ppm
+  FROM documents
+),
+hist AS (
+  SELECT quality_ppm // {_Q_BUCKET} AS b,
+         CAST(COUNT(1) AS BIGINT) AS docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS toks
+  FROM scored GROUP BY quality_ppm // {_Q_BUCKET}
+),
+grid AS (SELECT unnest(range(0, 11)) AS t),
+cum AS (
+  SELECT g.t * {_Q_BUCKET} AS threshold_ppm,
+         CAST(COALESCE(SUM(h.docs), 0) AS BIGINT) AS docs_kept,
+         CAST(COALESCE(SUM(h.toks), 0) AS BIGINT) AS tokens_kept
+  FROM grid g LEFT JOIN hist h ON h.b >= g.t
+  GROUP BY g.t
+),
+tot AS (SELECT SUM(docs) AS d0, SUM(toks) AS t0 FROM hist)
+SELECT CAST(threshold_ppm AS BIGINT) AS threshold_ppm, docs_kept, tokens_kept,
+       CAST(docs_kept * 1000000 // t.d0 AS BIGINT) AS docs_kept_ppm,
+       CAST(tokens_kept * 1000000 // t.t0 AS BIGINT) AS tokens_kept_ppm
+FROM cum, tot t
+ORDER BY threshold_ppm
+""",
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.expr(
+            "cast(size(array_distinct(split(text, ' '))) as bigint)"
+            " * 1000000 div size(split(text, ' '))"
+        ).alias("quality_ppm"),
+    )
+    hist = scored.groupBy(
+        (F.col("quality_ppm") / _Q_BUCKET).cast("bigint").alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("toks"),
+    )
+    grid = spark.range(0, 11).select(F.col("id").alias("t"))
+    # Each histogram bucket b contributes to every threshold t <= b: a
+    # bounded explode (<= 11 rows per bucket) + hash aggregate — an
+    # equality join shape, no nested-loop range join anywhere.
+    contrib = hist.select(
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.least(F.col("b"), F.lit(10)))
+        ).alias("t"),
+        "docs",
+        "toks",
+    )
+    cum_agg = contrib.groupBy("t").agg(
+        F.sum("docs").alias("docs_kept_raw"),
+        F.sum("toks").alias("tokens_kept_raw"),
+    )
+    cum = grid.join(cum_agg, "t", "left").select(
+        "t",
+        F.coalesce("docs_kept_raw", F.lit(0)).cast("bigint").alias("docs_kept"),
+        F.coalesce("tokens_kept_raw", F.lit(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )
+    tot = hist.agg(
+        F.sum("docs").alias("d0"), F.sum("toks").alias("t0")
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .select(
+            (F.col("t") * _Q_BUCKET).cast("bigint").alias("threshold_ppm"),
+            "docs_kept",
+            "tokens_kept",
+            F.expr("cast(docs_kept * 1000000 div d0 as bigint)").alias(
+                "docs_kept_ppm"
+            ),
+            F.expr("cast(tokens_kept * 1000000 div t0 as bigint)").alias(
+                "tokens_kept_ppm"
+            ),
+        )
+        .orderBy("threshold_ppm")
+    )

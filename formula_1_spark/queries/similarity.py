@@ -918,3 +918,89 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accepted"
         ),
     ).orderBy("src_id")
+
+
+# ---------------------------------------------------------------------------
+# IVF cell-balance diagnostics (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ivf_cell_balance",
+    ops="EXT-sim-ivf,A1 (coarse-quantizer balance audit)",
+    doc="Cell-occupancy audit for the IVF coarse quantizer "
+    "(similarity_ann_ivf's 8 learned cells, 2 deterministic spherical "
+    "k-means iterations): per cell — vector count, corpus share ppm, "
+    "and balance ppm (share x n_cells; 1e6 = perfectly uniform). THE "
+    "knob check before shipping an IVF index at 100 TB: probe cost and "
+    "per-cell shuffle skew are both bounded by the heaviest cell, and "
+    "a balance far above 1e6 says the quantizer needs re-training or "
+    "more cells. Empty cells drop out in both engines.",
+    oracle=f"""
+WITH {_kmeans_ctes(n_cells=8, iters=2)},
+scored AS (
+  SELECT e.vec_id, c.cell_id,
+         {_COS.format(a="e.embedding", b="c.cent")} AS cell_cos
+  FROM embeddings e, centroids c
+),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id ASC) AS r
+    FROM scored) WHERE r = 1
+),
+per_cell AS (
+  SELECT cell_id, CAST(COUNT(1) AS BIGINT) AS n_vectors
+  FROM assign GROUP BY cell_id
+),
+tot AS (SELECT SUM(n_vectors) AS n_total, COUNT(1) AS n_cells FROM per_cell)
+SELECT CAST(p.cell_id AS BIGINT) AS cell_id, p.n_vectors,
+       CAST(p.n_vectors * 1000000 // t.n_total AS BIGINT) AS share_ppm,
+       CAST(p.n_vectors * t.n_cells * 1000000 // t.n_total AS BIGINT)
+         AS balance_ppm
+FROM per_cell p, tot t
+ORDER BY cell_id
+""",
+)
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.similarity import (
+        cosine,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, n_cells=8, iters=2).localCheckpoint(
+        eager=False
+    )
+    scored = emb.join(F.broadcast(cents), F.lit(True)).withColumn(
+        "cell_cos", cosine(F.col("embedding"), F.col("cent"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_cos"), F.asc("cell_id")
+    )
+    assign = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "cell_id")
+    )
+    per_cell = assign.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    tot = per_cell.agg(
+        F.sum("n_vectors").alias("n_total"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    return (
+        per_cell.join(F.broadcast(tot))
+        .select(
+            F.col("cell_id").cast("bigint").alias("cell_id"),
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            F.expr("cast(n_vectors * 1000000 div n_total as bigint)").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                "cast(n_vectors * n_cells * 1000000 div n_total as bigint)"
+            ).alias("balance_ppm"),
+        )
+        .orderBy("cell_id")
+    )

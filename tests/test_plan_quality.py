@@ -73,6 +73,8 @@ BNLJ_OK = {
     "surprisal_quality_correlation",  # same 1-row vocab-size broadcast
     #   as ngram_lm_surprisal (shares doc_surprisal)
     "dedup_threshold_sweep",  # 6-row threshold-grid theta broadcast
+    "quality_threshold_sweep",  # 1-row totals broadcast over an 11-row grid
+    "ivf_cell_balance",  # same k-means centroid broadcast as IVF + 1-row tot
 }
 
 
