@@ -642,6 +642,53 @@ def lsh_topk(
     )
 
 
+def multiprobe_lsh_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10, dims: int = 64
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al. 2007, VLDB): each query probes
+    its exact band bucket PLUS every Hamming-1 perturbation of the band
+    key (flip one of the band's hyperplane bits) — the perturbed buckets
+    are where near neighbors that landed just across a hyperplane live.
+    Recall rises toward brute force without adding hash tables; the
+    probe fan-out is (1 + BAND_BITS) keys per (query, band), query-side
+    only, so the corpus-side index cost is IDENTICAL to single-probe
+    :func:`lsh_topk` — the right trade at 100 TB, where corpus band rows
+    dominate storage and the query side is the small relation. Same
+    deterministic md5 hyperplanes -> exactly oracle-checkable."""
+    qv = _vec_base(queries, "query_id", "q_vec")
+    cv = _vec_base(corpus, "neighbor_id", "c_vec")
+    qb = _with_bands(qv, "query_id", "q_vec", dims)
+    probe_keys = F.array(
+        F.col("band_key"),
+        *[
+            F.col("band_key").bitwiseXOR(F.lit(1 << i))
+            for i in range(BAND_BITS)
+        ],
+    )
+    probes = qb.select(
+        "query_id", "band_id", F.explode(probe_keys).alias("band_key")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(
+            _with_bands(cv, "neighbor_id", "c_vec", dims),
+            ["band_id", "band_key"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def pq_subspace_model(
     corpus: DataFrame,
     m: int = 4,

@@ -485,3 +485,114 @@ def embedding_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr.orderBy(
         F.abs("corr_ppm").desc(), "dim_i", "dim_j"
     ).limit(_CORR_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Distributed power iteration (round 7)
+# ---------------------------------------------------------------------------
+
+_PI_ITERS = 3
+_PI_DIMS = 64
+
+
+def _pi_oracle(iters: int = _PI_ITERS, dims: int = _PI_DIMS) -> str:
+    """Unrolled power-iteration CTEs mirroring the Spark loop
+    bit-for-bit (same quantization contract as _kmeans_ctes in
+    queries/similarity.py)."""
+    init = ", ".join(["0.125"] * dims)
+    parts = [f"v0 AS (SELECT [{init}]::DOUBLE[] AS vl)"]
+    for t in range(1, iters + 1):
+        parts.append(f"""s{t} AS (
+  SELECT e.vec_id, e.embedding,
+         list_reduce(list_transform(list_zip(e.embedding, v.vl),
+           x -> CAST(x[1] AS DOUBLE) * x[2]), (acc, x) -> acc + x) AS s
+  FROM embeddings e, v{t - 1} v
+)""")
+        parts.append(f"""u{t} AS (
+  SELECT d.dim AS dim,
+         SUM(CAST(FLOOR(s * CAST(embedding[d.dim + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT)) AS u_int
+  FROM s{t}, (SELECT unnest(range(0, {dims})) AS dim) d
+  GROUP BY d.dim
+)""")
+        parts.append(
+            f"n{t} AS (SELECT SUM(u_int::HUGEINT * u_int) AS n2 FROM u{t})"
+        )
+        parts.append(
+            f"p{t} AS (SELECT dim, CAST(FLOOR(u_int::DOUBLE"
+            f" / sqrt(n2::DOUBLE) * 1000000) AS BIGINT) AS ppm"
+            f" FROM u{t}, n{t})"
+        )
+        parts.append(
+            f"v{t} AS (SELECT list(ppm::DOUBLE / 1000000.0 ORDER BY dim)"
+            f" AS vl FROM p{t})"
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "embedding_power_iteration",
+    ops="EXT-embedding-analytics,A1 (iterative distributed linear algebra)",
+    doc="Dominant singular direction of the embedding matrix by 3 "
+    "unrolled DISTRIBUTED power iterations — the classic iterative "
+    "algorithm expressed as a declarative plan, no driver loop: each "
+    "iteration is one broadcast of the 64-dim vector, one per-row "
+    "left-fold dot product, one posexplode + 64-group integer "
+    "aggregate, one 1-row norm broadcast. Cross-engine exactness via "
+    "the kmeans_centroids quantization contract: every per-row term is "
+    "floor-quantized to the 1e-6 grid BEFORE summation (integer sums "
+    "are order-independent), and the normalized components re-quantize "
+    "to integer ppm each round. At 100 TB each iteration is a single "
+    "map-side-combined aggregate over the corpus.",
+    oracle=f"""
+WITH {_pi_oracle()}
+SELECT CAST(dim AS INT) AS dim, ppm AS loading_ppm
+FROM p{_PI_ITERS}
+ORDER BY dim
+""",
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.functions.vectors import dot
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    v = spark.range(1).select(
+        F.array(*[F.lit(0.125) for _ in range(_PI_DIMS)]).alias("vl")
+    )
+    p = None
+    for _ in range(_PI_ITERS):
+        scored = emb.join(F.broadcast(v)).select(
+            "embedding", dot(F.col("embedding"), F.col("vl")).alias("s")
+        )
+        terms = scored.select(
+            "s", F.posexplode("embedding").alias("dim", "x")
+        )
+        u = terms.groupBy("dim").agg(
+            F.sum(
+                F.floor(
+                    F.col("s") * F.col("x").cast("double") * 1_000_000
+                ).cast("bigint")
+            ).alias("u_int")
+        )
+        n2 = u.agg(
+            F.sum(F.expr("cast(u_int as decimal(38,0)) * u_int")).alias("n2")
+        )
+        p = u.join(F.broadcast(n2)).select(
+            "dim",
+            F.floor(
+                F.col("u_int").cast("double")
+                / F.sqrt(F.col("n2").cast("double"))
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("ppm"),
+        )
+        v = p.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "ppm"))),
+                lambda st: st["ppm"].cast("double") / 1_000_000.0,
+            ).alias("vl")
+        )
+    return p.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("ppm").alias("loading_ppm"),
+    ).orderBy("dim")

@@ -1004,3 +1004,58 @@ def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH (round 7)
+# ---------------------------------------------------------------------------
+
+_PROBE_FLIPS = ", ".join(
+    f"xor(band_key, {1 << i})" for i in range(BAND_BITS)
+)
+
+
+@register(
+    "similarity_ann_multiprobe",
+    ops="EXT-sim-lsh,J4,W1 (multi-probe LSH, Lv et al. 2007)",
+    doc=f"ANN top-10 via multi-probe LSH: the {N_BANDS}x{BAND_BITS}-bit "
+    "banding of similarity_ann_lsh, but each query also probes every "
+    "Hamming-1 perturbation of its band keys (one hyperplane bit "
+    "flipped) — near neighbors that landed just across a hyperplane "
+    "are recovered without adding hash tables. Probe fan-out is "
+    "query-side only; the corpus index is bit-identical to the "
+    "single-probe one. Exact cosine re-rank among candidates.",
+    oracle=f"""
+WITH {_BANDS_CTE},
+{_BANDS_LONG},
+q AS (SELECT * FROM bands WHERE vec_id < 10),
+probes AS (
+  SELECT vec_id, embedding, band_id, u.pk AS band_key
+  FROM q, unnest([band_key, {_PROBE_FLIPS}]) u(pk)
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, p.embedding AS q_vec,
+                  c.vec_id AS neighbor_id, c.embedding AS c_vec
+  FROM probes p JOIN bands c
+    ON p.band_id = c.band_id AND p.band_key = c.band_key
+  WHERE p.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_COS.format(a="q_vec", b="c_vec")} AS cos
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10
+""",
+)
+def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.similarity import multiprobe_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return multiprobe_lsh_topk(emb, emb.filter(F.col("vec_id") < 10))

@@ -75,6 +75,7 @@ BNLJ_OK = {
     "dedup_threshold_sweep",  # 6-row threshold-grid theta broadcast
     "quality_threshold_sweep",  # 1-row totals broadcast over an 11-row grid
     "ivf_cell_balance",  # same k-means centroid broadcast as IVF + 1-row tot
+    "embedding_power_iteration",  # 1-row vector + 1-row norm broadcasts x3
 }
 
 
