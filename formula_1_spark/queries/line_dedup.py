@@ -459,3 +459,115 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental line-grain dedup (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "line_dedup_incremental",
+    ops="EXT-dedup-line,EXT-dedup-incremental,A1 (batch vs base-index)",
+    doc="Incremental flavor of line-grain dedup: the corpus is split by "
+    "the shared md5 rule into a BASE (buckets 0-8) whose full-width "
+    "line fingerprints form an append-only index, and an INCOMING batch "
+    "(bucket 9) checked against it. Per incoming source: lines already "
+    "in the base index (drop), novel lines (append to the index), "
+    "novel-but-duplicated-within-batch lines, and the token budget "
+    "each class carries. The join is asymmetric — O(batch x index "
+    "bucket), never corpus^2 — the same scale shape as "
+    "dedup_incremental_minhash.",
+    oracle=f"""
+WITH lines AS (
+  SELECT doc_id, source,
+         array_to_string(list_slice(tok, seg_idx * {_LINE_TOKENS} + 1,
+                 seg_idx * {_LINE_TOKENS} + {_LINE_TOKENS}), ' ') AS line_text,
+         len(list_slice(tok, seg_idx * {_LINE_TOKENS} + 1,
+                 seg_idx * {_LINE_TOKENS} + {_LINE_TOKENS})) AS n_tok
+  FROM (
+    SELECT doc_id, source, tok,
+           unnest(range((len(tok) + {_LINE_TOKENS - 1}) // {_LINE_TOKENS}))
+             AS seg_idx
+    FROM (SELECT doc_id, source, string_split(text, ' ') AS tok
+          FROM documents)
+  )
+),
+fp AS (
+  SELECT doc_id, source, n_tok,
+         ('0x' || substr(md5(line_text), 1, 15))::BIGINT AS g,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 AS bkt
+  FROM lines
+  WHERE n_tok = {_LINE_TOKENS}
+),
+base_idx AS (SELECT DISTINCT g FROM fp WHERE bkt < 9),
+incoming AS (SELECT * FROM fp WHERE bkt = 9),
+batch_freq AS (
+  SELECT g, COUNT(1) AS cnt FROM incoming GROUP BY g
+),
+flagged AS (
+  SELECT i.source, i.n_tok,
+         CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END AS in_base,
+         CASE WHEN b.g IS NULL AND f.cnt >= 2 THEN 1 ELSE 0 END AS batch_dup
+  FROM incoming i
+  LEFT JOIN base_idx b ON i.g = b.g
+  JOIN batch_freq f ON i.g = f.g
+)
+SELECT source,
+       CAST(COUNT(1) AS BIGINT) AS lines_incoming,
+       CAST(SUM(in_base) AS BIGINT) AS lines_in_base,
+       CAST(SUM(batch_dup) AS BIGINT) AS lines_batch_dup,
+       CAST(COUNT(1) - SUM(in_base) AS BIGINT) AS lines_novel,
+       CAST(SUM(in_base * n_tok) AS BIGINT) AS tokens_dropped,
+       CAST(SUM((1 - in_base) * n_tok) AS BIGINT) AS tokens_appended
+FROM flagged
+GROUP BY source
+ORDER BY source
+""",
+)
+def line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.queries.decontam import split_bucket
+
+    lines = _doc_lines(spark, sf_dir).filter(
+        F.col("n_tok") == _LINE_TOKENS
+    ).withColumn("bkt", split_bucket("doc_id"))
+    base_idx = (
+        lines.filter(F.col("bkt") < 9).select("g").distinct()
+        .withColumn("in_base_f", F.lit(1))
+    )
+    incoming = lines.filter(F.col("bkt") == 9)
+    batch_freq = incoming.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    flagged = (
+        incoming.join(base_idx, "g", "left")
+        .join(batch_freq, "g")
+        .select(
+            "source",
+            "n_tok",
+            F.when(F.col("in_base_f").isNotNull(), 1)
+            .otherwise(0)
+            .alias("in_base"),
+            F.when(
+                F.col("in_base_f").isNull() & (F.col("cnt") >= 2), 1
+            )
+            .otherwise(0)
+            .alias("batch_dup"),
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("lines_incoming"),
+            F.sum("in_base").cast("bigint").alias("lines_in_base"),
+            F.sum("batch_dup").cast("bigint").alias("lines_batch_dup"),
+            (F.count(F.lit(1)) - F.sum("in_base"))
+            .cast("bigint")
+            .alias("lines_novel"),
+            F.sum(F.col("in_base") * F.col("n_tok"))
+            .cast("bigint")
+            .alias("tokens_dropped"),
+            F.sum((F.lit(1) - F.col("in_base")) * F.col("n_tok"))
+            .cast("bigint")
+            .alias("tokens_appended"),
+        )
+        .orderBy("source")
+    )

@@ -76,6 +76,7 @@ BNLJ_OK = {
     "quality_threshold_sweep",  # 1-row totals broadcast over an 11-row grid
     "ivf_cell_balance",  # same k-means centroid broadcast as IVF + 1-row tot
     "embedding_power_iteration",  # 1-row vector + 1-row norm broadcasts x3
+    "basket_brand_affinity",  # 1-row order-total broadcast
 }
 
 
