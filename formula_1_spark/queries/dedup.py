@@ -1675,3 +1675,93 @@ def lsh_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source near-dup rate (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cross_source_rate",
+    ops="EXT-dedup-jaccard,A1,J1 (within- vs cross-source dup structure)",
+    doc="Where does near-duplication live — inside sources (internal "
+    "boilerplate) or across them (syndication/mirrors)? Every verified "
+    "Jaccard>=0.5 pair (family-shared relation) is labeled with its "
+    "endpoints' sources; the matrix row (source_lo, source_hi, "
+    "n_pairs, within flag) plus each row's share of all pairs in ppm. "
+    "One join pass over the pair list against the doc->source map — "
+    "the curation signal that decides whether dedup should run "
+    "per-source (cheap, shardable) or corpus-global (one shuffle "
+    "domain).",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+posting AS (SELECT doc_id, unnest(sh) AS shingle FROM shf),
+rare AS (
+  SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(1) <= 50
+),
+cand AS (
+  SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+  FROM posting p1
+  JOIN rare r ON p1.shingle = r.shingle
+  JOIN posting p2 ON p2.shingle = p1.shingle
+  WHERE p1.doc_id < p2.doc_id
+),
+verified AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.sh, sb.sh))
+           / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN shf sa ON sa.doc_id = c.a
+  JOIN shf sb ON sb.doc_id = c.b
+),
+pairs AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+src AS (SELECT doc_id, source FROM documents),
+labeled AS (
+  SELECT LEAST(xa.source, xb.source) AS source_lo,
+         GREATEST(xa.source, xb.source) AS source_hi
+  FROM pairs p
+  JOIN src xa ON xa.doc_id = p.a
+  JOIN src xb ON xb.doc_id = p.b
+),
+tot AS (SELECT COUNT(1) AS n_total FROM labeled)
+SELECT source_lo, source_hi,
+       CAST(COUNT(1) AS BIGINT) AS n_pairs,
+       source_lo = source_hi AS within_source,
+       CAST(COUNT(1) * 1000000 // t.n_total AS BIGINT) AS share_ppm
+FROM labeled, tot t
+GROUP BY source_lo, source_hi, t.n_total
+ORDER BY source_lo, source_hi
+""",
+)
+def dedup_cross_source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _shared_relations(spark, sf_dir)["jaccard_pairs"].select(
+        F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b")
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("b"), F.col("source").alias("src_b"))
+    labeled = (
+        pairs.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+    )
+    tot = labeled.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        labeled.groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .join(F.broadcast(tot))
+        .select(
+            "source_lo",
+            "source_hi",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            (F.col("source_lo") == F.col("source_hi")).alias("within_source"),
+            F.expr("cast(n_pairs * 1000000 div n_total as bigint)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("source_lo", "source_hi")
+    )

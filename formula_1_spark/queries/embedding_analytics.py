@@ -596,3 +596,185 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("int").alias("dim"),
         F.col("ppm").alias("loading_ppm"),
     ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-norm outlier audit (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_norm_outliers",
+    ops="EXT-embedding-analytics,A1 (robust broken-vector screen)",
+    doc="Broken-embedding screen: per-vector L2 norm floor-quantized to "
+    "integer ppm (exact cross-engine left-fold), corpus median and MAD "
+    "over the quantized norms (exact percentile interpolation on "
+    "integers), and per-label outlier counts at |norm - median| > "
+    "5*MAD. Zero/NaN-norm rows and scale-drifted batches are the "
+    "classic upstream-encoder failures this catches before ANN "
+    "indexing. Aggregates run over (label, norm) rollups.",
+    oracle="""
+WITH norms AS (
+  SELECT vec_id, label,
+         CAST(FLOOR(sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             (acc, v) -> acc + v)) * 1000000) AS BIGINT) AS norm_ppm
+  FROM embeddings
+),
+med AS (SELECT quantile_cont(norm_ppm, 0.5) AS m FROM norms),
+dev AS (
+  SELECT n.label, n.norm_ppm, abs(n.norm_ppm - m.m) AS ad
+  FROM norms n, med m
+),
+mad AS (SELECT quantile_cont(ad, 0.5) AS mad FROM dev)
+SELECT d.label,
+       CAST(COUNT(1) AS BIGINT) AS n_vectors,
+       CAST(MIN(d.norm_ppm) AS BIGINT) AS min_norm_ppm,
+       CAST(MAX(d.norm_ppm) AS BIGINT) AS max_norm_ppm,
+       CAST(SUM(CASE WHEN d.ad > 5 * x.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d, mad x
+GROUP BY d.label
+ORDER BY d.label
+""",
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.functions.vectors import norm
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    norms = emb.select(
+        "label",
+        F.floor(norm(F.col("embedding")) * 1_000_000)
+        .cast("bigint")
+        .alias("norm_ppm"),
+    )
+    med = norms.agg(F.expr("percentile(norm_ppm, 0.5)").alias("m"))
+    dev = norms.join(F.broadcast(med)).select(
+        "label",
+        "norm_ppm",
+        F.abs(F.col("norm_ppm") - F.col("m")).alias("ad"),
+    )
+    mad = dev.agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("norm_ppm").cast("bigint").alias("min_norm_ppm"),
+            F.max("norm_ppm").cast("bigint").alias("max_norm_ppm"),
+            F.sum(
+                F.when(F.col("ad") > 5 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Farthest-point (k-center greedy) diversity seeding (round 7)
+# ---------------------------------------------------------------------------
+
+_KC_SEEDS = 4
+
+# DuckDB cosine template (same left-fold contract as functions.vectors)
+_PI_COS = """
+list_reduce(list_transform(list_zip({a}, {b}),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
+/ (sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        (acc, v) -> acc + v))
+ * sqrt(list_reduce(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        (acc, v) -> acc + v)))
+"""
+
+
+def _kc_oracle(k: int = _KC_SEEDS) -> str:
+    cos0 = _PI_COS.format(a="e.embedding", b="s.embedding")
+    parts = [
+        "s0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1)",
+        f"""d0 AS (
+  SELECT e.vec_id, e.embedding,
+         1000000 - CAST(FLOOR(({cos0}) * 1000000) AS BIGINT) AS dmin
+  FROM embeddings e, s0 s
+)""",
+    ]
+    for t in range(1, k):
+        cost = _PI_COS.format(a="d.embedding", b="s.embedding")
+        parts.append(
+            f"s{t} AS (SELECT vec_id, embedding, dmin FROM d{t - 1}"
+            f" ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        if t < k - 1:
+            parts.append(f"""d{t} AS (
+  SELECT d.vec_id, d.embedding,
+         LEAST(d.dmin,
+               1000000 - CAST(FLOOR(({cost}) * 1000000) AS BIGINT)) AS dmin
+  FROM d{t - 1} d, s{t} s
+)""")
+    selects = ["SELECT 0 AS seed_round, vec_id, CAST(0 AS BIGINT) AS dist_ppm FROM s0"]
+    for t in range(1, k):
+        selects.append(
+            f"SELECT {t}, vec_id, CAST(dmin AS BIGINT) FROM s{t}"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY seed_round"
+
+
+@register(
+    "kcenter_greedy_seeding",
+    ops="EXT-sampling-diversity,A1,O3 (farthest-point traversal)",
+    doc="Farthest-point (k-center greedy) diversity sampling over the "
+    "embedding corpus — the coreset/active-learning exemplar selection "
+    "pass: seed with the min-id vector, then 3 unrolled rounds each "
+    "pick the vector farthest (max 1e6-scaled 1-cos, quantized to "
+    "integer ppm, ties to min id) from the selected set, maintaining "
+    "running min-distances declaratively (no driver loop). Each round "
+    "is one corpus scan + a global TakeOrdered(1) + a 1-row broadcast; "
+    "selected points self-exclude (their dmin collapses to 0).",
+    oracle="WITH " + _kc_oracle(),
+)
+def kcenter_greedy_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.functions.vectors import cosine as _cos
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    s0 = emb.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_vec")
+    )
+    dist_to = lambda seed_vec: (  # noqa: E731
+        F.lit(1_000_000)
+        - F.floor(_cos(F.col("embedding"), seed_vec) * 1_000_000)
+    ).cast("bigint")
+    cur = emb.join(F.broadcast(s0)).select(
+        "vec_id", "embedding", dist_to(F.col("s_vec")).alias("dmin")
+    )
+    picks = [
+        s0.select(
+            F.lit(0).alias("seed_round"),
+            F.col("s_id").alias("vec_id"),
+            F.lit(0).cast("bigint").alias("dist_ppm"),
+        )
+    ]
+    for t in range(1, _KC_SEEDS):
+        st = cur.orderBy(F.desc("dmin"), F.asc("vec_id")).limit(1)
+        picks.append(
+            st.select(
+                F.lit(t).alias("seed_round"),
+                "vec_id",
+                F.col("dmin").cast("bigint").alias("dist_ppm"),
+            )
+        )
+        if t < _KC_SEEDS - 1:
+            seed = st.select(
+                F.col("embedding").alias("s_vec")
+            )
+            cur = cur.join(F.broadcast(seed)).select(
+                "vec_id",
+                "embedding",
+                F.least(F.col("dmin"), dist_to(F.col("s_vec"))).alias("dmin"),
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("seed_round")

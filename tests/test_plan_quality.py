@@ -77,6 +77,9 @@ BNLJ_OK = {
     "ivf_cell_balance",  # same k-means centroid broadcast as IVF + 1-row tot
     "embedding_power_iteration",  # 1-row vector + 1-row norm broadcasts x3
     "basket_brand_affinity",  # 1-row order-total broadcast
+    "dedup_cross_source_rate",  # 1-row pair-total broadcast
+    "embedding_norm_outliers",  # 1-row median/MAD scalar broadcasts
+    "kcenter_greedy_seeding",  # 1-row seed-vector broadcasts x3
 }
 
 
