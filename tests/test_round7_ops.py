@@ -70,3 +70,136 @@ def test_lttb_keeps_series_extent_points(spark, sf_dir):
     first_bucket, last_bucket = min(picked), max(picked)
     assert picked[first_bucket].ts_us == lo.x, "bucket 1 must keep the FIRST point"
     assert picked[last_bucket].ts_us == hi.x, "last bucket must keep the LAST point"
+
+
+def test_driver_priority_names_all_registered():
+    """A typo in _DRIVER_PRIORITY silently skips a driver window slot —
+    every pinned name must exist in the registry."""
+    from formula_1_spark.queries.registry import _DRIVER_PRIORITY
+
+    missing = [n for n in _DRIVER_PRIORITY if n not in REGISTRY]
+    assert not missing, f"unregistered names in _DRIVER_PRIORITY: {missing}"
+    assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY), "duplicates"
+    # the driver snapshots the first 50 — the pinned window must fill it
+    assert len(_DRIVER_PRIORITY) == 50
+
+
+def test_cdc_chunks_reassemble_and_self_synchronize(spark):
+    """The two CDC invariants: (1) chunks concatenate back to the exact
+    original text; (2) boundaries self-synchronize — prepending tokens
+    changes only chunks before the first post-prefix cut, so the CHUNK
+    SET of the shared suffix is identical (the property that makes CDC
+    dedup robust to insertions, unlike fixed windows)."""
+    import random
+
+    from formula_1_spark.queries.line_dedup import _CDC_K, _CDC_D  # noqa: F401
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    base_docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 120)))
+        for _ in range(40)
+    ]
+    prefix = "zz1 zz2 zz3"
+    rows = []
+    for i, text in enumerate(base_docs):
+        rows.append((2 * i, text, "orig"))
+        rows.append((2 * i + 1, prefix + " " + text, "prefixed"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    import formula_1_spark.queries.line_dedup as ld
+    from pyspark.sql import functions as F
+
+    # reuse the registered query's chunker by calling the internals the
+    # same way: write the frame to a temp dir and run the chunk stage
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cdc_prop_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+
+    # rebuild the chunk relation exactly as cdc_chunk_dedup does
+    spec = REGISTRY["cdc_chunk_dedup"]
+    out = spec.fn(spark, d)  # smoke: runs end-to-end on the fixture
+    assert out.count() > 0
+
+    # direct invariant checks on the chunk grain
+    t = F.split(F.col("text"), " ")
+    from formula_1_spark.operators.dedup import md5_long
+
+    base = docs.select("doc_id", "text", t.alias("t"), F.size(t).alias("n"))
+    cuts = F.when(
+        F.col("n") >= ld._CDC_K,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - ld._CDC_K),
+                lambda i: F.when(
+                    md5_long(
+                        F.concat_ws(" ", F.slice(F.col("t"), i + 1, ld._CDC_K))
+                    )
+                    % ld._CDC_D
+                    == 0,
+                    i + ld._CDC_K,
+                ),
+            ),
+            lambda x: x.isNotNull() & (x < F.col("n")),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.array_sort(
+        F.array_distinct(
+            F.concat(F.array(F.lit(0)), cuts.cast("array<int>"), F.array(F.col("n")))
+        )
+    )
+    chunked = base.withColumn("bounds", bounds).select(
+        "doc_id",
+        "text",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.size("bounds") - 2),
+                lambda j: F.array_join(
+                    F.slice(
+                        F.col("t"),
+                        F.element_at("bounds", j + 1) + 1,
+                        F.element_at("bounds", j + 2)
+                        - F.element_at("bounds", j + 1),
+                    ),
+                    " ",
+                ),
+            ),
+            " ",
+        ).alias("reassembled"),
+        F.transform(
+            F.sequence(F.lit(0), F.size("bounds") - 2),
+            lambda j: F.array_join(
+                F.slice(
+                    F.col("t"),
+                    F.element_at("bounds", j + 1) + 1,
+                    F.element_at("bounds", j + 2) - F.element_at("bounds", j + 1),
+                ),
+                " ",
+            ),
+        ).alias("chunks"),
+    )
+    got = {r.doc_id: r for r in chunked.collect()}
+    n_shared_tail = 0
+    for i, text in enumerate(base_docs):
+        orig, pref = got[2 * i], got[2 * i + 1]
+        # invariant 1: exact reassembly
+        assert orig.reassembled == text
+        assert pref.reassembled == prefix + " " + text
+        # invariant 2: self-synchronization — every original chunk that
+        # starts at/after the prefixed doc's first interior cut beyond
+        # the prefix region must appear verbatim among the prefixed
+        # doc's chunks
+        orig_set = set(orig.chunks)
+        tail_shared = [c for c in pref.chunks[1:] if c in orig_set]
+        n_shared_tail += len(tail_shared)
+        # after the first realigned boundary, chunks are common; docs
+        # long enough to have >=2 cuts must share at least one chunk
+        if len(orig.chunks) >= 3 and len(pref.chunks) >= 3:
+            assert tail_shared, (
+                f"doc {i}: no shared chunk after prefix insertion — "
+                "boundaries failed to re-synchronize"
+            )
+    assert n_shared_tail > 0
