@@ -722,3 +722,171 @@ def pmi_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_ppm"), "w1", "w2")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unrolled BPE merge rounds (round 7)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled BPE trainer CTEs mirroring the Spark loop: per round,
+    frequency-weighted adjacent-pair counts, the top pair (ties to
+    lexicographic), then a greedy left-to-right fold applying the merge
+    in every word."""
+    parts = [
+        """toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents
+),
+words AS (SELECT t AS word, CAST(COUNT(1) AS BIGINT) AS freq FROM toks GROUP BY t),
+w0 AS (
+  SELECT word, freq,
+         list_transform(range(1, length(word) + 1),
+                        i -> substr(word, i, 1)) AS syms
+  FROM words
+)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"""pc{t} AS (
+  SELECT s.syms[j + 1] AS a, s.syms[j + 2] AS b,
+         CAST(SUM(s.freq) AS BIGINT) AS n
+  FROM w{t - 1} s, unnest(range(0, len(s.syms) - 1)) u(j)
+  GROUP BY 1, 2
+)""")
+        parts.append(
+            f"top{t} AS (SELECT a, b, n FROM pc{t}"
+            f" ORDER BY n DESC, a ASC, b ASC LIMIT 1)"
+        )
+        parts.append(f"""w{t} AS (
+  SELECT w.word, w.freq,
+         CASE WHEN len(w.syms) <= 1 THEN w.syms ELSE
+           list_reduce(list_transform(w.syms, s -> [s]),
+             (acc, x) -> CASE
+               WHEN acc[len(acc)] = p.a AND x[1] = p.b
+               THEN list_concat(list_slice(acc, 1, len(acc) - 1),
+                                [acc[len(acc)] || x[1]])
+               ELSE list_concat(acc, x) END)
+         END AS syms
+  FROM w{t - 1} w, top{t} p
+)""")
+        parts.append(
+            f"v{t} AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS vocab"
+            f" FROM (SELECT unnest(syms) AS s FROM w{t}))"
+        )
+    selects = [
+        f"SELECT {t} AS merge_round, p.a AS pair_a, p.b AS pair_b,"
+        f" p.a || p.b AS merged, p.n AS pair_count, v{t}.vocab AS vocab_after"
+        f" FROM top{t} p, v{t}"
+        for t in range(1, rounds + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY merge_round"
+    )
+
+
+@register(
+    "bpe_merge_rounds",
+    ops="EXT-bpe-induction,A1,O3 (iterative tokenizer training, unrolled)",
+    doc="Three full BPE trainer iterations, distributed and declarative "
+    "(no driver loop): per round, frequency-weighted adjacent-symbol "
+    "pair counts over the word table, the argmax pair (count desc, "
+    "lexicographic ties), and a greedy left-to-right merge fold "
+    "applied inside every word via an array aggregate — the exact "
+    "non-overlapping-occurrence semantics of a byte-pair trainer. "
+    "Extends bpe_pair_merge_stats (which ranks round-1 candidates "
+    "only) to the actual training loop. Each round is one "
+    "map-side-combined pair aggregate + a 1-row top-pair broadcast + "
+    "a per-row fold; the word table (vocab-sized, not corpus-sized) "
+    "is the only relation that iterates.",
+    oracle=_bpe_oracle(),
+)
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.functions.text import tokens
+    from formula_1_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode(tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(F.col("t").alias("word"), "freq")
+    )
+    w = words.select(
+        "word",
+        "freq",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.substring(F.col("word"), i, F.lit(1)),
+        ).alias("syms"),
+    )
+    out_rows = []
+    for t in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            w.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("syms") - 2),
+                        lambda j: F.struct(
+                            F.element_at("syms", (j + 1).cast("int")).alias("a"),
+                            F.element_at("syms", (j + 2).cast("int")).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select("freq", "p.a", "p.b")
+        )
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(
+                F.col("a").alias("pa"), F.col("b").alias("pb"), "n"
+            )
+        )
+        merged_syms = F.when(F.size("syms") <= 1, F.col("syms")).otherwise(
+            F.aggregate(
+                F.transform(F.col("syms"), lambda s: F.array(s)),
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(F.size(acc) == 0, x)
+                .when(
+                    (F.element_at(acc, -1) == F.col("pa"))
+                    & (F.element_at(x, 1) == F.col("pb")),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(
+                            F.concat(F.element_at(acc, -1), F.element_at(x, 1))
+                        ),
+                    ),
+                )
+                .otherwise(F.concat(acc, x)),
+            )
+        )
+        w = w.join(F.broadcast(top)).select(
+            "word", "freq", merged_syms.alias("syms")
+        )
+        vocab = w.select(F.explode("syms").alias("s")).agg(
+            F.count_distinct("s").cast("bigint").alias("vocab_after")
+        )
+        out_rows.append(
+            top.join(F.broadcast(vocab)).select(
+                F.lit(t).alias("merge_round"),
+                F.col("pa").alias("pair_a"),
+                F.col("pb").alias("pair_b"),
+                F.concat("pa", "pb").alias("merged"),
+                F.col("n").alias("pair_count"),
+                "vocab_after",
+            )
+        )
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("merge_round")

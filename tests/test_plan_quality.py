@@ -80,6 +80,7 @@ BNLJ_OK = {
     "dedup_cross_source_rate",  # 1-row pair-total broadcast
     "embedding_norm_outliers",  # 1-row median/MAD scalar broadcasts
     "kcenter_greedy_seeding",  # 1-row seed-vector broadcasts x3
+    "bpe_merge_rounds",  # 1-row top-pair + 1-row vocab broadcasts x3
 }
 
 
