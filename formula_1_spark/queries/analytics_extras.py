@@ -887,3 +887,89 @@ def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_ppm"), "brand_a", "brand_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval stabbing via event sweep (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_open_backlog_daily",
+    ops="EXT-interval-sweep,A1,W2 (event-sweep interval counting)",
+    doc="Daily open-order backlog by EVENT SWEEP — the scalable "
+    "formulation of interval stabbing: each order emits +1 at "
+    "o_orderdate and -1 the day after its last shipment, deltas "
+    "aggregate to date grain (bounded by the calendar domain, never "
+    "order count), and a running sum over the date-grain rollup yields "
+    "the open count per day. The naive days x open-orders range join "
+    "this replaces is quadratic; the sweep is one groupBy + one "
+    "domain-bounded window. Emits day, opened, closed, open_orders.",
+    oracle="""
+WITH ends AS (
+  SELECT l_orderkey AS o, CAST(MAX(l_shipdate) AS DATE) AS end_d
+  FROM lineitem GROUP BY 1
+),
+iv AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS start_d, e.end_d
+  FROM orders o JOIN ends e ON e.o = o.o_orderkey
+  WHERE e.end_d >= CAST(o.o_orderdate AS DATE)
+),
+deltas AS (
+  SELECT start_d AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT end_d + 1, -1 FROM iv
+),
+daily AS (
+  SELECT day,
+         CAST(SUM(delta) AS BIGINT) AS net,
+         CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS opened,
+         CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS closed
+  FROM deltas GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, opened, closed,
+       CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS open_orders
+FROM daily
+ORDER BY day
+""",
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ends = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.max("l_shipdate").cast("date").alias("end_d")
+    )
+    iv = orders.withColumn(
+        "start_d", F.col("o_orderdate").cast("date")
+    ).join(ends, F.col("o_orderkey") == F.col("o")).filter(
+        F.col("end_d") >= F.col("start_d")
+    )
+    deltas = iv.select(
+        F.col("start_d").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(
+            F.date_add("end_d", 1).alias("day"), F.lit(-1).alias("delta")
+        )
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("delta").cast("bigint").alias("net"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("opened"),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("closed"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "opened",
+            "closed",
+            F.sum("net").over(w).cast("bigint").alias("open_orders"),
+        )
+        .orderBy("day")
+    )
