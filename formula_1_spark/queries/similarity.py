@@ -1059,3 +1059,149 @@ def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return multiprobe_lsh_topk(emb, emb.filter(F.col("vec_id") < 10))
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe recall/cost audit (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multiprobe_recall_gain",
+    ops="EXT-sim-recall-audit,A3 (multi-probe cost/recall tradeoff)",
+    doc="The multi-probe LSH trade quantified: per (method, query) — "
+    "single-probe vs Hamming-1 multi-probe — the candidate-set size "
+    "(the cost side: extra buckets probed) and recall@10 against the "
+    "exact brute-force top-10 (the win side). The operational readout "
+    "for choosing probe depth before scaling the index: at 100 TB, "
+    "candidates/query is the per-query scan budget, and recall ppm is "
+    "what it buys. Ground truth is computed once and shared.",
+    oracle=f"""
+WITH {_BANDS_CTE},
+{_BANDS_LONG},
+{_GT_CTES},
+{_LSH_RES_CTES},
+mq AS (
+  SELECT vec_id, embedding, band_id, u.pk AS band_key
+  FROM (SELECT * FROM bands WHERE vec_id < 10) q,
+       unnest([band_key, {_PROBE_FLIPS}]) u(pk)
+),
+mp_cand AS (
+  SELECT DISTINCT mq.vec_id AS query_id, mq.embedding AS q_vec,
+                  c.vec_id AS neighbor_id, c.embedding AS c_vec
+  FROM mq JOIN bands c ON mq.band_id = c.band_id AND mq.band_key = c.band_key
+  WHERE mq.vec_id <> c.vec_id
+),
+mp_res AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY {_COS.format(a="q_vec", b="c_vec")} DESC,
+                                     neighbor_id ASC) AS r
+    FROM mp_cand) mr WHERE r <= {_RECALL_K}
+),
+counts AS (
+  SELECT 'lsh_single' AS method, query_id, COUNT(1) AS n_candidates
+  FROM lsh_cand GROUP BY query_id
+  UNION ALL
+  SELECT 'lsh_multiprobe', query_id, COUNT(1) FROM mp_cand GROUP BY query_id
+),
+hits AS (
+  SELECT 'lsh_single' AS method, query_id, COUNT(1) AS hits
+  FROM (SELECT * FROM lsh_res INTERSECT SELECT * FROM gt) sh GROUP BY query_id
+  UNION ALL
+  SELECT 'lsh_multiprobe', query_id, COUNT(1)
+  FROM (SELECT * FROM mp_res INTERSECT SELECT * FROM gt) mh GROUP BY query_id
+),
+qids AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10),
+methods AS (SELECT 'lsh_single' AS method UNION ALL SELECT 'lsh_multiprobe')
+SELECT m.method, qi.query_id,
+       CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits_top10,
+       CAST(COALESCE(h.hits, 0) * 1000000 // {_RECALL_K} AS BIGINT)
+         AS recall_ppm
+FROM methods m CROSS JOIN qids qi
+LEFT JOIN counts c ON c.method = m.method AND c.query_id = qi.query_id
+LEFT JOIN hits h ON h.method = m.method AND h.query_id = qi.query_id
+ORDER BY m.method, qi.query_id
+""",
+)
+def multiprobe_recall_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.similarity import (
+        BAND_BITS as _BB,
+        _vec_base,
+        _with_bands,
+    )
+    from formula_1_spark.functions.vectors import cosine as _cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    gt = brute_force_topk(emb, q, k=_RECALL_K).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=False)
+    qv = _vec_base(q, "query_id", "q_vec")
+    cv = _vec_base(emb, "neighbor_id", "c_vec")
+    cb = _with_bands(cv, "neighbor_id", "c_vec", 64)
+    qids = q.select(F.col("vec_id").alias("query_id"))
+
+    def audit(multi: bool, method: str) -> DataFrame:
+        qb = _with_bands(qv, "query_id", "q_vec", 64)
+        if multi:
+            keys = F.array(
+                F.col("band_key"),
+                *[
+                    F.col("band_key").bitwiseXOR(F.lit(1 << i))
+                    for i in range(_BB)
+                ],
+            )
+            qb = qb.select(
+                "query_id", "band_id", F.explode(keys).alias("band_key")
+            )
+        cand = (
+            F.broadcast(qb)
+            .join(cb, ["band_id", "band_key"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+            .localCheckpoint(eager=False)  # shared by count + re-rank
+        )
+        ncand = cand.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_candidates")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        res = (
+            cand.join(F.broadcast(qv), "query_id")
+            .join(cv, "neighbor_id")
+            .withColumn("cos", _cosine(F.col("q_vec"), F.col("c_vec")))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _RECALL_K)
+            .select("query_id", "neighbor_id")
+        )
+        hits = (
+            res.join(gt, ["query_id", "neighbor_id"], "leftsemi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        return (
+            qids.join(ncand, "query_id", "left")
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.coalesce("n_candidates", F.lit(0))
+                .cast("bigint")
+                .alias("n_candidates"),
+                F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits_top10"),
+                F.expr(
+                    f"cast((coalesce(hits, 0) * 1000000) div {_RECALL_K}"
+                    " as bigint)"
+                ).alias("recall_ppm"),
+            )
+        )
+
+    return (
+        audit(False, "lsh_single")
+        .unionByName(audit(True, "lsh_multiprobe"))
+        .orderBy("method", "query_id")
+    )

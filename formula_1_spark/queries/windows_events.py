@@ -576,3 +576,76 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window rate-limit audit (round 7)
+# ---------------------------------------------------------------------------
+
+_RL_WINDOW_US = 600 * 1_000_000  # 10-minute burst window
+_RL_LIMIT = 5  # events allowed per window
+
+
+@register(
+    "events_rate_limit_audit",
+    ops="EXT-rate-limit,W1 (RANGE-frame sliding count)",
+    doc="Per-user burst detection with a true event-time RANGE frame: "
+    "for every event, the count of the same user's events in the "
+    "strictly-preceding 10 minutes (RANGE BETWEEN 600s PRECEDING AND "
+    "1us PRECEDING on epoch micros — peers at the exact same "
+    "timestamp excluded identically in both engines); an event is a "
+    "violation when the window already holds limit-1 or more. Rolled "
+    "up per user: events, violations, the hottest window observed. "
+    "The window partitions by user — state bounded per key, the "
+    "streaming-compatible shape.",
+    oracle=f"""
+WITH x AS (
+  SELECT user_id, epoch_us(ts) AS t
+  FROM events
+),
+win AS (
+  SELECT user_id,
+         COUNT(1) OVER (PARTITION BY user_id ORDER BY t
+                        RANGE BETWEEN {_RL_WINDOW_US} PRECEDING
+                              AND 1 PRECEDING) AS prior_in_window
+  FROM x
+)
+SELECT user_id,
+       CAST(COUNT(1) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN prior_in_window >= {_RL_LIMIT - 1} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations,
+       CAST(MAX(prior_in_window) + 1 AS BIGINT) AS max_window_events
+FROM win
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-_RL_WINDOW_US, -1)
+    )
+    win = ev.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("prior_in_window")
+    )
+    return (
+        win.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("prior_in_window") >= _RL_LIMIT - 1, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_violations"),
+            (F.max("prior_in_window") + 1)
+            .cast("bigint")
+            .alias("max_window_events"),
+        )
+        .orderBy("user_id")
+    )
