@@ -50,6 +50,11 @@ SLATE = {
     "vocab_coverage_curve": "zero-shuffle two-phase top-8192 ranks; 8-row cutoff + 1-row total broadcast joins",
     "dedup_span_extents": "positional grams in codegen; df-capped gram join; islands window bounded by (pair, diagonal)",
     "shard_packing_plan": "two-phase global cumsum: ONE range shuffle + Arrow running total + broadcast offsets",
+    "line_dedup_excision": "line hashes in codegen; hot set is a broadcast build; one hash-keyed df groupBy",
+    "cdc_chunk_dedup": "self-synchronizing boundaries as per-row array HOFs; only the chunk-hash groupBy shuffles",
+    "multiprobe_recall_gain": "query-side Hamming-1 probe fan-out broadcast; corpus band index scanned once per method",
+    "bpe_merge_rounds": "three unrolled merge rounds over the vocab-sized word table; 1-row argmax-pair broadcasts",
+    "orders_open_backlog_daily": "interval sweep: deltas aggregate to date grain before the domain-bounded running sum",
 }
 
 
