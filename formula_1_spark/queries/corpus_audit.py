@@ -364,3 +364,94 @@ def source_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "quartile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Total-variation token drift (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_token_tv_drift",
+    ops="EXT-corpus-audit,A1 (exact total-variation mixture drift)",
+    doc="Per-source unigram-distribution drift from the corpus mixture "
+    "as TOTAL-VARIATION distance — the integer-exact alternative to "
+    "KL/JS (no logs, no float accumulation): both shares are "
+    "floor-quantized to ppm per token, and absent tokens contribute "
+    "their corpus share algebraically (tv = (sum_present|p-q| + Q_total "
+    "- sum_present q) / 2), so NO source x vocabulary grid is ever "
+    "materialized — the only corpus-scale join is (source, token) "
+    "counts against token totals on the token key. The drift number "
+    "mixture rebalancing watches per source.",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+),
+st AS (SELECT source, t, CAST(COUNT(1) AS BIGINT) AS n_st FROM tok GROUP BY 1, 2),
+s AS (SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+ct AS (SELECT t, CAST(SUM(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n FROM ct),
+qtot AS (SELECT CAST(SUM(n_t * 1000000 // t.n) AS BIGINT) AS q FROM ct, tot t),
+agg AS (
+  SELECT x.source,
+         CAST(MAX(s.n_s) AS BIGINT) AS n_tokens,
+         CAST(COUNT(1) AS BIGINT) AS distinct_tokens,
+         CAST(SUM(abs(x.n_st * 1000000 // s.n_s
+                      - c.n_t * 1000000 // t.n)) AS BIGINT) AS a,
+         CAST(SUM(c.n_t * 1000000 // t.n) AS BIGINT) AS b
+  FROM st x
+  JOIN s USING (source)
+  JOIN ct c USING (t)
+  CROSS JOIN tot t
+  GROUP BY x.source
+)
+SELECT g.source, g.n_tokens, g.distinct_tokens,
+       CAST((g.a + q.q - g.b) // 2 AS BIGINT) AS tv_ppm
+FROM agg g, qtot q
+ORDER BY g.source
+""",
+)
+def source_token_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    st = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_st")
+    )
+    s = st.groupBy("source").agg(F.sum("n_st").cast("bigint").alias("n_s"))
+    ct = st.groupBy("t").agg(F.sum("n_st").cast("bigint").alias("n_t"))
+    tot = ct.agg(F.sum("n_t").cast("bigint").alias("n"))
+    qtot = (
+        ct.join(F.broadcast(tot))
+        .agg(
+            F.expr("cast(sum(n_t * 1000000 div n) as bigint)").alias("q")
+        )
+    )
+    agg = (
+        st.join(F.broadcast(s), "source")
+        .join(ct, "t")
+        .join(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_tokens"),
+            F.expr(
+                "cast(sum(abs(n_st * 1000000 div n_s"
+                " - n_t * 1000000 div n)) as bigint)"
+            ).alias("a"),
+            F.expr("cast(sum(n_t * 1000000 div n) as bigint)").alias("b"),
+        )
+    )
+    return (
+        agg.join(F.broadcast(qtot))
+        .select(
+            "source",
+            "n_tokens",
+            "distinct_tokens",
+            F.expr("cast((a + q - b) div 2 as bigint)").alias("tv_ppm"),
+        )
+        .orderBy("source")
+    )

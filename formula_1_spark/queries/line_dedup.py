@@ -116,6 +116,7 @@ def _doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
+            F.col("seg_idx").cast("bigint").alias("seg_idx"),
             F.size(sliced).cast("bigint").alias("n_tok"),
             F.array_join(sliced, " ").alias("line_text"),
         )
@@ -570,4 +571,79 @@ def line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_appended"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hot-line position profile (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hot_line_position_profile",
+    ops="EXT-dedup-line,A1 (boilerplate position structure)",
+    doc="WHERE in documents do repeated lines live? Each hot-line "
+    "occurrence (cross-doc df >= 2, full-width) is bucketed by its "
+    "position third within the doc (lead / mid / tail — navigation "
+    "chrome and footers concentrate at the edges in real crawls); per "
+    "(source, position) the occurrence count and the within-source "
+    "share ppm. Rides the line relation; one extra bounded aggregate.",
+    oracle=_LINE_CTES
+    + f""",
+hot AS (SELECT g FROM freq WHERE df_docs >= {_HOT_DF}),
+sized AS (
+  SELECT doc_id, source, seg_idx,
+         ('0x' || substr(md5(line_text), 1, 15))::BIGINT AS g,
+         COUNT(1) OVER (PARTITION BY doc_id) AS n_lines
+  FROM lines WHERE n_tok = {_LINE_TOKENS}
+),
+pos AS (
+  SELECT s.source,
+         CASE WHEN s.seg_idx * 3 < s.n_lines THEN 'lead'
+              WHEN s.seg_idx * 3 < s.n_lines * 2 THEN 'mid'
+              ELSE 'tail' END AS position
+  FROM sized s JOIN hot h ON s.g = h.g
+),
+per_src AS (SELECT source, COUNT(1) AS n_src FROM pos GROUP BY source)
+SELECT p.source, p.position,
+       CAST(COUNT(1) AS BIGINT) AS occurrences,
+       CAST(COUNT(1) * 1000000 // x.n_src AS BIGINT) AS source_share_ppm
+FROM pos p JOIN per_src x USING (source)
+GROUP BY p.source, p.position, x.n_src
+ORDER BY p.source, p.position
+""",
+)
+def hot_line_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lines = _doc_lines(spark, sf_dir)
+    full = lines.filter(F.col("n_tok") == _LINE_TOKENS)
+    hot = _line_df(lines).filter(F.col("df_docs") >= _HOT_DF).select("g")
+    sized = full.withColumn(
+        "n_lines", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    pos = (
+        sized.join(hot, "g", "leftsemi")
+        .withColumn(
+            "position",
+            F.when(F.col("seg_idx") * 3 < F.col("n_lines"), "lead")
+            .when(F.col("seg_idx") * 3 < F.col("n_lines") * 2, "mid")
+            .otherwise("tail"),
+        )
+        .select("source", "position")
+    )
+    per_src = pos.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    return (
+        pos.groupBy("source", "position")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .join(F.broadcast(per_src), "source")
+        .select(
+            "source",
+            "position",
+            F.col("occurrences").cast("bigint").alias("occurrences"),
+            F.expr(
+                "cast(occurrences * 1000000 div n_src as bigint)"
+            ).alias("source_share_ppm"),
+        )
+        .orderBy("source", "position")
     )

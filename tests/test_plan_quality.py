@@ -81,6 +81,7 @@ BNLJ_OK = {
     "embedding_norm_outliers",  # 1-row median/MAD scalar broadcasts
     "kcenter_greedy_seeding",  # 1-row seed-vector broadcasts x3
     "bpe_merge_rounds",  # 1-row top-pair + 1-row vocab broadcasts x3
+    "source_token_tv_drift",  # 1-row corpus-total + Q-total broadcasts
 }
 
 
