@@ -203,3 +203,73 @@ def test_cdc_chunks_reassemble_and_self_synchronize(spark):
                 "boundaries failed to re-synchronize"
             )
     assert n_shared_tail > 0
+
+
+def test_multiprobe_dominates_single_probe(spark, sf_dir):
+    """Multi-probe candidates are a superset of single-probe candidates
+    (the exact band key is always probed), so per query: candidate count
+    and recall@10 must both be >= the single-probe values."""
+    rows = REGISTRY["multiprobe_recall_gain"].fn(spark, sf_dir).collect()
+    single = {r.query_id: r for r in rows if r.method == "lsh_single"}
+    multi = {r.query_id: r for r in rows if r.method == "lsh_multiprobe"}
+    assert set(single) == set(multi) and single
+    for qid in single:
+        assert multi[qid].n_candidates >= single[qid].n_candidates
+        assert multi[qid].recall_ppm >= single[qid].recall_ppm
+
+
+def test_tv_drift_is_a_bounded_metric(spark, sf_dir):
+    rows = REGISTRY["source_token_tv_drift"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.tv_ppm <= 1_000_000, "TV distance must be in [0, 1]"
+        assert r.distinct_tokens >= 1
+
+
+def test_kcenter_distances_non_increasing(spark, sf_dir):
+    """Farthest-point traversal: the selected max-min distance can never
+    increase from one round to the next (the 2-approximation argument
+    rests on this monotonicity)."""
+    rows = sorted(
+        REGISTRY["kcenter_greedy_seeding"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.seed_round,
+    )
+    assert [r.seed_round for r in rows] == [0, 1, 2, 3]
+    assert len({r.vec_id for r in rows}) == 4, "seeds must be distinct"
+    for a, b in zip(rows[1:], rows[2:]):
+        assert b.dist_ppm <= a.dist_ppm
+
+
+def test_power_iteration_output_is_unit_norm(spark, sf_dir):
+    rows = REGISTRY["embedding_power_iteration"].fn(spark, sf_dir).collect()
+    assert len(rows) == 64
+    norm2 = sum((r.loading_ppm / 1e6) ** 2 for r in rows)
+    assert abs(norm2 - 1.0) < 1e-3, f"loadings should be ~unit norm, got {norm2}"
+
+
+def test_bpe_rounds_vocab_and_counts_sane(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["bpe_merge_rounds"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.merge_round,
+    )
+    assert [r.merge_round for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert r.merged == r.pair_a + r.pair_b
+        assert r.pair_count >= 1
+    # each merge adds exactly one (new) symbol unless it eliminated all
+    # occurrences of an old one; vocab can never grow by more than 1
+    for a, b in zip(rows, rows[1:]):
+        assert b.vocab_after <= a.vocab_after + 1
+    # the argmax pair count can never increase round-over-round more
+    # than... (not monotone in general) — but it must stay positive
+    assert all(r.pair_count > 0 for r in rows)
+
+
+def test_backlog_never_negative_and_closes_out(spark, sf_dir):
+    rows = REGISTRY["orders_open_backlog_daily"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.open_orders >= 0
+        assert r.opened >= 0 and r.closed >= 0
+    assert rows[-1].open_orders == 0, "all orders eventually close"
+    assert sum(r.opened for r in rows) == sum(r.closed for r in rows)
