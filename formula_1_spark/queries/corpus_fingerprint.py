@@ -470,3 +470,104 @@ def event_attribution_first_last(
         )
         .orderBy("first_touch", "last_touch")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty / saturation curve (round 7)
+# ---------------------------------------------------------------------------
+
+_NOV_K = 8  # gram width (same as the span family)
+_NOV_TILES = 10
+
+
+@register(
+    "corpus_novelty_curve",
+    ops="EXT-corpus-growth,A1,W2 (marginal-data saturation curve)",
+    doc="How much NEW content does each marginal slice of the corpus "
+    "add? Docs are bucketed into 10 ingestion deciles (exact two-phase "
+    "NTILE over doc_id — the ingestion-order proxy), every distinct "
+    "8-gram is attributed to its FIRST document (min doc_id), and each "
+    "decile reports its distinct grams vs first-occurrence grams as "
+    "novelty ppm. The declining curve is THE saturation signal a "
+    "data-acquisition decision reads (keep crawling this source?). "
+    "Gram attribution is one min-aggregate on the 60-bit hash; nothing "
+    "pairwise.",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+pos AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(
+            list_slice(t, i + 1, i + {_NOV_K}), ' ')), 1, 15))::BIGINT AS g
+  FROM toks, unnest(range(0, greatest(len(t) - {_NOV_K - 1}, 0))) u(i)
+),
+first AS (SELECT g, MIN(doc_id) AS first_doc FROM pos GROUP BY g),
+per_doc AS (
+  SELECT p.doc_id,
+         CAST(COUNT(1) AS BIGINT) AS grams,
+         CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS novel
+  FROM pos p JOIN first f USING (g)
+  GROUP BY p.doc_id
+),
+tiled AS (
+  SELECT CAST(NTILE({_NOV_TILES}) OVER (ORDER BY doc_id) AS INT) AS decile,
+         grams, novel
+  FROM per_doc
+)
+SELECT decile,
+       CAST(COUNT(1) AS BIGINT) AS docs,
+       CAST(SUM(grams) AS BIGINT) AS grams_total,
+       CAST(SUM(novel) AS BIGINT) AS grams_novel,
+       CAST(SUM(novel) * 1000000 // SUM(grams) AS BIGINT) AS novelty_ppm
+FROM tiled
+GROUP BY decile
+ORDER BY decile
+""",
+)
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.dedup import positional_gram_postings
+    from formula_1_spark.operators.windows import global_ntile_two_phase
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        positional_gram_postings(docs, _NOV_K)
+        .select("doc_id", "g")
+        .distinct()
+    )
+    first = pos.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        pos.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("novel"),
+        )
+    )
+    tiled = global_ntile_two_phase(
+        per_doc, [F.asc("doc_id")], _NOV_TILES, alias="decile"
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("grams").cast("bigint").alias("grams_total"),
+            F.sum("novel").cast("bigint").alias("grams_novel"),
+            F.expr(
+                "cast(sum(novel) * 1000000 div sum(grams) as bigint)"
+            ).alias("novelty_ppm"),
+        )
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("docs").cast("bigint").alias("docs"),
+            "grams_total",
+            "grams_novel",
+            "novelty_ppm",
+        )
+        .orderBy("decile")
+    )

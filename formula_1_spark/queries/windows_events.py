@@ -649,3 +649,73 @@ def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / stickiness (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dau_wau_stickiness",
+    ops="EXT-product-analytics,A1 (bounded-fanout sliding distinct)",
+    doc="DAU / trailing-7-day WAU / stickiness per day WITHOUT a "
+    "sliding COUNT DISTINCT window (whose state at 100 TB is a per-day "
+    "user set): each distinct (user, active-day) row fans out to the "
+    "<= 7 window-end days it covers, and WAU is a plain distinct count "
+    "per end day — constant 7x fan-out on the user-day rollup (already "
+    "tiny vs raw events), zero window state. Stickiness = DAU/WAU ppm, "
+    "reported for observed days only.",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+dau AS (SELECT day, CAST(COUNT(1) AS BIGINT) AS dau FROM ud GROUP BY day),
+cover AS (
+  SELECT DISTINCT ud.user_id, ud.day + CAST(o.o AS INTEGER) AS wday
+  FROM ud, unnest(range(0, 7)) o(o)
+),
+wau AS (
+  SELECT c.wday AS day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+  FROM cover c JOIN dau d ON d.day = c.wday
+  GROUP BY c.wday
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+       CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stickiness_ppm
+FROM dau d JOIN wau w USING (day)
+ORDER BY day
+""",
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda o: F.date_add(F.col("day"), o.cast("int")),
+            )
+        ).alias("wday"),
+    ).distinct()
+    wau = (
+        cover.join(dau.select(F.col("day").alias("wday")), "wday")
+        .groupBy("wday")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+        .select(F.col("wday").alias("day"), "wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.expr("cast(dau * 1000000 div wau as bigint)").alias(
+                "stickiness_ppm"
+            ),
+        )
+        .orderBy("day")
+    )
