@@ -1205,3 +1205,75 @@ def multiprobe_recall_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit(True, "lsh_multiprobe"))
         .orderBy("method", "query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ recall audit (round 7) — completes the ANN recall matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pq_recall_audit",
+    ops="EXT-sim-recall-audit,A3 (PQ-ADC recall@10 vs exact)",
+    doc="Recall@10 for the product-quantization ADC path against the "
+    "exact brute-force top-10 — the third column of the ANN recall "
+    "matrix (ann_recall_audit covers LSH and IVF): per query, the "
+    "PQ top-10 intersection with ground truth and recall ppm. What it "
+    "measures operationally: how much the m=4 x 8-code compression "
+    "(16 bytes/vector) costs in answer quality before any re-rank "
+    "budget changes.",
+    oracle=f"""
+WITH pq_res AS (
+  SELECT query_id, neighbor_id FROM ({_pq_oracle()}) pz
+),
+{_GT_CTES},
+hits AS (
+  SELECT query_id, COUNT(1) AS hits
+  FROM (SELECT * FROM pq_res INTERSECT SELECT * FROM gt) ph
+  GROUP BY query_id
+),
+qids AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10)
+SELECT 'pq' AS method, qi.query_id,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits_top10,
+       CAST(COALESCE(h.hits, 0) * 1000000 // {_RECALL_K} AS BIGINT)
+         AS recall_ppm
+FROM qids qi LEFT JOIN hits h USING (query_id)
+ORDER BY query_id
+""",
+)
+def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    gt = brute_force_topk(emb, q, k=_RECALL_K).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=False)
+    res = pq_topk(
+        emb,
+        q,
+        k=_RECALL_K,
+        m=_PQ_M,
+        n_codes=_PQ_CODES,
+        learn_iters=_PQ_ITERS,
+        n_candidates=_PQ_CAND,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        res.join(gt, ["query_id", "neighbor_id"], "leftsemi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    qids = q.select(F.col("vec_id").alias("query_id"))
+    return (
+        qids.join(hits, "query_id", "left")
+        .select(
+            F.lit("pq").alias("method"),
+            "query_id",
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits_top10"),
+            F.expr(
+                f"cast((coalesce(hits, 0) * 1000000) div {_RECALL_K}"
+                " as bigint)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
