@@ -247,3 +247,157 @@ def trade_reach_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         register=True,
     )
     return spark.sql(_REACH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# k-core membership by unrolled peeling (round 7)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 10
+_KCORE_PEELS = 4
+
+_KCORE_EDGE_CTES = """
+trade AS (
+  SELECT LEAST(c.c_nationkey, s.s_nationkey) AS a,
+         GREATEST(c.c_nationkey, s.s_nationkey) AS b,
+         CAST(COUNT(1) AS BIGINT) AS n
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+),
+med AS (SELECT quantile_cont(n, 0.5) AS m FROM trade),
+e0 AS MATERIALIZED (SELECT a, b FROM trade, med WHERE n > m)"""
+
+
+def _kcore_oracle(k: int = _KCORE_K, peels: int = _KCORE_PEELS) -> str:
+    parts = [_KCORE_EDGE_CTES]
+    parts.append("""d0 AS MATERIALIZED (
+  SELECT node, CAST(COUNT(1) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) u GROUP BY node
+)""")
+    for t in range(1, peels + 1):
+        parts.append(
+            f"alive{t} AS (SELECT node FROM d{t - 1} WHERE degree >= {k})"
+        )
+        parts.append(f"""e{t} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e0 e
+  JOIN alive{t} x ON x.node = e.a
+  JOIN alive{t} y ON y.node = e.b
+)""")
+        parts.append(f"""d{t} AS MATERIALIZED (
+  SELECT node, CAST(COUNT(1) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM e{t} UNION ALL SELECT b FROM e{t}) u GROUP BY node
+)""")
+    parts.append(f"""core AS (SELECT node FROM d{peels} WHERE degree >= {k}),
+conv AS (
+  SELECT (SELECT COUNT(1) FROM core)
+       = (SELECT COUNT(1) FROM d{peels - 1} WHERE degree >= {k}) AS converged
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT d.node, d.degree AS degree0,
+       c.node IS NOT NULL AS in_core,
+       (SELECT converged FROM conv) AS converged
+FROM d0 d LEFT JOIN core c ON c.node = d.node
+ORDER BY d.node
+"""
+    )
+
+
+@register(
+    "trade_kcore_membership",
+    ops="EXT-graph-kcore,A1,J-semi (iterative peeling, unrolled)",
+    doc=f"k-core decomposition of the median-thresholded nation trade "
+    f"graph (edges above the median weight — a scale-invariant "
+    f"sparsifier) by {_KCORE_PEELS} unrolled peeling rounds: each round "
+    f"recomputes degrees and drops nodes under k={_KCORE_K}, "
+    "declaratively (semi-joins on the alive set — no driver loop). "
+    "Emits every node's initial degree, core membership, and whether "
+    "the peel CONVERGED by the last round (the honest fixpoint flag: "
+    "on a graph where 4 rounds don't reach fixpoint the flag reads "
+    "false rather than silently reporting a non-core). Degrees are "
+    "domain-bounded (<= 25 nations); the only corpus-scale work is the "
+    "one trade aggregate.",
+    oracle=_kcore_oracle(),
+)
+def trade_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    trade = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    med = trade.agg(F.expr("percentile(n, 0.5)").alias("m"))
+    e0 = (
+        trade.join(F.broadcast(med))
+        .filter(F.col("n") > F.col("m"))
+        .select("a", "b")
+        # EAGER: ~300 rows, but ~10 downstream subtrees (alive broadcasts,
+        # per-peel degrees, the convergence scalars) each replan from it —
+        # lazy materialization lets every subtree re-run the corpus join
+        .localCheckpoint(eager=True)
+    )
+
+    def degrees(e):
+        return (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        )
+
+    d0 = degrees(e0)
+    d_prev, e_prev = d0, e0
+    alive_prev_count = None
+    for _ in range(_KCORE_PEELS):
+        # EAGER checkpoint of the <= 25-row alive set each round: without
+        # it every peel's plan embeds the previous peel's full lineage
+        # THREE times (e_prev + two alive broadcasts), and planning time
+        # grows exponentially with peel count (measured 12s at peel 3)
+        alive = (
+            d_prev.filter(F.col("degree") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        e_cur = e_prev.join(
+            F.broadcast(alive.select(F.col("node").alias("a"))), "a"
+        ).join(F.broadcast(alive.select(F.col("node").alias("b"))), "b")
+        d_prev, e_prev = degrees(e_cur), e_cur
+        alive_prev_count = alive
+    core = d_prev.filter(F.col("degree") >= _KCORE_K).select("node")
+    conv = (
+        core.agg(F.count(F.lit(1)).alias("c_final"))
+        .join(
+            F.broadcast(
+                alive_prev_count.agg(F.count(F.lit(1)).alias("c_prev"))
+            )
+        )
+        .select((F.col("c_final") == F.col("c_prev")).alias("converged"))
+    )
+    return (
+        d0.join(
+            core.withColumn("in_core_f", F.lit(1)), "node", "left"
+        )
+        .join(F.broadcast(conv))
+        .select(
+            "node",
+            F.col("degree").alias("degree0"),
+            F.col("in_core_f").isNotNull().alias("in_core"),
+            "converged",
+        )
+        .orderBy("node")
+    )

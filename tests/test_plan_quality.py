@@ -82,6 +82,7 @@ BNLJ_OK = {
     "kcenter_greedy_seeding",  # 1-row seed-vector broadcasts x3
     "bpe_merge_rounds",  # 1-row top-pair + 1-row vocab broadcasts x3
     "source_token_tv_drift",  # 1-row corpus-total + Q-total broadcasts
+    "trade_kcore_membership",  # 1-row median + convergence-flag broadcasts
 }
 
 
