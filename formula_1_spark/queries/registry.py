@@ -59,6 +59,19 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 # r03) as a regression watch. New round-7+ queries register BEHIND this
 # pinned window. Names absent from REGISTRY are skipped; registered names
 # absent from this list keep registration order after it.
+#
+# ROUND-8 ROTATION TODO: the 24 round-7 additions have never been in a
+# driver window — pin them first next round: line_dedup_hot_lines,
+# line_dedup_excision, line_source_reuse_matrix, cdc_chunk_dedup,
+# quality_threshold_sweep, lsh_band_occupancy, ivf_cell_balance,
+# embedding_power_iteration, similarity_ann_multiprobe,
+# basket_brand_affinity, line_dedup_incremental, dedup_cross_source_rate,
+# embedding_norm_outliers, kcenter_greedy_seeding, bpe_merge_rounds,
+# orders_open_backlog_daily, events_rate_limit_audit,
+# multiprobe_recall_gain, source_token_tv_drift, hot_line_position_profile,
+# corpus_novelty_curve, events_dau_wau_stickiness, pq_recall_audit,
+# trade_kcore_membership. The remaining 26 slots: stalest greens (the
+# rest of the r03 cohort — see CORRECTNESS_r03.json).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never driver-checked (all 21 round-6 additions) ---
     "dedup_span_extents",
