@@ -973,3 +973,71 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl concentration index (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "segment_hhi_concentration",
+    ops="EXT-concentration-hhi,A1 (exact integer market concentration)",
+    doc="Herfindahl-Hirschman concentration of order revenue per market "
+    "segment: per customer the integer-cents revenue, per segment "
+    "HHI = sum(share^2) in ppm computed from exact decimal(38,0) "
+    "sufficient statistics (sum of squared cents over squared total — "
+    "no per-customer float shares anywhere), plus the top customer's "
+    "share. 10000 ppm = the US-antitrust 'highly concentrated' line "
+    "scaled; near 1e6/n = perfectly even. Two map-side-combined "
+    "aggregates; nothing joins at customer grain.",
+    oracle="""
+WITH rev AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+)
+SELECT segment,
+       CAST(COUNT(1) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(MAX(cents) * 1000000 // SUM(cents) AS BIGINT)
+         AS top_customer_share_ppm,
+       CAST(SUM(cents::HUGEINT * cents) * 1000000
+            // (SUM(cents)::HUGEINT * SUM(cents)) AS BIGINT) AS hhi_ppm
+FROM rev
+GROUP BY segment
+ORDER BY segment
+""",
+)
+def segment_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    return (
+        rev.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.expr(
+                "cast(max(cents) * 1000000 div sum(cents) as bigint)"
+            ).alias("top_customer_share_ppm"),
+            F.expr(
+                "cast(sum(cast(cents as decimal(38,0)) * cents) * 1000000"
+                " div (cast(sum(cents) as decimal(38,0)) * sum(cents))"
+                " as bigint)"
+            ).alias("hhi_ppm"),
+        )
+        .orderBy("segment")
+    )

@@ -70,7 +70,8 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 # orders_open_backlog_daily, events_rate_limit_audit,
 # multiprobe_recall_gain, source_token_tv_drift, hot_line_position_profile,
 # corpus_novelty_curve, events_dau_wau_stickiness, pq_recall_audit,
-# trade_kcore_membership. The remaining 26 slots: stalest greens (the
+# trade_kcore_membership, segment_hhi_concentration (25 total). The
+# remaining 25 slots: stalest greens (the
 # rest of the r03 cohort — see CORRECTNESS_r03.json).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never driver-checked (all 21 round-6 additions) ---
