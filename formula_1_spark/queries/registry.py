@@ -60,7 +60,7 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 # pinned window. Names absent from REGISTRY are skipped; registered names
 # absent from this list keep registration order after it.
 #
-# ROUND-8 ROTATION TODO: the 24 round-7 additions have never been in a
+# ROUND-8 ROTATION TODO: the 25 round-7 additions have never been in a
 # driver window — pin them first next round: line_dedup_hot_lines,
 # line_dedup_excision, line_source_reuse_matrix, cdc_chunk_dedup,
 # quality_threshold_sweep, lsh_band_occupancy, ivf_cell_balance,
