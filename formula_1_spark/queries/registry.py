@@ -49,84 +49,79 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 
 
 # The correctness driver snapshots the FIRST 50 registry entries in
-# iteration order each round. Round 7 pins the full 50-slot window
-# explicitly: the 21 round-6 additions — the only queries that have never
-# had a driver CORRECTNESS row (they registered behind the round-6 window
-# per the growth protocol; all are locally bit-exact via
-# tests/test_oracle_parity.py) — come first. A green r07 makes cumulative
-# driver coverage 224/224 on the pre-round-7 registry. The remaining 29
-# slots re-check the STALEST greens (6 last green in r02, 23 last green in
-# r03) as a regression watch. New round-7+ queries register BEHIND this
-# pinned window. Names absent from REGISTRY are skipped; registered names
-# absent from this list keep registration order after it.
+# iteration order each round. Round 8 pins the 25 round-7 additions first —
+# the only queries without a driver CORRECTNESS row (registered behind the
+# round-7 window per the growth protocol; all locally bit-exact via
+# tests/test_oracle_parity.py). A green r08 closes cumulative driver
+# coverage at 249/249 for the pre-round-8 registry. The remaining 25 slots
+# re-check the STALEST greens: the rest of the r03 cohort (27 names last
+# green in CORRECTNESS_r03; the list carries all 27, the driver takes the
+# first 25, the trailing 2 lead the round-9 window automatically). New
+# round-8+ queries register BEHIND this pinned window. Names absent from
+# REGISTRY are skipped; registered names absent from this list keep
+# registration order after it.
 #
-# ROUND-8 ROTATION TODO: the 25 round-7 additions have never been in a
-# driver window — pin them first next round: line_dedup_hot_lines,
-# line_dedup_excision, line_source_reuse_matrix, cdc_chunk_dedup,
-# quality_threshold_sweep, lsh_band_occupancy, ivf_cell_balance,
-# embedding_power_iteration, similarity_ann_multiprobe,
-# basket_brand_affinity, line_dedup_incremental, dedup_cross_source_rate,
-# embedding_norm_outliers, kcenter_greedy_seeding, bpe_merge_rounds,
-# orders_open_backlog_daily, events_rate_limit_audit,
-# multiprobe_recall_gain, source_token_tv_drift, hot_line_position_profile,
-# corpus_novelty_curve, events_dau_wau_stickiness, pq_recall_audit,
-# trade_kcore_membership, segment_hhi_concentration (25 total). The
-# remaining 25 slots: stalest greens (the
-# rest of the r03 cohort — see CORRECTNESS_r03.json).
+# ROUND-9 ROTATION TODO: pin any round-8 additions first, then the 2
+# r03-cohort names that overflow this window (orders_zorder_pruned_scan,
+# quality_quantile_filter), then the stalest r04 greens
+# (see CORRECTNESS_r04.json).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (all 21 round-6 additions) ---
-    "dedup_span_extents",
-    "doc_dup_span_coverage",
-    "decontam_span_overlap",
-    "span_excision_plan",
-    "shard_packing_plan",
-    "ann_recall_audit",
-    "trade_reach_recursive_sql",
-    "gopher_quality_gate",
-    "class_balance_reweighting",
-    "media_phash_near_dup",
-    "pq_distortion_audit",
-    "bitext_margin_mining",
-    "orders_pipe_syntax_report",
-    "surprisal_quality_correlation",
-    "dedup_threshold_sweep",
-    "segment_collated_rollup",
-    "events_purchase_attribution_outer",
-    "events_lttb_downsample",
-    "dedup_cluster_density",
-    "embedding_corr_pairs",
-    "dedup_pipeline_funnel",
-    # --- regression re-checks: stalest driver greens (last green r02) ---
-    "approx_distinct_sketch",
-    "approx_quantile_sketch",
-    "cohort_retention_matrix",
-    "hll_mergeable_rollup",
-    "lineitem_unpivot_metrics",
-    "referential_integrity_audit",
-    # --- regression re-checks: next-stalest (last green r03) ---
-    "array_functions_battery",
-    "benchmark_decontamination",
-    "bucketed_colocated_join",
-    "cdc_stream_merge_orders",
-    "cogroup_order_reconciliation",
-    "corpus_mixture_plan",
-    "corpus_ngram_stats",
-    "crossdoc_ngram_spans",
-    "customers_semi_anti",
-    "data_quality_expectations",
-    "dataset_hash_split",
-    "date_arithmetic_battery",
-    "dedup_embedding_cosine_scaled",
-    "doc_chunking",
-    "doc_rarity_filter",
-    "entity_resolution_fuzzy",
-    "events_from_json_typed",
-    "events_variant_extract",
-    "heavy_hitters_topk",
-    "lateral_top_orders",
-    "lineitem_rollup",
-    "matview_incremental_orders",
-    "nation_trade_shortest_path",
+    # --- never driver-checked (all 25 round-7 additions) ---
+    "line_dedup_hot_lines",
+    "line_dedup_excision",
+    "line_source_reuse_matrix",
+    "cdc_chunk_dedup",
+    "quality_threshold_sweep",
+    "lsh_band_occupancy",
+    "ivf_cell_balance",
+    "embedding_power_iteration",
+    "similarity_ann_multiprobe",
+    "basket_brand_affinity",
+    "line_dedup_incremental",
+    "dedup_cross_source_rate",
+    "embedding_norm_outliers",
+    "kcenter_greedy_seeding",
+    "bpe_merge_rounds",
+    "orders_open_backlog_daily",
+    "events_rate_limit_audit",
+    "multiprobe_recall_gain",
+    "source_token_tv_drift",
+    "hot_line_position_profile",
+    "corpus_novelty_curve",
+    "events_dau_wau_stickiness",
+    "pq_recall_audit",
+    "trade_kcore_membership",
+    "segment_hhi_concentration",
+    # --- regression re-checks: stalest driver greens (rest of the r03
+    # cohort, last green in CORRECTNESS_r03; 27 names, first 25 fit) ---
+    "tpch_q12_late_shipment_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_relationship",
+    "tpch_q20_promotion_supplier",
+    "skew_salted_join",
+    "string_functions_battery",
+    "window_frames_battery",
+    "text_scrub_pii",
+    "training_data_funnel",
+    "training_epoch_shuffle",
+    "sample_stratified_by_lang",
+    "sample_fixed_per_source",
+    "sequence_packing",
+    "repetition_profile",
+    "orders_time_travel_diff",
+    "sample_weighted_priority",
+    "orders_grouping_sets",
+    "part_hierarchy_rollup",
+    "paged_api_source_ingest",
+    # --- window overflow: lead the round-9 window ---
+    "orders_zorder_pruned_scan",
+    "quality_quantile_filter",
 )
 
 
