@@ -602,6 +602,36 @@ def ivf_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    return rerank_exact_topk(cand, qv, cv, k)
+
+
+def hamming1_probe_keys() -> Column:
+    """Multi-probe key array for one band: the exact ``band_key`` plus
+    every Hamming-1 perturbation (flip one of the band's hyperplane
+    bits) — (1 + BAND_BITS) keys total. The single shared definition of
+    the probe fan-out; drift here would silently desynchronize
+    :func:`multiprobe_lsh_topk` from the recall audit if the banding
+    layout ever changes."""
+    return F.array(
+        F.col("band_key"),
+        *[F.col("band_key").bitwiseXOR(F.lit(1 << i)) for i in range(BAND_BITS)],
+    )
+
+
+def expand_multiprobe(qb: DataFrame, id_col: str) -> DataFrame:
+    """Explode a query-side band relation into its multi-probe keys:
+    one (id, band_id, band_key) row per probe bucket."""
+    return qb.select(id_col, "band_id", F.explode(hamming1_probe_keys()).alias("band_key"))
+
+
+def rerank_exact_topk(
+    cand: DataFrame, qv: DataFrame, cv: DataFrame, k: int
+) -> DataFrame:
+    """Shared exact-cosine re-rank tail over an id-pair candidate set:
+    rejoin vectors from the (small, broadcast) query base and the corpus
+    base, score, keep the per-query top-``k`` (ties to min neighbor id).
+    Used by every bucketed ANN variant (LSH single/multi-probe, IVF) —
+    the candidate GENERATION differs per index; the re-rank never does."""
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         cand.join(F.broadcast(qv), "query_id")
@@ -631,15 +661,7 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return rerank_exact_topk(cand, qv, cv, k)
 
 
 def multiprobe_lsh_topk(
@@ -647,26 +669,18 @@ def multiprobe_lsh_topk(
 ) -> DataFrame:
     """Multi-probe LSH top-k (Lv et al. 2007, VLDB): each query probes
     its exact band bucket PLUS every Hamming-1 perturbation of the band
-    key (flip one of the band's hyperplane bits) — the perturbed buckets
-    are where near neighbors that landed just across a hyperplane live.
-    Recall rises toward brute force without adding hash tables; the
-    probe fan-out is (1 + BAND_BITS) keys per (query, band), query-side
-    only, so the corpus-side index cost is IDENTICAL to single-probe
+    key (:func:`hamming1_probe_keys`) — the perturbed buckets are where
+    near neighbors that landed just across a hyperplane live. Recall
+    rises toward brute force without adding hash tables; the probe
+    fan-out is (1 + BAND_BITS) keys per (query, band), query-side only,
+    so the corpus-side index cost is IDENTICAL to single-probe
     :func:`lsh_topk` — the right trade at 100 TB, where corpus band rows
     dominate storage and the query side is the small relation. Same
     deterministic md5 hyperplanes -> exactly oracle-checkable."""
     qv = _vec_base(queries, "query_id", "q_vec")
     cv = _vec_base(corpus, "neighbor_id", "c_vec")
-    qb = _with_bands(qv, "query_id", "q_vec", dims)
-    probe_keys = F.array(
-        F.col("band_key"),
-        *[
-            F.col("band_key").bitwiseXOR(F.lit(1 << i))
-            for i in range(BAND_BITS)
-        ],
-    )
-    probes = qb.select(
-        "query_id", "band_id", F.explode(probe_keys).alias("band_key")
+    probes = expand_multiprobe(
+        _with_bands(qv, "query_id", "q_vec", dims), "query_id"
     )
     cand = (
         F.broadcast(probes)
@@ -678,15 +692,7 @@ def multiprobe_lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return rerank_exact_topk(cand, qv, cv, k)
 
 
 def pq_subspace_model(

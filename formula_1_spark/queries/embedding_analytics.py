@@ -757,7 +757,16 @@ def kcenter_greedy_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     for t in range(1, _KC_SEEDS):
-        st = cur.orderBy(F.desc("dmin"), F.asc("vec_id")).limit(1)
+        # Checkpoint the 1-row pick: without it cur_t embeds cur_{t-1}
+        # TWICE (directly + inside this limit(1) subtree) and the plan
+        # doubles per round — the same replanning blowup the k-core
+        # peeler hit (graph_rank.py). Lazy (GC-freed) is enough: the
+        # single materialization at action time already cuts the lineage.
+        st = (
+            cur.orderBy(F.desc("dmin"), F.asc("vec_id"))
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
         picks.append(
             st.select(
                 F.lit(t).alias("seed_round"),

@@ -61,10 +61,13 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 # REGISTRY are skipped; registered names absent from this list keep
 # registration order after it.
 #
-# ROUND-9 ROTATION TODO: pin any round-8 additions first, then the 2
-# r03-cohort names that overflow this window (orders_zorder_pruned_scan,
-# quality_quantile_filter), then the stalest r04 greens
-# (see CORRECTNESS_r04.json).
+# ROUND-9 ROTATION TODO: pin the round-8 additions first
+# (ivf_nprobe_recall_curve, exactsubstr_dup50_profile,
+# exactsubstr_excision50, suffix_lrs_pow2, exactsubstr_threshold_curve,
+# exactsubstr_decontam50 — registered behind this window per the growth
+# protocol), then the 2 r03-cohort names that overflow this window
+# (orders_zorder_pruned_scan, quality_quantile_filter), then the stalest
+# r04 greens (see CORRECTNESS_r04.json).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never driver-checked (all 25 round-7 additions) ---
     "line_dedup_hot_lines",
@@ -174,6 +177,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.audit_metrics",
         "formula_1_spark.queries.span_extents",
         "formula_1_spark.queries.line_dedup",
+        "formula_1_spark.queries.suffix_doubling",
     ):
         try:
             __import__(mod)

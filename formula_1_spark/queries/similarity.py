@@ -1127,11 +1127,11 @@ ORDER BY m.method, qi.query_id
 )
 def multiprobe_recall_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula_1_spark.operators.similarity import (
-        BAND_BITS as _BB,
         _vec_base,
         _with_bands,
+        expand_multiprobe,
+        rerank_exact_topk,
     )
-    from formula_1_spark.functions.vectors import cosine as _cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
@@ -1146,16 +1146,9 @@ def multiprobe_recall_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     def audit(multi: bool, method: str) -> DataFrame:
         qb = _with_bands(qv, "query_id", "q_vec", 64)
         if multi:
-            keys = F.array(
-                F.col("band_key"),
-                *[
-                    F.col("band_key").bitwiseXOR(F.lit(1 << i))
-                    for i in range(_BB)
-                ],
-            )
-            qb = qb.select(
-                "query_id", "band_id", F.explode(keys).alias("band_key")
-            )
+            # The SAME probe fan-out multiprobe_lsh_topk uses — shared
+            # helper, so the audit can never drift from the operator.
+            qb = expand_multiprobe(qb, "query_id")
         cand = (
             F.broadcast(qb)
             .join(cb, ["band_id", "band_key"])
@@ -1167,16 +1160,8 @@ def multiprobe_recall_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ncand = cand.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("n_candidates")
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("cos"), F.asc("neighbor_id")
-        )
-        res = (
-            cand.join(F.broadcast(qv), "query_id")
-            .join(cv, "neighbor_id")
-            .withColumn("cos", _cosine(F.col("q_vec"), F.col("c_vec")))
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= _RECALL_K)
-            .select("query_id", "neighbor_id")
+        res = rerank_exact_topk(cand, qv, cv, _RECALL_K).select(
+            "query_id", "neighbor_id"
         )
         hits = (
             res.join(gt, ["query_id", "neighbor_id"], "leftsemi")
@@ -1276,4 +1261,196 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
         .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF n_probe recall curve (round 8) — the IVF analog of
+# multiprobe_recall_gain, completing the recall-vs-candidate-budget matrix
+# ---------------------------------------------------------------------------
+
+_NPROBE_SWEEP = (1, 2, 4, 8)
+
+
+@register(
+    "ivf_nprobe_recall_curve",
+    ops="EXT-sim-ivf-sweep,A3,W1,J-semi (recall vs candidate budget)",
+    doc="Recall@10 vs candidate budget as IVF n_probe sweeps 1/2/4/8 over "
+    "the 8 learned cells — the knob-tuning curve an IVF deployment reads "
+    "before fixing its latency/recall point (the IVF analog of "
+    "multiprobe_recall_gain's LSH curve). ONE pass: corpus cells are "
+    "assigned once, query cells ranked once to max(n_probe), each "
+    "(query, neighbor) candidate pair is scored by exact cosine ONCE and "
+    "tagged with the minimum probe rank that discovers it; the 4 sweep "
+    "points are then a constant fan-out over the scored pairs, never 4 "
+    "re-scans — at 100 TB the corpus is touched once regardless of how "
+    "many sweep points the curve has. Deterministic k-means + tiebreaks "
+    "=> exactly oracle-checkable.",
+    oracle=f"""
+WITH {_kmeans_ctes(n_cells=8, iters=2)},
+{_GT_CTES},
+nc_scored AS (
+  SELECT e.vec_id AS neighbor_id, c.cell_id,
+         {_COS.format(a="e.embedding", b="c.cent")} AS cell_cos
+  FROM embeddings e, centroids c
+),
+nc_cells AS (
+  SELECT neighbor_id, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY neighbor_id ORDER BY cell_cos DESC, cell_id ASC) AS r
+    FROM nc_scored) nr WHERE r <= 1
+),
+qc_scored AS (
+  SELECT e.vec_id AS query_id, c.cell_id,
+         {_COS.format(a="e.embedding", b="c.cent")} AS cell_cos
+  FROM embeddings e, centroids c
+  WHERE e.vec_id < 10
+),
+qc_cells AS (
+  SELECT query_id, cell_id, CAST(r AS BIGINT) AS cell_rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cell_cos DESC, cell_id ASC) AS r
+    FROM qc_scored) qr WHERE r <= {max(_NPROBE_SWEEP)}
+),
+pair0 AS (
+  SELECT qc.query_id, nc.neighbor_id, MIN(qc.cell_rank) AS mr
+  FROM qc_cells qc JOIN nc_cells nc USING (cell_id)
+  WHERE qc.query_id <> nc.neighbor_id
+  GROUP BY qc.query_id, nc.neighbor_id
+),
+pairs AS (
+  SELECT p.query_id, p.neighbor_id, p.mr,
+         {_COS.format(a="q.embedding", b="c.embedding")} AS cos
+  FROM pair0 p
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings c ON c.vec_id = p.neighbor_id
+),
+probes AS (SELECT CAST(unnest([{", ".join(str(p) for p in _NPROBE_SWEEP)}]) AS BIGINT) AS n_probe),
+pp AS (
+  SELECT pr.n_probe, p.query_id, p.neighbor_id, p.cos
+  FROM probes pr JOIN pairs p ON p.mr <= pr.n_probe
+),
+res AS (
+  SELECT n_probe, query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY n_probe, query_id ORDER BY cos DESC, neighbor_id ASC) AS r
+    FROM pp) rr WHERE r <= {_RECALL_K}
+),
+ncand AS (
+  SELECT n_probe, query_id, COUNT(1) AS n_candidates
+  FROM pp GROUP BY n_probe, query_id
+),
+hits AS (
+  SELECT n_probe, query_id, COUNT(1) AS hits
+  FROM res r JOIN gt g USING (query_id, neighbor_id)
+  GROUP BY n_probe, query_id
+),
+qids AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10)
+SELECT pr.n_probe, qi.query_id,
+       CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits_top10,
+       CAST(COALESCE(h.hits, 0) * 1000000 // {_RECALL_K} AS BIGINT)
+         AS recall_ppm
+FROM probes pr CROSS JOIN qids qi
+LEFT JOIN ncand nc ON nc.n_probe = pr.n_probe AND nc.query_id = qi.query_id
+LEFT JOIN hits h ON h.n_probe = pr.n_probe AND h.query_id = qi.query_id
+ORDER BY pr.n_probe, qi.query_id
+""",
+)
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.functions.vectors import cosine as _cosine
+    from formula_1_spark.operators.similarity import (
+        _vec_base,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    gt = (
+        brute_force_topk(emb, q, k=_RECALL_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    centroids = kmeans_centroids(emb, n_cells=8, iters=2).localCheckpoint(
+        eager=False
+    )
+    qv = _vec_base(q, "query_id", "q_vec")
+    cv = _vec_base(emb, "neighbor_id", "c_vec")
+
+    def assign(base, id_alias, vec_alias, top):
+        scored = base.join(F.broadcast(centroids), F.lit(True)).withColumn(
+            "cell_cos", _cosine(F.col(vec_alias), F.col("cent"))
+        )
+        w = Window.partitionBy(id_alias).orderBy(
+            F.desc("cell_cos"), F.asc("cell_id")
+        )
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= top)
+            .select(id_alias, "cell_id", F.col("r").cast("bigint").alias("cell_rank"))
+        )
+
+    # Every pair scored exactly once, tagged with the cheapest probe
+    # budget that discovers it; sweep points fan out from this relation.
+    pair0 = (
+        assign(qv, "query_id", "q_vec", max(_NPROBE_SWEEP))
+        .join(
+            assign(cv, "neighbor_id", "c_vec", 1).drop("cell_rank"),
+            "cell_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("cell_rank").alias("mr"))
+    )
+    pairs = (
+        pair0.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "mr",
+            _cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+        .localCheckpoint(eager=False)  # shared by all 4 sweep points
+    )
+    probes = F.array(*[F.lit(p).cast("bigint") for p in _NPROBE_SWEEP])
+    pp = pairs.select(
+        F.explode(probes).alias("n_probe"), "query_id", "neighbor_id", "cos", "mr"
+    ).filter(F.col("mr") <= F.col("n_probe"))
+    w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    res = (
+        pp.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _RECALL_K)
+        .select("n_probe", "query_id", "neighbor_id")
+    )
+    ncand = pp.groupBy("n_probe", "query_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    hits = (
+        res.join(gt, ["query_id", "neighbor_id"], "leftsemi")
+        .groupBy("n_probe", "query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    grid = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(probes).alias("n_probe"),
+    )
+    return (
+        grid.join(ncand, ["n_probe", "query_id"], "left")
+        .join(hits, ["n_probe", "query_id"], "left")
+        .select(
+            "n_probe",
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits_top10"),
+            F.expr(
+                f"cast((coalesce(hits, 0) * 1000000) div {_RECALL_K}"
+                " as bigint)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("n_probe", "query_id")
     )

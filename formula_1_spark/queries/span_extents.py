@@ -42,6 +42,8 @@ dedups at whole-row grain only), so parity is oracle-only.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -110,12 +112,25 @@ _SELF_CTES = _SPAN_CTES.format(pred="a.doc_id < bb.doc_id")
 # can share it: df=1 grams add no self-join pairs (a.doc_id < bb.doc_id
 # removes same-doc matches, and a df=1 gram has no cross-doc match), so
 # the self-span results are unchanged vs the old min_df=2 relation.
-_POSTINGS: dict[tuple[str, str], DataFrame] = {}
+_POSTINGS: dict[tuple, DataFrame] = {}
 
 
 def _bucketed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    pos = _POSTINGS.get(key)
+    # Key on (appId, path, mtime, size) — mirroring table_row_count — so a
+    # regenerated documents.parquet invalidates naturally instead of
+    # silently serving stale postings. Entries from other applicationIds
+    # (stopped sessions) are evicted on insert: their checkpointed RDDs
+    # are gone with the old session, so the references are dead weight.
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(path)
+        key = (app_id, os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
+    except OSError:
+        # No local stat (remote FS): no cheap invalidation signal — build
+        # fresh rather than risk stale postings.
+        key = None
+    pos = _POSTINGS.get(key) if key is not None else None
     if pos is None:
         docs = load_table(spark, sf_dir, "documents")
         pos = (
@@ -125,7 +140,10 @@ def _bucketed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("b", split_bucket("doc_id"))
             .localCheckpoint(eager=False)
         )
-        _POSTINGS[key] = pos
+        if key is not None:
+            for stale in [k for k in _POSTINGS if k[0] != app_id]:
+                del _POSTINGS[stale]
+            _POSTINGS[key] = pos
     return pos
 
 

@@ -1,0 +1,587 @@
+"""Suffix-array-grade exact substring dedup via hash doubling (round 8).
+
+The span family (``span_extents.py``) finds maximal shared spans from
+8-gram ANCHORS — exact for spans >= 12 tokens but tied to one gram size.
+This family completes the dedup ladder's last rung with the published
+ExactSubstr semantics of Lee et al. 2022 ("Deduplicating Training Data
+Makes Language Models Better", arXiv:2107.06499): every duplicated
+substring of >= 50 tokens, found on a REUSABLE rank grid rather than a
+fixed-k gram pass.
+
+Construction — distributed hash doubling (the equality-only core of
+prefix-doubling suffix-array construction, Manber–Myers 1990):
+
+* level 1: ``r_1(d, p) = md5_60(token)`` — one row per token position;
+* level 2h: ``r_2h(d, p) = md5_60(r_h(d, p) || ':' || r_h(d, p + h))``,
+  one equi-join per level, defined only where the full 2h-token window
+  fits inside the doc.
+
+``r_h(a) == r_h(b)`` iff the h-token windows are identical (modulo 60-bit
+md5 collisions, the same accepted risk as the gram families — and the
+DuckDB oracle replicates the identical hashing, so parity is exact).
+Levels 1..64 are built with **6 corpus-wide equi-joins total** and shared
+by every query here (memoized per (session, table mtime/size) behind
+GC-freed localCheckpoints, the span-family pattern). An arbitrary window
+length decomposes into a constant number of level lookups by its binary
+expansion: the Lee et al. K=50 key is
+``(r_32(p), r_16(p+32), r_2(p+48))`` — two fixed-offset self-joins.
+
+Scale honesty (100 TB): for ONE fixed K, direct K-gram hashing (the span
+family's ``positional_gram_postings``) is the cheaper plan — O(K) extra
+map-side work and zero extra shuffles, vs O(log K) corpus-wide shuffle
+joins here. Doubling pays when the grid is REUSED: this module answers
+the 50-token ExactSubstr profile, the excision plan, and unbounded-length
+longest-repeat stats off the same 6 joins, exactly the multi-use a suffix
+array buys. Every shuffle is keyed by (doc_id, pos) or a 60-bit hash —
+uniform keys, no skew; window functions are per-(doc) or per-(group)
+grain, never corpus-grain.
+
+Reference parity note: the reference repo has no substring dedup — this
+extends SURVEY.md §2's LLM-pipeline extensions (EXT-dedup-substring).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from formula_1_spark.functions.text import tokens
+from formula_1_spark.operators.dedup import md5_long
+from formula_1_spark.queries.registry import register
+from formula_1_spark.sources.tables import fan_out, load_table
+
+_K = 50  # Lee et al. 2022 ExactSubstr threshold (tokens)
+_LEVELS = (1, 2, 4, 8, 16, 32, 64)
+
+# SQL twin of operators.dedup.md5_long
+_MD5_60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+# ---------------------------------------------------------------------------
+# Shared doubling grid — memoized like span_extents._POSTINGS
+# ---------------------------------------------------------------------------
+
+_GRID: dict[tuple, dict[int, DataFrame]] = {}
+
+
+def _doubling_levels(spark: SparkSession, sf_dir: str) -> dict[int, DataFrame]:
+    """Levels 1..64 of the hash-doubling grid over ``documents``:
+    ``{h: (doc_id, pos, r)}`` with ``r`` the 60-bit fingerprint of the
+    h-token window at ``pos`` (rows exist only where the window fits).
+    Built once per (session, table mtime/size); each level is a lazy
+    GC-freed localCheckpoint so the 3 queries sharing the grid replay
+    none of the join chain and plans stay flat across levels."""
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(path)
+        key = (app_id, os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
+    except OSError:
+        key = None  # no invalidation signal (remote FS) — build fresh
+    levels = _GRID.get(key) if key is not None else None
+    if levels is None:
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        tok = docs.select(
+            "doc_id", F.posexplode(tokens("text")).alias("pos", "tk")
+        )
+        lvl = tok.select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            md5_long(F.col("tk")).alias("r"),
+        )
+        levels = {1: lvl.localCheckpoint(eager=False)}
+        for h in _LEVELS[:-1]:
+            prev = levels[h]
+            shifted = prev.select(
+                "doc_id",
+                (F.col("pos") - h).alias("pos"),
+                F.col("r").alias("r_hi"),
+            )
+            levels[2 * h] = (
+                prev.join(shifted, ["doc_id", "pos"])
+                .select(
+                    "doc_id",
+                    "pos",
+                    md5_long(
+                        F.concat_ws(":", F.col("r"), F.col("r_hi"))
+                    ).alias("r"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        if key is not None:
+            for stale in [k for k in _GRID if k[0] != app_id]:
+                del _GRID[stale]
+            _GRID[key] = levels
+    return levels
+
+
+def _decompose(k: int) -> list[tuple[int, int]]:
+    """Greedy binary decomposition of a window length into grid levels:
+    ``[(level, offset), ...]`` with offsets summing the prefix — e.g.
+    50 -> [(32, 0), (16, 32), (2, 48)]. Any K <= 127 is a constant
+    number of fixed-offset lookups; equality of the composite iff the
+    K-token windows are identical."""
+    parts, off = [], 0
+    for h in reversed(_LEVELS):
+        if k >= h:
+            parts.append((h, off))
+            off += h
+            k -= h
+    assert k == 0, "window length not representable on the level grid"
+    return parts
+
+
+def _window_key(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """(doc_id, pos, g): the exact-``k``-token window fingerprint at
+    every position where a full window fits — the md5 of the binary-
+    decomposition levels at their offsets (e.g. k=50:
+    ``md5_60(r32(p), r16(p+32), r2(p+48))``), len(parts)-1 fixed-offset
+    equi-joins over the shared grid."""
+    levels = _doubling_levels(spark, sf_dir)
+    parts = _decompose(k)
+    h0, _ = parts[0]
+    out = levels[h0].select("doc_id", "pos", F.col("r").alias("r_0"))
+    for i, (h, off) in enumerate(parts[1:], start=1):
+        out = out.join(
+            levels[h].select(
+                "doc_id",
+                (F.col("pos") - off).alias("pos"),
+                F.col("r").alias(f"r_{i}"),
+            ),
+            ["doc_id", "pos"],
+        )
+    return out.select(
+        "doc_id",
+        "pos",
+        md5_long(
+            F.concat_ws(":", *[F.col(f"r_{i}") for i in range(len(parts))])
+        ).alias("g"),
+    )
+
+
+def _key50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _window_key(spark, sf_dir, _K)
+
+
+def _wkey_cte(name: str, k: int) -> str:
+    """SQL twin of :func:`_window_key`: ``name AS (... g ...)``."""
+    parts = _decompose(k)
+    h0, _ = parts[0]
+    concat = " || ':' || ".join(f"p{i}.r::VARCHAR" for i in range(len(parts)))
+    joins = " ".join(
+        f"JOIN l{h} p{i} ON p{i}.doc_id = p0.doc_id"
+        f" AND p{i}.pos = p0.pos + {off}"
+        for i, (h, off) in enumerate(parts[1:], start=1)
+    )
+    return (
+        f"{name} AS (SELECT p0.doc_id, p0.pos, "
+        + _MD5_60.format(x=concat)
+        + f" AS g FROM l{h0} p0 {joins})"
+    )
+
+
+# Shared SQL CTE chain: tok -> l1 -> l2 -> ... -> l64 -> k50
+def _grid_ctes(max_level: int = 64) -> str:
+    parts = [
+        r"""tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i + 1] AS tk
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+       UNNEST(range(0, len(t))) AS u(i)
+)""",
+        f"l1 AS (SELECT doc_id, pos, {_MD5_60.format(x='tk')} AS r FROM tok)",
+    ]
+    h = 1
+    while 2 * h <= max_level:
+        g = _MD5_60.format(x="a.r::VARCHAR || ':' || b.r::VARCHAR")
+        parts.append(
+            f"l{2 * h} AS (SELECT a.doc_id, a.pos, {g} AS r FROM l{h} a "
+            f"JOIN l{h} b ON b.doc_id = a.doc_id AND b.pos = a.pos + {h})"
+        )
+        h *= 2
+    return ",\n".join(parts)
+
+
+_K50_CTE = _wkey_cte("k50", _K)
+
+
+# ---------------------------------------------------------------------------
+# Query 1: the ExactSubstr duplication profile at K=50
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exactsubstr_dup50_profile",
+    ops="EXT-dedup-substring,A1,A3 (Lee et al. K=50 ExactSubstr profile)",
+    doc="Per-source ExactSubstr duplication profile at the Lee et al. "
+    "50-token threshold: positions whose exact 50-token window occurs "
+    ">= 2 times corpus-wide (dup_positions), distinct duplicated windows "
+    "present in the source (dup_groups), and positions whose window "
+    "recurs in ANOTHER doc (cross_doc_positions). Window fingerprints "
+    "come from the shared hash-doubling grid (module docstring) — the "
+    "corpus is never scanned with a 50-wide sliding window.",
+    oracle=f"""
+WITH {_grid_ctes(32)},
+{_K50_CTE},
+gstat AS (
+  SELECT g, COUNT(1) AS occ, COUNT(DISTINCT doc_id) AS ndocs
+  FROM k50 GROUP BY g HAVING COUNT(1) >= 2
+),
+dup AS (
+  SELECT k.doc_id, k.pos, k.g, s.ndocs
+  FROM k50 k JOIN gstat s USING (g)
+)
+SELECT d.source,
+       CAST(COUNT(1) AS BIGINT) AS dup_positions,
+       CAST(COUNT(DISTINCT u.g) AS BIGINT) AS dup_groups,
+       CAST(SUM(CASE WHEN u.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS cross_doc_positions
+FROM dup u JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+""",
+)
+def exactsubstr_dup50_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k50 = _key50(spark, sf_dir)
+    gstat = (
+        k50.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.count_distinct("doc_id").alias("ndocs"),
+        )
+        .filter(F.col("occ") >= 2)
+        .select("g", "ndocs")
+    )
+    dup = k50.join(gstat, "g")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        dup.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dup_positions"),
+            F.count_distinct("g").cast("bigint").alias("dup_groups"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cross_doc_positions"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query 2: the ExactSubstr excision plan at K=50
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exactsubstr_excision50",
+    ops="EXT-dedup-substring,W1,A1 (ExactSubstr excision, canonical-keep)",
+    doc="Lee et al. ExactSubstr excision plan at K=50: every occurrence "
+    "of a duplicated 50-token window EXCEPT the canonical first (min "
+    "doc_id, then min pos — row_number per group, group size bounded by "
+    "the window's occurrence count) flags its [pos, pos+50) interval; "
+    "flagged intervals merge per doc (running-max gaps-and-islands, "
+    "per-doc grain) and roll up per source as docs hit, tokens removed, "
+    "and removed ppm of source tokens (integer div).",
+    oracle=f"""
+WITH {_grid_ctes(32)},
+{_K50_CTE},
+grp AS (SELECT g FROM k50 GROUP BY g HAVING COUNT(1) >= 2),
+occ AS (
+  SELECT k.doc_id, k.pos,
+         ROW_NUMBER() OVER (PARTITION BY k.g ORDER BY k.doc_id, k.pos) AS rn
+  FROM k50 k JOIN grp USING (g)
+),
+iv AS (SELECT doc_id, pos AS s, pos + {_K} AS e FROM occ WHERE rn > 1),
+m AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS grp_id
+  FROM m
+),
+merged AS (
+  SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+  FROM isl GROUP BY doc_id, grp_id
+),
+cov AS (SELECT doc_id, SUM(e - s) AS removed FROM merged GROUP BY doc_id),
+toks AS (
+  SELECT d.source, d.doc_id,
+         len(string_split_regex(trim(d.text), '\\s+')) AS n_tok
+  FROM documents d
+)
+SELECT t.source,
+       CAST(COUNT(CASE WHEN c.removed > 0 THEN 1 END) AS BIGINT) AS docs_hit,
+       CAST(COALESCE(SUM(c.removed), 0) AS BIGINT) AS tokens_removed,
+       CAST(COALESCE(SUM(c.removed), 0) * 1000000 // SUM(t.n_tok) AS BIGINT)
+         AS removed_ppm
+FROM toks t LEFT JOIN cov c USING (doc_id)
+GROUP BY t.source
+ORDER BY t.source
+""",
+)
+def exactsubstr_excision50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.functions.text import token_count
+
+    k50 = _key50(spark, sf_dir)
+    grp = (
+        k50.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("g")
+    )
+    w_canon = Window.partitionBy("g").orderBy("doc_id", "pos")
+    iv = (
+        k50.join(grp, "g", "leftsemi")
+        .withColumn("rn", F.row_number().over(w_canon))
+        .filter(F.col("rn") > 1)
+        .select(
+            "doc_id", F.col("pos").alias("s"), (F.col("pos") + _K).alias("e")
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("s", "e")
+    m = iv.withColumn(
+        "prev_max",
+        F.max("e").over(w_doc.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    isl = m.withColumn(
+        "grp_id",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).over(w_doc),
+    )
+    cov = (
+        isl.groupBy("doc_id", "grp_id")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("e") - F.col("s")).alias("removed"))
+    )
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count("text").cast("bigint").alias("n_tok")
+    )
+    return (
+        toks.join(cov, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.when(F.col("removed") > 0, 1))
+            .cast("bigint")
+            .alias("docs_hit"),
+            F.coalesce(F.sum("removed"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            F.expr(
+                "cast((coalesce(sum(removed), 0) * 1000000)"
+                " div sum(n_tok) as bigint)"
+            ).alias("removed_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query 3: longest repeated substring per doc (power-of-2 grid)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "suffix_lrs_pow2",
+    ops="EXT-dedup-substring,A3 (longest repeated substring, pow2 grid)",
+    doc="Per-doc longest WITHIN-doc repeated substring on the power-of-2 "
+    "grid (floor(log2) resolution, saturated at 64; overlapping "
+    "occurrences count, the standard LRS convention): the largest level "
+    "h whose grid has two equal fingerprints inside the doc — a repeat "
+    "of length L >= h exists iff its first h tokens repeat, so the "
+    "reported value is exactly 2^floor(log2(LRS)). The classic "
+    "suffix-array application the fixed-k gram families cannot answer — "
+    "UNBOUNDED repeat length off the same 6-join grid, no k was chosen "
+    "in advance. Repetition-heavy docs (boilerplate, degenerate "
+    "generations) surface with large LRS relative to doc length.",
+    oracle=f"""
+WITH {_grid_ctes(64)},
+reps AS (
+{" UNION ALL ".join(
+    f'''
+  SELECT DISTINCT doc_id, CAST({h} AS BIGINT) AS h
+  FROM (SELECT doc_id, r FROM l{h} GROUP BY doc_id, r HAVING COUNT(1) >= 2) q{h}
+'''
+    for h in _LEVELS
+)}
+),
+best AS (SELECT doc_id, MAX(h) AS lrs_pow2 FROM reps GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(b.lrs_pow2, 0) AS BIGINT) AS lrs_pow2
+FROM documents d LEFT JOIN best b USING (doc_id)
+ORDER BY d.doc_id
+""",
+)
+def suffix_lrs_pow2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    levels = _doubling_levels(spark, sf_dir)
+    reps = None
+    for h in _LEVELS:
+        lh = (
+            levels[h]
+            .groupBy("doc_id", "r")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("doc_id")
+            .distinct()
+            .withColumn("h", F.lit(h).cast("bigint"))
+        )
+        reps = lh if reps is None else reps.unionByName(lh)
+    best = reps.groupBy("doc_id").agg(F.max("h").alias("lrs_pow2"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lrs_pow2", F.lit(0)).cast("bigint").alias("lrs_pow2"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query 4: duplication-vs-threshold curve — the grid-reuse payoff
+# ---------------------------------------------------------------------------
+
+_CURVE_KS = (16, 24, 32, 50, 64)
+
+_CURVE_KEY_CTES = ",\n".join(_wkey_cte(f"k{k}", k) for k in _CURVE_KS)
+_CURVE_UNION = " UNION ALL ".join(
+    f"  SELECT CAST({k} AS BIGINT) AS k, doc_id, pos, g FROM k{k}"
+    for k in _CURVE_KS
+)
+
+
+@register(
+    "exactsubstr_threshold_curve",
+    ops="EXT-dedup-substring,A1,A3 (duplication vs K threshold)",
+    doc="Corpus duplication profile as the ExactSubstr threshold K "
+    "sweeps 16/24/32/50/64 tokens: per K the duplicated positions, "
+    "distinct duplicated windows, and cross-doc positions. The curve an "
+    "operator reads before FIXING the excision threshold (Lee et al. "
+    "pick 50; the right K is corpus-dependent). This is the doubling "
+    "grid's reuse payoff: all five thresholds are binary decompositions "
+    "over the SAME 6-join level grid — a fixed-k gram pass would rescan "
+    "the corpus with a k-wide window per threshold. dup_positions is "
+    "non-increasing in K (a duplicated 50-window's 16-prefix is "
+    "duplicated too).",
+    oracle=f"""
+WITH {_grid_ctes(64)},
+{_CURVE_KEY_CTES},
+allk AS (
+{_CURVE_UNION}
+),
+gstat AS (
+  SELECT k, g, COUNT(1) AS occ, COUNT(DISTINCT doc_id) AS ndocs
+  FROM allk GROUP BY k, g HAVING COUNT(1) >= 2
+)
+SELECT a.k,
+       CAST(COUNT(1) AS BIGINT) AS dup_positions,
+       CAST(COUNT(DISTINCT a.g) AS BIGINT) AS dup_groups,
+       CAST(SUM(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS cross_doc_positions
+FROM allk a JOIN gstat s ON s.k = a.k AND s.g = a.g
+GROUP BY a.k
+ORDER BY a.k
+""",
+)
+def exactsubstr_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    allk = None
+    for k in _CURVE_KS:
+        wk = _window_key(spark, sf_dir, k).select(
+            F.lit(k).cast("bigint").alias("k"), "doc_id", "pos", "g"
+        )
+        allk = wk if allk is None else allk.unionByName(wk)
+    gstat = (
+        allk.groupBy("k", "g")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.count_distinct("doc_id").alias("ndocs"),
+        )
+        .filter(F.col("occ") >= 2)
+        .select("k", "g", "ndocs")
+    )
+    return (
+        allk.join(gstat, ["k", "g"])
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dup_positions"),
+            F.count_distinct("g").cast("bigint").alias("dup_groups"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cross_doc_positions"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query 5: suffix-grain decontamination at K=50
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exactsubstr_decontam50",
+    ops="EXT-decontam,EXT-dedup-substring (exact 50-token leak check)",
+    doc="Suffix-grain decontamination at the Lee et al. K=50 threshold: "
+    "train-split docs (md5 buckets 0-7, the dataset_hash_split rule) "
+    "whose text shares an EXACT 50-token window with any held-out doc "
+    "(buckets 8-9). Per contaminated train doc: leaked positions and "
+    "distinct eval docs hit. The exact-window complement of "
+    "decontam_span_overlap's 8-gram-anchored spans — zero anchor-size "
+    "approximation, and the eval-side relation is DISTINCT window "
+    "fingerprints only (tiny — broadcastable at 100 TB, like the "
+    "benchmark-probe broadcasts in the decontam family).",
+    oracle=f"""
+WITH {_grid_ctes(32)},
+{_K50_CTE},
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 AS bkt
+  FROM documents
+),
+ev AS (
+  SELECT DISTINCT k.g, k.doc_id
+  FROM k50 k JOIN b ON b.doc_id = k.doc_id AND b.bkt >= 8
+),
+tr AS (
+  SELECT k.doc_id, k.pos, k.g
+  FROM k50 k JOIN b ON b.doc_id = k.doc_id AND b.bkt <= 7
+)
+SELECT tr.doc_id AS train_id,
+       CAST(COUNT(DISTINCT tr.pos) AS BIGINT) AS contam_positions,
+       CAST(COUNT(DISTINCT ev.doc_id) AS BIGINT) AS eval_docs_hit
+FROM tr JOIN ev ON ev.g = tr.g
+GROUP BY tr.doc_id
+ORDER BY tr.doc_id
+""",
+)
+def exactsubstr_decontam50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.queries.decontam import split_bucket
+
+    k50 = _key50(spark, sf_dir).withColumn("bkt", split_bucket("doc_id"))
+    ev = (
+        k50.filter(F.col("bkt") >= 8)
+        .select("g", F.col("doc_id").alias("eval_id"))
+        .distinct()
+    )
+    tr = k50.filter(F.col("bkt") <= 7).select("doc_id", "pos", "g")
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy(F.col("doc_id").alias("train_id"))
+        .agg(
+            F.count_distinct("pos").cast("bigint").alias("contam_positions"),
+            F.count_distinct("eval_id").cast("bigint").alias("eval_docs_hit"),
+        )
+        .orderBy("train_id")
+    )

@@ -74,12 +74,70 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     single core. At 100 TB the same tables are thousands of splits and the
     repartition is a no-op by the guard below — this never adds a shuffle
     to an already-parallel scan.
+
+    The guard is METADATA-ONLY: it reads the plan's leaf file listing
+    (``df.inputFiles()`` — served from the already-built file index, no
+    plan-to-RDD conversion) and replays Spark's FilePartition split math
+    on the file sizes. The old ``df.rdd.getNumPartitions()`` probe forced
+    a full plan conversion per call — cheap locally, an avoidable
+    per-query driver cost at cluster scale.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        # Non-file-backed plan (in-memory relation, stream): rare here —
+        # every registry caller wraps a parquet scan. Fall back to the
+        # exact-but-costly probe rather than guessing.
+        if df.rdd.getNumPartitions() >= target:
+            return df
+        return df.repartition(target)
+    if len(files) >= target:
+        # Dominant case at scale: enough files to split at least one
+        # partition each — no stats needed.
+        return df
+    if _estimated_scan_splits(spark, files, target) >= target:
         return df
     return df.repartition(target)
+
+
+def _estimated_scan_splits(spark: SparkSession, files: list[str], parallelism: int) -> int:
+    """Replay Spark's FilePartition sizing from file metadata only.
+
+    maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    totalBytes / parallelism)); each file contributes
+    ceil(size / maxSplitBytes) splits (parquet is splittable). Files whose
+    size can't be stat'd locally (remote FS) are assumed to be exactly one
+    split — the conservative direction: underestimating splits can only
+    trigger a redundant repartition, never leave a scan serialized.
+    """
+
+    def _conf_bytes(key: str, default: int) -> int:
+        raw = spark.conf.get(key, None)
+        if raw is None:
+            return default
+        raw = raw.strip().lower()
+        for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+            if raw.endswith(suffix):
+                return int(float(raw[: -len(suffix)]) * mult)
+        return int(raw)
+
+    max_partition_bytes = _conf_bytes("spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _conf_bytes("spark.sql.files.openCostInBytes", 4 << 20)
+    sizes: list[int] = []
+    for uri in files:
+        local = uri[7:] if uri.startswith("file://") else uri
+        try:
+            sizes.append(os.stat(local).st_size)
+        except OSError:
+            sizes.append(0)  # unknown size => 1 split below
+    total = sum(s + open_cost for s in sizes)
+    bytes_per_core = total // max(parallelism, 1)
+    max_split = min(max_partition_bytes, max(open_cost, bytes_per_core))
+    return sum(max(1, -(-s // max_split)) for s in sizes)
 
 
 def load_tables(

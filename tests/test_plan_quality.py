@@ -58,6 +58,7 @@ BNLJ_OK = {
     "customer_order_gap_stats",  # 1-row gap-total broadcast
     "ngram_lm_surprisal",  # 1-row vocab-size broadcast
     "ivf_incremental_assign",  # k-row centroid broadcast (IVF assign)
+    "ivf_nprobe_recall_curve",  # same k-row centroid broadcast (IVF assign)
     "token_budget_selection",  # 1-row corpus-token-total broadcast
     "pmi_collocations_topk",  # 1-row corpus-token-total broadcast
     "source_ablation_impact",  # 1-row corpus-scalars broadcast

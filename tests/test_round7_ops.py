@@ -236,6 +236,10 @@ def test_kcenter_distances_non_increasing(spark, sf_dir):
     )
     assert [r.seed_round for r in rows] == [0, 1, 2, 3]
     assert len({r.vec_id for r in rows}) == 4, "seeds must be distinct"
+    # Round 0 is excluded by construction: the first seed is picked by
+    # min vec_id, not by distance, and its dist_ppm is defined as 0 — so
+    # monotonicity only holds from round 1 onward.
+    assert rows[0].dist_ppm == 0
     for a, b in zip(rows[1:], rows[2:]):
         assert b.dist_ppm <= a.dist_ppm
 

@@ -1,0 +1,124 @@
+"""Round-8 golden tests: suffix-doubling ExactSubstr invariants and the
+IVF n_probe recall-curve monotonicity (more probes can only widen the
+candidate set, so candidates and recall are non-decreasing in n_probe)."""
+
+from __future__ import annotations
+
+from formula_1_spark.queries.registry import load_all
+
+REGISTRY = load_all()
+
+_POW2 = {0, 1, 2, 4, 8, 16, 32, 64}
+
+
+def test_ivf_nprobe_curve_monotone(spark, sf_dir):
+    rows = REGISTRY["ivf_nprobe_recall_curve"].fn(spark, sf_dir).collect()
+    assert len(rows) == 40, "4 sweep points x 10 queries"
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.recall_ppm <= 1_000_000
+        assert r.hits_top10 <= 10
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.n_probe)
+        assert [r.n_probe for r in rs] == [1, 2, 4, 8]
+        for a, b in zip(rs, rs[1:]):
+            # a larger probe budget is a superset of candidates
+            assert b.n_candidates >= a.n_candidates, q
+            assert b.hits_top10 >= a.hits_top10, q
+
+
+def test_ivf_nprobe_full_sweep_matches_registered_audit(spark, sf_dir):
+    """n_probe=2 on the curve must agree with ann_recall_audit's 'ivf'
+    rows — both are the same 8-cell/2-iteration quantizer at n_probe=2,
+    computed by different code paths."""
+    curve = {
+        r.query_id: r.hits_top10
+        for r in REGISTRY["ivf_nprobe_recall_curve"].fn(spark, sf_dir).collect()
+        if r.n_probe == 2
+    }
+    audit = {
+        r.query_id: r.hits_top10
+        for r in REGISTRY["ann_recall_audit"].fn(spark, sf_dir).collect()
+        if r.method == "ivf"
+    }
+    assert curve == audit
+
+
+def test_exactsubstr_profile_bounds(spark, sf_dir):
+    rows = REGISTRY["exactsubstr_dup50_profile"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.dup_positions >= r.cross_doc_positions >= 0
+        assert r.dup_groups >= 1
+        # each duplicated group contributes >= 1 position to some source
+        assert r.dup_positions >= 1
+
+
+def test_exactsubstr_excision_coverage_floor(spark, sf_dir):
+    """Every hit doc flags at least one full 50-token interval, so merged
+    coverage is >= 50 tokens per hit doc; ppm stays in range."""
+    rows = REGISTRY["exactsubstr_excision50"].fn(spark, sf_dir).collect()
+    assert rows
+    assert any(r.docs_hit > 0 for r in rows), "no excisions found at all"
+    for r in rows:
+        assert r.tokens_removed >= 50 * r.docs_hit
+        assert 0 <= r.removed_ppm <= 1_000_000
+
+
+def test_lrs_values_on_pow2_grid(spark, sf_dir):
+    rows = REGISTRY["suffix_lrs_pow2"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.lrs_pow2 in _POW2 for r in rows)
+    # the corpus repeats tokens constantly; SOME doc repeats a token
+    assert any(r.lrs_pow2 >= 1 for r in rows)
+
+
+def test_lrs_never_exceeds_half_doc_length(spark, sf_dir):
+    """A repeated substring of length L needs two (possibly overlapping)
+    occurrences, so L <= len - 1; on the pow2 grid lrs <= 2^floor(log2(
+    len - 1))."""
+    from pyspark.sql import functions as F
+
+    from formula_1_spark.functions.text import token_count
+    from formula_1_spark.sources.tables import load_table
+
+    lens = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", token_count("text").alias("n"))
+        .collect()
+    }
+    for r in REGISTRY["suffix_lrs_pow2"].fn(spark, sf_dir).collect():
+        assert r.lrs_pow2 <= max(lens[r.doc_id] - 1, 0)
+
+
+def test_threshold_curve_monotone_in_k(spark, sf_dir):
+    """A duplicated K-window's prefix is a duplicated shorter window, so
+    every curve metric is non-increasing as K grows."""
+    rows = sorted(
+        REGISTRY["exactsubstr_threshold_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rows] == [16, 24, 32, 50, 64]
+    for a, b in zip(rows, rows[1:]):
+        assert b.dup_positions <= a.dup_positions
+        assert b.cross_doc_positions <= a.cross_doc_positions
+
+
+def test_decontam50_train_side_only(spark, sf_dir):
+    from formula_1_spark.queries.decontam import split_bucket
+    from formula_1_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["exactsubstr_decontam50"].fn(spark, sf_dir).collect()
+    train_ids = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("b", split_bucket("doc_id"))
+        .filter(F.col("b") <= 7)
+        .collect()
+    }
+    for r in rows:
+        assert r.train_id in train_ids, "flagged doc must be train-split"
+        assert r.contam_positions >= 1 and r.eval_docs_hit >= 1
