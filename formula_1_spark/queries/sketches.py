@@ -354,3 +354,199 @@ def countmin_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overestimate_ppm"
         ),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) source-overlap sketch (round 8)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_GRAM = 8
+_KMV_BUCKETS = 32
+
+_KMV_CTES = f"""
+WITH toks AS (
+  SELECT d.source, string_split_regex(trim(d.text), '\\s+') AS t
+  FROM documents d
+),
+grams AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(array_to_string(
+            list_slice(t, i + 1, i + {_KMV_GRAM}), ' ')), 1, 15))::BIGINT AS g
+  FROM toks, unnest(range(0, greatest(len(t) - {_KMV_GRAM - 1}, 0))) u(i)
+),
+kmv AS (
+  SELECT source, g FROM (
+    SELECT source, g,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY g) AS rk
+    FROM grams) q WHERE rk <= {_KMV_K}
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+prs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+tagged AS (
+  SELECT p.source_a, p.source_b, v.g,
+         MAX(CASE WHEN v.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN v.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+  FROM prs p JOIN kmv v ON v.source IN (p.source_a, p.source_b)
+  GROUP BY p.source_a, p.source_b, v.g
+),
+merged AS (
+  SELECT source_a, source_b, in_a, in_b FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY source_a, source_b ORDER BY g) AS rk
+    FROM tagged) q WHERE rk <= {_KMV_K}
+),
+est AS (
+  SELECT source_a, source_b,
+         CAST(SUM(in_a * in_b) * 1000000 // COUNT(1) AS BIGINT)
+           AS est_jaccard_ppm
+  FROM merged GROUP BY source_a, source_b
+),
+ex AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         COUNT(1) AS n_inter
+  FROM grams a JOIN grams b ON b.g = a.g AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+sizes AS (SELECT source, COUNT(1) AS n FROM grams GROUP BY source),
+exact AS (
+  SELECT p.source_a, p.source_b,
+         CAST(COALESCE(x.n_inter, 0) * 1000000
+              // (sa.n + sb.n - COALESCE(x.n_inter, 0)) AS BIGINT)
+           AS exact_jaccard_ppm
+  FROM prs p
+  JOIN sizes sa ON sa.source = p.source_a
+  JOIN sizes sb ON sb.source = p.source_b
+  LEFT JOIN ex x ON x.source_a = p.source_a AND x.source_b = p.source_b
+)
+SELECT e.source_a, e.source_b, e.est_jaccard_ppm, x.exact_jaccard_ppm,
+       CAST(ABS(e.est_jaccard_ppm - x.exact_jaccard_ppm) AS BIGINT)
+         AS abs_err_ppm
+FROM est e JOIN exact x USING (source_a, source_b)
+ORDER BY e.source_a, e.source_b
+"""
+
+
+@register(
+    "kmv_source_overlap",
+    ops="EXT-sketch-kmv,A1,W1,J1 (KMV Jaccard between sources)",
+    doc="Pairwise source-vocabulary overlap from K-minimum-values "
+    "sketches (Bar-Yossef et al. 2002; the Theta-sketch set-operation "
+    "core): per source keep the 64 smallest distinct 8-gram md5 values "
+    "— computed scale-honestly as bucket-partial k-mins (32 hash "
+    "buckets, bounded window groups) merged by a second bounded k-min, "
+    "never one corpus-grain window per source. The Jaccard estimate for "
+    "a pair is |both-sketch members of the union's k-min| / K, computed "
+    "entirely on the <= 64-row-per-source sketches — at 100 TB the "
+    "pairwise stage never re-touches the corpus, and sketches merge "
+    "across shards/days by k-min union, the set-INTERSECTION capability "
+    "HLL rollups (hll_mergeable_rollup) cannot give. Deterministic md5 "
+    "hashing -> the estimate itself is exactly oracle-checkable, "
+    "alongside the exact Jaccard and the absolute error.",
+    oracle=_KMV_CTES,
+)
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from formula_1_spark.operators.dedup import positional_gram_postings
+    from formula_1_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    grams = (
+        positional_gram_postings(docs, _KMV_GRAM)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "g")
+        .distinct()
+    )
+    # Two-phase exact k-min per source: partial k-min inside 32 hash
+    # buckets (bounded window groups), then k-min of the <= 32*K
+    # survivors — identical result to a single per-source window without
+    # ever funnelling a source's full gram set through one task.
+    w_bucket = Window.partitionBy("source", "bkt").orderBy("g")
+    w_src = Window.partitionBy("source").orderBy("g")
+    kmv = (
+        grams.withColumn("bkt", F.pmod(F.col("g"), F.lit(_KMV_BUCKETS)))
+        .withColumn("rk", F.row_number().over(w_bucket))
+        .filter(F.col("rk") <= _KMV_K)
+        .withColumn("rk2", F.row_number().over(w_src))
+        .filter(F.col("rk2") <= _KMV_K)
+        .select("source", "g")
+        .localCheckpoint(eager=False)  # tiny; reused by the pair stage
+    )
+    srcs = docs.select("source").distinct()
+    prs = srcs.select(F.col("source").alias("source_a")).join(
+        srcs.select(F.col("source").alias("source_b")),
+        F.col("source_a") < F.col("source_b"),
+    )
+    tagged = (
+        F.broadcast(prs)
+        .join(
+            kmv.select(F.col("source").alias("v_src"), "g"),
+            (F.col("v_src") == F.col("source_a"))
+            | (F.col("v_src") == F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b", "g")
+        .agg(
+            F.max(
+                F.when(F.col("v_src") == F.col("source_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("v_src") == F.col("source_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    w_pair = Window.partitionBy("source_a", "source_b").orderBy("g")
+    est = (
+        tagged.withColumn("rk", F.row_number().over(w_pair))
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.expr(
+                "cast((sum(in_a * in_b) * 1000000) div count(1) as bigint)"
+            ).alias("est_jaccard_ppm")
+        )
+    )
+    ga = grams.select(F.col("source").alias("source_a"), "g")
+    gb = grams.select(F.col("source").alias("source_b"), "g")
+    inter = (
+        ga.join(gb, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        prs.join(
+            sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb")),
+            "source_b",
+        )
+        .join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.expr(
+                "cast((coalesce(n_inter, 0) * 1000000)"
+                " div (na + nb - coalesce(n_inter, 0)) as bigint)"
+            ).alias("exact_jaccard_ppm"),
+        )
+    )
+    return (
+        est.join(exact, ["source_a", "source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            "est_jaccard_ppm",
+            "exact_jaccard_ppm",
+            F.abs(F.col("est_jaccard_ppm") - F.col("exact_jaccard_ppm"))
+            .cast("bigint")
+            .alias("abs_err_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -84,6 +84,8 @@ BNLJ_OK = {
     "bpe_merge_rounds",  # 1-row top-pair + 1-row vocab broadcasts x3
     "source_token_tv_drift",  # 1-row corpus-total + Q-total broadcasts
     "trade_kcore_membership",  # 1-row median + convergence-flag broadcasts
+    "kmv_source_overlap",  # source-pair grid (non-equi a<b) x <=64-row
+    #   KMV sketches — both sides bounded by the SOURCE domain, never data
 }
 
 

@@ -122,3 +122,19 @@ def test_decontam50_train_side_only(spark, sf_dir):
     for r in rows:
         assert r.train_id in train_ids, "flagged doc must be train-split"
         assert r.contam_positions >= 1 and r.eval_docs_hit >= 1
+
+
+def test_kmv_overlap_estimator_sanity(spark, sf_dir):
+    """KMV soundness: a shared sketch value IS a real shared gram, so
+    est > 0 implies exact > 0; and disjoint vocabularies estimate 0."""
+    rows = REGISTRY["kmv_source_overlap"].fn(spark, sf_dir).collect()
+    n_src = len({r.source_a for r in rows} | {r.source_b for r in rows})
+    assert len(rows) == n_src * (n_src - 1) // 2, "full pair grid"
+    for r in rows:
+        assert 0 <= r.est_jaccard_ppm <= 1_000_000
+        assert 0 <= r.exact_jaccard_ppm <= 1_000_000
+        if r.exact_jaccard_ppm == 0:
+            assert r.est_jaccard_ppm == 0, (r.source_a, r.source_b)
+        if r.est_jaccard_ppm > 0:
+            assert r.exact_jaccard_ppm > 0, (r.source_a, r.source_b)
+        assert r.abs_err_ppm == abs(r.est_jaccard_ppm - r.exact_jaccard_ppm)
