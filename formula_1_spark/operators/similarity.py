@@ -869,3 +869,99 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    learn_iters: int = 2,
+    dims: int = 64,
+    n_candidates: int = 20,
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFADC layout, ``by_residual=False``
+    variant): an IVF coarse quantizer prunes the candidate space to the
+    query's ``n_probe`` nearest cells, then PQ-ADC scores ONLY the
+    cell-pruned pairs — combining IVF's candidate pruning with PQ's
+    memory compression, the standard billion-scale serving layout
+    (Jégou et al. 2011 §IV). Differences from the components:
+    :func:`ivf_topk` re-ranks every cell member exactly (full-width
+    vector reads per candidate); :func:`pq_topk` ADC-scores the WHOLE
+    corpus (no pruning). Here the full-width embedding column is read
+    only for the final top-``n_candidates`` exact re-rank.
+
+    Scale: corpus-side state is m codes + 1 cell id per vector; the ADC
+    tables and centroids broadcast; the only corpus-scale shuffles are
+    the cell-candidate join (bounded by cell balance — audited by
+    ivf_cell_balance) and the pair-grain pivot. Deterministic k-means +
+    fixed-order ADC sums -> exactly oracle-checkable."""
+    from formula_1_spark.functions.vectors import dot
+
+    qv = _vec_base(queries, "query_id", "q_vec")
+    cv = _vec_base(corpus, "neighbor_id", "c_vec")
+    coarse = kmeans_centroids(
+        corpus, n_cells=n_cells, iters=learn_iters, dims=dims
+    ).localCheckpoint(eager=False)
+
+    def assign(base: DataFrame, id_alias: str, vec_alias: str, top: int) -> DataFrame:
+        scored = base.join(F.broadcast(coarse), F.lit(True)).withColumn(
+            "cell_cos", cosine(F.col(vec_alias), F.col("cent"))
+        )
+        w = Window.partitionBy(id_alias).orderBy(F.desc("cell_cos"), F.asc("cell_id"))
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= top)
+            .select(id_alias, "cell_id")
+        )
+
+    cell_cand = (
+        assign(qv, "query_id", "q_vec", n_probe)
+        .join(assign(cv, "neighbor_id", "c_vec", 1), "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+
+    corpus_long, cents, sub_structs, w_assign = pq_subspace_model(
+        corpus, m=m, n_codes=n_codes, learn_iters=learn_iters, dims=dims
+    )
+    codes_long = (
+        corpus_long.join(F.broadcast(cents), "s")
+        .withColumn("cell_cos", cosine(F.col("embedding"), F.col("cent")))
+        .withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "s", F.col("cell_id").alias("code"))
+    )
+    q_long = queries.select(
+        F.col("vec_id").alias("query_id"), F.explode(sub_structs).alias("x")
+    ).select("query_id", "x.s", F.col("x.sub_emb").alias("q_sub"))
+    adc = q_long.join(F.broadcast(cents), "s").select(
+        "query_id",
+        "s",
+        F.col("cell_id").alias("code"),
+        dot(F.col("q_sub"), F.col("cent")).alias("d"),
+    )
+
+    pair_terms = cell_cand.join(codes_long, "neighbor_id").join(
+        F.broadcast(adc), ["query_id", "s", "code"]
+    )
+    piv = pair_terms.groupBy("query_id", "neighbor_id").agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("d"))).alias(f"d_{s}")
+            for s in range(m)
+        ]
+    )
+    approx_col = F.col("d_0")
+    for s in range(1, m):
+        approx_col = approx_col + F.col(f"d_{s}")
+    wc = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    cand = (
+        piv.select("query_id", "neighbor_id", approx_col.alias("approx"))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    return rerank_exact_topk(cand, qv, cv, k)

@@ -269,3 +269,129 @@ def small_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman (optimal) allocation (round 8)
+# ---------------------------------------------------------------------------
+
+_NEY_N = 500  # total sampling budget
+
+
+@register(
+    "neyman_allocation_plan",
+    ops="EXT-allocation,A1,W2 (Neyman optimal stratified allocation)",
+    doc="Neyman optimal allocation of a 500-doc sampling budget across "
+    "sources: n_h proportional to N_h * sigma_h (stratum size x token-"
+    "count stddev), the allocation minimizing the stratified-mean "
+    "variance at fixed budget (Neyman 1934) — proportional_allocation_"
+    "plan's size-only apportionment upgraded with the variance signal. "
+    "sigma comes from EXACT integer sufficient statistics (n, sum x, "
+    "sum x^2 as bigints; one IEEE sqrt floor-quantized to ppm), weights "
+    "are exact bigints, and seats apportion by largest remainder, so "
+    "allocations sum to the budget by construction and the whole plan "
+    "is bit-exact cross-engine. Zero-variance strata honestly get 0.",
+    oracle=f"""
+WITH stats AS (
+  SELECT source,
+         CAST(COUNT(1) AS BIGINT) AS n_docs,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sx2
+  FROM (SELECT source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS x
+        FROM documents) q
+  GROUP BY source
+),
+sig AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs * sx2 - sx * sx AS DOUBLE))
+                    * 1000000.0 / n_docs) AS BIGINT) AS sigma_ppm
+  FROM stats
+),
+w AS (
+  SELECT source, n_docs, sigma_ppm,
+         CAST(n_docs * sigma_ppm AS BIGINT) AS wt
+  FROM sig
+),
+tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS t FROM w),
+quota AS (
+  SELECT w.source, w.n_docs, w.sigma_ppm,
+         CAST(({_NEY_N} * w.wt) // t.t AS BIGINT) AS quota_base,
+         CAST(({_NEY_N} * w.wt) % t.t AS BIGINT) AS remainder
+  FROM w CROSS JOIN tot t
+),
+leftover AS (
+  SELECT CAST({_NEY_N} - SUM(quota_base) AS BIGINT) AS extras FROM quota
+),
+ranked AS (
+  SELECT q.*, l.extras,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY q.remainder DESC, q.source) AS BIGINT) AS rk
+  FROM quota q CROSS JOIN leftover l
+)
+SELECT source, n_docs, sigma_ppm, quota_base,
+       CAST(quota_base
+            + CASE WHEN rk <= extras THEN 1 ELSE 0 END AS BIGINT)
+         AS allocated
+FROM ranked
+ORDER BY source
+""",
+)
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.functions.text import token_count
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    stats = (
+        docs.select(
+            "source", token_count("text").cast("bigint").alias("x")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+        )
+        .persist()  # bounded at |sources| rows; referenced by quota + totals
+    )
+    sig = stats.select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.sqrt((F.col("n_docs") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double"))
+            * F.lit(1_000_000.0)
+            / F.col("n_docs")
+        )
+        .cast("bigint")
+        .alias("sigma_ppm"),
+    )
+    w = sig.withColumn("wt", (F.col("n_docs") * F.col("sigma_ppm")).cast("bigint"))
+    tot = w.agg(F.sum("wt").alias("t"))
+    quota = w.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "sigma_ppm",
+        F.expr(f"({_NEY_N} * wt) div t").alias("quota_base"),
+        F.expr(f"({_NEY_N} * wt) % t").alias("remainder"),
+    )
+    leftover = quota.agg((F.lit(_NEY_N) - F.sum("quota_base")).alias("extras"))
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("remainder"), F.asc("source"))
+    )
+    return (
+        quota.join(F.broadcast(leftover))
+        .withColumn("rk", rk.cast("bigint"))
+        .select(
+            "source",
+            "n_docs",
+            "sigma_ppm",
+            "quota_base",
+            (
+                F.col("quota_base")
+                + F.when(F.col("rk") <= F.col("extras"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("allocated"),
+        )
+        .orderBy("source")
+    )

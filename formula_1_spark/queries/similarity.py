@@ -377,7 +377,11 @@ def _kmeans_ctes_src(prefix: str, src: str, n_cells: int, iters: int, dims: int)
     return ",\n".join(parts)
 
 
-def _pq_oracle() -> str:
+def _pq_parts(extra_joins: str = "", extra_pred: str = "") -> list[str]:
+    """The PQ oracle's shared CTE chain up to and including ``approx``
+    (codebook training -> encoding -> ADC tables -> approx scores).
+    ``extra_joins``/``extra_pred`` let the IVFPQ variant restrict the
+    approx pair space to IVF-probed cells."""
     parts = []
     for s in range(_PQ_M):
         lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
@@ -416,8 +420,14 @@ def _pq_oracle() -> str:
   SELECT a0.query_id, x.vec_id AS neighbor_id, {approx_sum} AS approx
   FROM codes x
   {adc_joins}
-  WHERE x.vec_id <> a0.query_id
+  {extra_joins}
+  WHERE x.vec_id <> a0.query_id{extra_pred}
 )""")
+    return parts
+
+
+def _pq_oracle() -> str:
+    parts = _pq_parts()
     parts.append(f"""cand AS (
   SELECT query_id, neighbor_id FROM (
     SELECT *, ROW_NUMBER() OVER (
@@ -1453,4 +1463,101 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
         .orderBy("n_probe", "query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ combined ANN (round 8) — the FAISS IVFADC serving layout
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_oracle() -> str:
+    cells = f"""nc_scored AS (
+  SELECT e.vec_id AS neighbor_id, c.cell_id,
+         {_COS.format(a="e.embedding", b="c.cent")} AS cell_cos
+  FROM embeddings e, centroids c
+),
+nc_cells AS (
+  SELECT neighbor_id, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY neighbor_id ORDER BY cell_cos DESC, cell_id ASC) AS r
+    FROM nc_scored) nr WHERE r <= 1
+),
+qc_scored AS (
+  SELECT e.vec_id AS query_id, c.cell_id,
+         {_COS.format(a="e.embedding", b="c.cent")} AS cell_cos
+  FROM embeddings e, centroids c
+  WHERE e.vec_id < 10
+),
+qc_cells AS (
+  SELECT query_id, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cell_cos DESC, cell_id ASC) AS r
+    FROM qc_scored) qr WHERE r <= 2
+)"""
+    pq = _pq_parts(
+        extra_joins=(
+            "JOIN qc_cells qc ON qc.query_id = a0.query_id\n"
+            "  JOIN nc_cells cc ON cc.neighbor_id = x.vec_id"
+            " AND cc.cell_id = qc.cell_id"
+        )
+    )
+    final_cos = _COS.format(a="q.embedding", b="x.embedding")
+    return (
+        f"WITH {_kmeans_ctes(n_cells=8, iters=2)},\n"
+        + cells
+        + ",\n"
+        + ",\n".join(pq)
+        + f""",
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY approx DESC, neighbor_id ASC) AS cr
+    FROM approx) cq WHERE cr <= {_PQ_CAND}
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {final_cos} AS cos
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings x ON x.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, CAST(r AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS r
+  FROM scored
+) fr WHERE r <= 10
+"""
+    )
+
+
+@register(
+    "similarity_ann_ivfpq",
+    ops="EXT-sim-ivfpq,J4,W1 (IVF pruning + PQ-ADC scoring)",
+    doc="IVF-PQ ANN top-10 — the FAISS IVFADC billion-scale serving "
+    "layout (by_residual=False variant): the 8-cell IVF coarse "
+    "quantizer prunes candidates to the query's 2 nearest cells, PQ-ADC "
+    "(4 subspaces x 8 codes, broadcast lookup tables, fixed-order sums) "
+    "scores only the pruned pairs, top-20 re-rank by exact cosine. "
+    "Corpus state per vector: 1 cell id + 4 codes; the full embedding "
+    "is read only at re-rank. Combines similarity_ann_ivf's pruning "
+    "with similarity_ann_pq's compression; the oracle replays coarse + "
+    "subspace codebook training, encoding, cell probing, ADC, and "
+    "re-rank bit-for-bit.",
+    oracle=_ivfpq_oracle(),
+)
+def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=10,
+        n_cells=8,
+        n_probe=2,
+        m=_PQ_M,
+        n_codes=_PQ_CODES,
+        learn_iters=_PQ_ITERS,
+        n_candidates=_PQ_CAND,
     )

@@ -86,6 +86,9 @@ BNLJ_OK = {
     "trade_kcore_membership",  # 1-row median + convergence-flag broadcasts
     "kmv_source_overlap",  # source-pair grid (non-equi a<b) x <=64-row
     #   KMV sketches — both sides bounded by the SOURCE domain, never data
+    "similarity_ann_ivfpq",  # same k-row coarse-centroid broadcast as IVF
+    "neyman_allocation_plan",  # 1-row weight-total + extras broadcasts
+    #   (same shape as proportional_allocation_plan)
 }
 
 
@@ -98,6 +101,9 @@ SINGLE_PARTITION_OK = {
     # the post-agg (lang, source) relation — bounded by the domain, but
     # the checker can't see through the cache boundary to the Aggregate
     "proportional_allocation_plan",
+    # same shape: the persisted per-source stats aggregate feeds the
+    # largest-remainder window through a cache boundary
+    "neyman_allocation_plan",
 }
 
 

@@ -138,3 +138,37 @@ def test_kmv_overlap_estimator_sanity(spark, sf_dir):
         if r.est_jaccard_ppm > 0:
             assert r.exact_jaccard_ppm > 0, (r.source_a, r.source_b)
         assert r.abs_err_ppm == abs(r.est_jaccard_ppm - r.exact_jaccard_ppm)
+
+
+def test_ivfpq_result_shape(spark, sf_dir):
+    """IVFPQ returns all 10 queries with dense ranks from 1 (candidate
+    pool permitting). The VALUE-level guarantee (coarse training, cell
+    probing, ADC, re-rank all bit-exact) is carried by the DuckDB oracle
+    in tests/test_oracle_parity.py; this golden only pins the shape."""
+    rows = REGISTRY["similarity_ann_ivfpq"].fn(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 10
+    for q, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1)), q
+
+
+def test_neyman_allocations_sum_to_budget(spark, sf_dir):
+    rows = REGISTRY["neyman_allocation_plan"].fn(spark, sf_dir).collect()
+    assert sum(r.allocated for r in rows) == 500
+    for r in rows:
+        assert r.allocated >= 0
+        if r.sigma_ppm == 0:
+            assert r.allocated <= 1, "zero-variance stratum only via remainder"
+
+
+def test_clustering_coefficient_bounds(spark, sf_dir):
+    rows = REGISTRY["part_copurchase_clustering"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.degree >= 2
+        assert 0 <= r.cc_ppm <= 1_000_000
+        # T is bounded by the wedge count at the node
+        assert r.triangles <= r.degree * (r.degree - 1) // 2
