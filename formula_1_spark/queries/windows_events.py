@@ -719,3 +719,192 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Discrete Kaplan-Meier conversion survival (round 8)
+# ---------------------------------------------------------------------------
+
+_KM_H = 14  # reporting horizon in day buckets (0..13)
+_KM_DAY_US = 86_400_000_000
+
+
+@register(
+    "events_conversion_survival",
+    ops="EXT-survival,A1,W1 (discrete Kaplan-Meier with censoring)",
+    doc="Signup->purchase conversion survival, the discrete Kaplan-"
+    "Meier estimator with right-censoring: subjects are each user's "
+    "FIRST signup; the event is their first purchase at or after it, "
+    "day-bucketed; subjects without a purchase inside the 14-day "
+    "horizon are censored at min(observation end, horizon) — the "
+    "estimator censoring alone gets right and a naive conversion-rate "
+    "cut gets wrong. Per bucket: at-risk count (subjects neither "
+    "converted nor censored earlier — one bounded cumulative window "
+    "over the 14-row bucket relation), conversions, censored, hazard "
+    "ppm, and KM survival ppm. Survival = prod((n_i - d_i)) / "
+    "prod(n_i) with both integer products accumulated by LEFT-FOLD in "
+    "bucket order on the 14-element arrays (the vectors.cosine "
+    "determinism contract), so the double math is bit-identical "
+    "cross-engine. Corpus-scale work is two event scans + one "
+    "user-keyed join; everything after the bucket aggregate is "
+    "14-row-bounded.",
+    oracle=f"""
+WITH sg AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+pu AS (SELECT user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase'),
+conv AS (
+  SELECT sg.user_id, sg.s_us, MIN(pu.p_us) AS c_us
+  FROM sg LEFT JOIN pu ON pu.user_id = sg.user_id AND pu.p_us >= sg.s_us
+  GROUP BY sg.user_id, sg.s_us
+),
+mx AS (SELECT MAX(epoch_us(ts)) AS m_us FROM events),
+subj AS (
+  SELECT c.user_id,
+         CASE WHEN c.c_us IS NOT NULL
+                   AND (c.c_us - c.s_us) // {_KM_DAY_US} < {_KM_H}
+              THEN (c.c_us - c.s_us) // {_KM_DAY_US} END AS conv_b,
+         CASE WHEN c.c_us IS NULL
+                   OR (c.c_us - c.s_us) // {_KM_DAY_US} >= {_KM_H}
+              THEN LEAST((m.m_us - c.s_us) // {_KM_DAY_US}, {_KM_H - 1})
+              END AS cens_b
+  FROM conv c CROSS JOIN mx m
+),
+grid AS (SELECT CAST(unnest(range(0, {_KM_H})) AS BIGINT) AS bucket),
+bk AS (
+  SELECT g.bucket,
+         CAST((SELECT COUNT(1) FROM subj s WHERE s.conv_b = g.bucket) AS BIGINT) AS n_conv,
+         CAST((SELECT COUNT(1) FROM subj s WHERE s.cens_b = g.bucket) AS BIGINT) AS n_censored
+  FROM grid g
+),
+tot AS (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM subj),
+risk AS (
+  SELECT b.bucket, b.n_conv, b.n_censored,
+         t.n - COALESCE(SUM(b.n_conv + b.n_censored) OVER (
+           ORDER BY b.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM bk b CROSS JOIN tot t
+),
+arrs AS (
+  SELECT list(CASE WHEN n_risk > 0
+                   THEN CAST(n_risk - n_conv AS DOUBLE) ELSE 1.0 END
+              ORDER BY bucket) AS nums,
+         list(CASE WHEN n_risk > 0
+                   THEN CAST(n_risk AS DOUBLE) ELSE 1.0 END
+              ORDER BY bucket) AS dens
+  FROM risk
+)
+SELECT r.bucket, r.n_risk, r.n_conv, r.n_censored,
+       CAST(CASE WHEN r.n_risk > 0
+                 THEN r.n_conv * 1000000 // r.n_risk ELSE 0 END AS BIGINT)
+         AS hazard_ppm,
+       CAST(FLOOR(
+         list_reduce(list_slice(a.nums, 1, r.bucket + 1), (x, y) -> x * y)
+         / list_reduce(list_slice(a.dens, 1, r.bucket + 1), (x, y) -> x * y)
+         * 1000000.0) AS BIGINT) AS survival_ppm
+FROM risk r CROSS JOIN arrs a
+ORDER BY r.bucket
+""",
+)
+def events_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sg = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("s_us"))
+    )
+    pu = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    conv = (
+        sg.join(pu, "user_id", "left")
+        .filter(F.col("p_us").isNull() | (F.col("p_us") >= F.col("s_us")))
+        .groupBy("user_id", "s_us")
+        .agg(F.min("p_us").alias("c_us"))
+    )
+    # A user whose ONLY purchases precede signup still needs a subject
+    # row: re-join against the signup base to restore them as censored.
+    conv = sg.join(conv.select("user_id", "c_us"), "user_id", "left")
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("m_us"))
+    raw_b = F.expr(f"(c_us - s_us) div {_KM_DAY_US}")
+    subj = conv.join(F.broadcast(mx)).select(
+        F.when(F.col("c_us").isNotNull() & (raw_b < _KM_H), raw_b).alias(
+            "conv_b"
+        ),
+        F.when(
+            F.col("c_us").isNull() | (raw_b >= _KM_H),
+            F.least(
+                F.expr(f"(m_us - s_us) div {_KM_DAY_US}"),
+                F.lit(_KM_H - 1),
+            ),
+        ).alias("cens_b"),
+    )
+    grid = spark.range(_KM_H).select(F.col("id").cast("bigint").alias("bucket"))
+    dj = subj.groupBy(F.col("conv_b").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_conv")
+    )
+    cj = subj.groupBy(F.col("cens_b").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_censored")
+    )
+    tot = subj.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        grid.join(dj, "bucket", "left")
+        .join(cj, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_conv", F.lit(0)).cast("bigint").alias("n_conv"),
+            F.coalesce("n_censored", F.lit(0)).cast("bigint").alias("n_censored"),
+        )
+        .join(F.broadcast(tot))
+        # bounded window: the relation is exactly _KM_H rows at any scale
+        .withColumn(
+            "n_risk",
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("n_conv") + F.col("n_censored")).over(w), F.lit(0)
+            ),
+        )
+        .drop("n")
+    )
+    term = lambda num: F.when(  # noqa: E731
+        F.col("n_risk") > 0, num.cast("double")
+    ).otherwise(F.lit(1.0))
+    arrs = risk.select(
+        F.struct("bucket", term(F.col("n_risk") - F.col("n_conv")).alias("v")).alias("nu"),
+        F.struct("bucket", term(F.col("n_risk")).alias("v")).alias("de"),
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list("nu")), lambda s: s["v"]
+        ).alias("nums"),
+        F.transform(
+            F.array_sort(F.collect_list("de")), lambda s: s["v"]
+        ).alias("dens"),
+    )
+    fold = lambda arr, j: F.aggregate(  # noqa: E731
+        F.slice(arr, F.lit(1), (j + 1).cast("int")),
+        F.lit(1.0),
+        lambda acc, v: acc * v,
+    )
+    return (
+        risk.join(F.broadcast(arrs))
+        .select(
+            "bucket",
+            "n_risk",
+            "n_conv",
+            "n_censored",
+            F.expr(
+                "cast(CASE WHEN n_risk > 0 THEN (n_conv * 1000000)"
+                " div n_risk ELSE 0 END as bigint)"
+            ).alias("hazard_ppm"),
+            F.floor(
+                fold(F.col("nums"), F.col("bucket"))
+                / fold(F.col("dens"), F.col("bucket"))
+                * F.lit(1_000_000.0)
+            )
+            .cast("bigint")
+            .alias("survival_ppm"),
+        )
+        .orderBy("bucket")
+    )

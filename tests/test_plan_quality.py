@@ -89,6 +89,8 @@ BNLJ_OK = {
     "similarity_ann_ivfpq",  # same k-row coarse-centroid broadcast as IVF
     "neyman_allocation_plan",  # 1-row weight-total + extras broadcasts
     #   (same shape as proportional_allocation_plan)
+    "events_conversion_survival",  # 1-row max-ts / subject-total / KM-array
+    #   broadcasts onto the 14-row bucket grid
 }
 
 

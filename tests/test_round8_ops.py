@@ -172,3 +172,20 @@ def test_clustering_coefficient_bounds(spark, sf_dir):
         assert 0 <= r.cc_ppm <= 1_000_000
         # T is bounded by the wedge count at the node
         assert r.triangles <= r.degree * (r.degree - 1) // 2
+
+
+def test_km_survival_invariants(spark, sf_dir):
+    """KM survival is non-increasing, starts <= 1e6, and the risk-set
+    accounting balances: n_risk[j+1] = n_risk[j] - conv[j] - censored[j]."""
+    rows = sorted(
+        REGISTRY["events_conversion_survival"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(14))
+    assert rows[0].n_risk > 0
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_risk == a.n_risk - a.n_conv - a.n_censored
+        assert b.survival_ppm <= a.survival_ppm
+    for r in rows:
+        assert 0 <= r.survival_ppm <= 1_000_000
+        assert 0 <= r.hazard_ppm <= 1_000_000
