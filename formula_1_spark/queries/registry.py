@@ -54,18 +54,20 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 # round-7 window per the growth protocol; all locally bit-exact via
 # tests/test_oracle_parity.py). A green r08 closes cumulative driver
 # coverage at 249/249 for the pre-round-8 registry. The remaining 25 slots
-# re-check the STALEST greens: the rest of the r03 cohort (27 names last
-# green in CORRECTNESS_r03; the list carries all 27, the driver takes the
-# first 25, the trailing 2 lead the round-9 window automatically). New
+# re-check the STALEST greens: 25 of the 27 remaining r03-cohort names
+# (last green in CORRECTNESS_r03; the 2 that did not fit are named in the
+# ROUND-9 TODO below). New
 # round-8+ queries register BEHIND this pinned window. Names absent from
 # REGISTRY are skipped; registered names absent from this list keep
 # registration order after it.
 #
-# ROUND-9 ROTATION TODO: pin the round-8 additions first
+# ROUND-9 ROTATION TODO: pin the 11 round-8 additions first
 # (ivf_nprobe_recall_curve, exactsubstr_dup50_profile,
 # exactsubstr_excision50, suffix_lrs_pow2, exactsubstr_threshold_curve,
-# exactsubstr_decontam50 — registered behind this window per the growth
-# protocol), then the 2 r03-cohort names that overflow this window
+# exactsubstr_decontam50, kmv_source_overlap, similarity_ann_ivfpq,
+# neyman_allocation_plan, part_copurchase_clustering,
+# events_conversion_survival — registered behind this window per the
+# growth protocol), then the 2 r03-cohort stale greens that did not fit this window
 # (orders_zorder_pruned_scan, quality_quantile_filter), then the stalest
 # r04 greens (see CORRECTNESS_r04.json).
 _DRIVER_PRIORITY: tuple[str, ...] = (
@@ -96,7 +98,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "trade_kcore_membership",
     "segment_hhi_concentration",
     # --- regression re-checks: stalest driver greens (rest of the r03
-    # cohort, last green in CORRECTNESS_r03; 27 names, first 25 fit) ---
+    # cohort, last green in CORRECTNESS_r03; 25 of 27 fit) ---
     "tpch_q12_late_shipment_priority",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
@@ -122,9 +124,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "orders_grouping_sets",
     "part_hierarchy_rollup",
     "paged_api_source_ingest",
-    # --- window overflow: lead the round-9 window ---
-    "orders_zorder_pruned_scan",
-    "quality_quantile_filter",
 )
 
 

@@ -781,9 +781,9 @@ bk AS (
 tot AS (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM subj),
 risk AS (
   SELECT b.bucket, b.n_conv, b.n_censored,
-         t.n - COALESCE(SUM(b.n_conv + b.n_censored) OVER (
+         CAST(t.n - COALESCE(SUM(b.n_conv + b.n_censored) OVER (
            ORDER BY b.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS n_risk
+           AS BIGINT) AS n_risk
   FROM bk b CROSS JOIN tot t
 ),
 arrs AS (
