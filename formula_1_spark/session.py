@@ -33,6 +33,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE on sizing shuffle_partitions: AQE can COALESCE small
+        # partitions but can never split beyond the initial number, so
+        # this knob must scale with the data (the round-8 30x curve check
+        # measured exactsubstr_threshold_curve at 24.5 s with 32
+        # partitions vs 14.6 s with 96 at 30x sf0.1 — same plan, pure
+        # per-partition memory pressure). On a cluster set it to ~2-3x
+        # total executor cores via the parameter / extra_conf; a global
+        # adaptive.coalescePartitions.initialPartitionNum=4x default was
+        # tried and REJECTED — it regressed the sf0.1 suite 392.7 ->
+        # 533.0 s (per-stage scheduling overhead on hundreds of small
+        # stages outweighs the spill relief; see PERF.md round 8).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -55,6 +55,11 @@ SLATE = {
     "multiprobe_recall_gain": "query-side Hamming-1 probe fan-out broadcast; corpus band index scanned once per method",
     "bpe_merge_rounds": "three unrolled merge rounds over the vocab-sized word table; 1-row argmax-pair broadcasts",
     "orders_open_backlog_daily": "interval sweep: deltas aggregate to date grain before the domain-bounded running sum",
+    "exactsubstr_dup50_profile": "hash-doubling grid: 6 equi-joins build levels 1-64 once (checkpoint-shared by the family); the K=50 key is 2 fixed-offset joins; only 60-bit group hashes shuffle",
+    "similarity_ann_ivfpq": "IVF cell-pruned pairs scored by broadcast PQ-ADC tables; full vectors only at the top-20 re-rank",
+    "kmv_source_overlap": "bucket-partial k-mins (bounded windows) merge to <=64-row sketches; the pair stage never re-touches the corpus",
+    "part_copurchase_clustering": "per-order pair join bounded by basket size; support filter prunes edges BEFORE the wedge-close joins",
+    "events_conversion_survival": "two event scans + one user-keyed join; risk sets + KM folds all on the broadcast 14-row bucket grid",
 }
 
 
