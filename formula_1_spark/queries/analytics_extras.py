@@ -1041,3 +1041,95 @@ def segment_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (round 8)
+# ---------------------------------------------------------------------------
+
+_CUSUM_TOP = 25
+
+
+@register(
+    "orders_cusum_changepoint",
+    ops="EXT-changepoint,A1,W1 (integer CUSUM level-shift detection)",
+    doc="Change-point detection on the daily order-count series via the "
+    "classic CUSUM statistic (Page 1954): cusum_j = sum_{i<=j} "
+    "(count_i - mean), computed EXACTLY in integer micro-units "
+    "(count * 1e6 - total * 1e6 div n_days accumulates bigints — no "
+    "float drift for the driver hash), the day with max |cusum| is the "
+    "level-shift estimate. The corpus-scale work is one date-grain "
+    "count; the running sum and ranking act on the day-grain relation, "
+    "bounded by the DATE DOMAIN (~2.4k days for TPC-H), never row "
+    "count. Reports the top-25 |cusum| days with the argmax flagged.",
+    oracle=f"""
+WITH daily AS (
+  SELECT o_orderdate AS d, CAST(COUNT(1) AS BIGINT) AS c
+  FROM orders GROUP BY o_orderdate
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(COUNT(1) AS BIGINT) AS n
+  FROM daily
+),
+dev AS (
+  SELECT d.d, d.c,
+         CAST(d.c * 1000000 - (t.t * 1000000) // t.n AS BIGINT) AS dev_micro
+  FROM daily d CROSS JOIN tot t
+),
+cs AS (
+  SELECT d, c, dev_micro,
+         CAST(SUM(dev_micro) OVER (ORDER BY d) AS BIGINT) AS cusum_micro
+  FROM dev
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(cusum_micro) DESC, d) AS r
+  FROM cs
+)
+SELECT STRFTIME(d, '%Y-%m-%d') AS day, c AS n_orders, cusum_micro,
+       CAST(CASE WHEN r = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_changepoint
+FROM rk WHERE r <= {_CUSUM_TOP}
+ORDER BY day
+""",
+)
+def orders_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = daily.agg(
+        F.sum("c").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    dev = daily.join(F.broadcast(tot)).select(
+        "d",
+        "c",
+        F.expr("cast(c * 1000000 - (t * 1000000) div n as bigint)").alias(
+            "dev_micro"
+        ),
+    )
+    # Post-agg windows: the relation is date-domain-grain (~2.4k rows at
+    # any corpus scale), so the global ordering is bounded.
+    cs = dev.withColumn(
+        "cusum_micro",
+        F.sum("dev_micro").over(Window.orderBy("d")).cast("bigint"),
+    )
+    rk = cs.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.desc(F.abs(F.col("cusum_micro"))), F.asc("d"))
+        ),
+    )
+    return (
+        rk.filter(F.col("r") <= _CUSUM_TOP)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("c").alias("n_orders"),
+            "cusum_micro",
+            F.when(F.col("r") == 1, 1).otherwise(0).cast("bigint").alias(
+                "is_changepoint"
+            ),
+        )
+        .orderBy("day")
+    )

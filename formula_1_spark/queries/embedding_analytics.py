@@ -787,3 +787,100 @@ def kcenter_greedy_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out.orderBy("seed_round")
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid similarity matrix (round 8)
+# ---------------------------------------------------------------------------
+
+_CENT_COS = """
+list_reduce(list_transform(list_zip({a}, {b}),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
+/ (sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        (acc, v) -> acc + v))
+ * sqrt(list_reduce(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        (acc, v) -> acc + v)))
+"""
+
+
+@register(
+    "label_centroid_similarity",
+    ops="EXT-embedding-analytics,A1,J4 (class-pair centroid cosine matrix)",
+    doc="Pairwise label-centroid cosine matrix — the BETWEEN-class "
+    "complement of label_centroid_cohesion's within-class audit (the "
+    "two together are the class-separability read before training on "
+    "frozen embeddings: tight classes + low cross-centroid cosine = "
+    "separable), and the embedding-space complement of "
+    "kmv_source_overlap's lexical overlap. Centroids use the same "
+    "floor-quantized exact-integer mean as k-means; the pair stage is "
+    "a |labels|^2-bounded join over 10 centroid rows — the corpus is "
+    "touched once for the component sums, never by the pairing.",
+    oracle=f"""
+WITH ex AS (
+  SELECT label, d.dim AS dim, CAST(embedding[d.dim + 1] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(range(0, 64)) AS dim) d
+),
+comp AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(FLOOR(v * {_Q}) AS BIGINT)) AS DOUBLE)
+           / ({_Q} * COUNT(*)) AS c,
+         COUNT(*) AS nd
+  FROM ex GROUP BY label, dim
+),
+cents AS (
+  SELECT label, list(c ORDER BY dim) AS cent,
+         CAST(MAX(nd) AS BIGINT) AS n_members
+  FROM comp GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       a.n_members AS n_a, b.n_members AS n_b,
+       CAST(FLOOR(({_CENT_COS.format(a="a.cent", b="b.cent")}) * {_Q})
+            AS BIGINT) AS centroid_cos_q
+FROM cents a JOIN cents b ON a.label < b.label
+ORDER BY label_a, label_b
+""",
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.functions.vectors import cosine as _cos
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    long = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select("label", "dim", F.col("v").cast("double").alias("v"))
+    comp = (
+        long.select("label", "dim", F.floor(F.col("v") * F.lit(_Q)).alias("q"))
+        .groupBy("label", "dim")
+        .agg(
+            (F.sum("q").cast("double") / (F.lit(_Q) * F.count(F.lit(1)))).alias("c"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+    )
+    cents = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("cent"),
+        F.max("nd").cast("bigint").alias("n_members"),
+    )
+    a = cents.select(
+        F.col("label").alias("label_a"),
+        F.col("cent").alias("cent_a"),
+        F.col("n_members").alias("n_a"),
+    )
+    b = cents.select(
+        F.col("label").alias("label_b"),
+        F.col("cent").alias("cent_b"),
+        F.col("n_members").alias("n_b"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.floor(_cos(F.col("cent_a"), F.col("cent_b")) * F.lit(_Q))
+            .cast("bigint")
+            .alias("centroid_cos_q"),
+        )
+        .orderBy("label_a", "label_b")
+    )

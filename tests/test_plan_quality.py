@@ -91,6 +91,10 @@ BNLJ_OK = {
     #   (same shape as proportional_allocation_plan)
     "events_conversion_survival",  # 1-row max-ts / subject-total / KM-array
     #   broadcasts onto the 14-row bucket grid
+    "orders_cusum_changepoint",  # 1-row mean/total broadcast onto the
+    #   date-domain-bounded daily relation
+    "label_centroid_similarity",  # 10-row centroid pair grid (non-equi
+    #   a<b) — bounded by the LABEL domain, never data
 }
 
 

@@ -189,3 +189,21 @@ def test_km_survival_invariants(spark, sf_dir):
     for r in rows:
         assert 0 <= r.survival_ppm <= 1_000_000
         assert 0 <= r.hazard_ppm <= 1_000_000
+
+
+def test_cusum_changepoint_shape(spark, sf_dir):
+    rows = REGISTRY["orders_cusum_changepoint"].fn(spark, sf_dir).collect()
+    assert len(rows) == 25
+    assert sum(r.is_changepoint for r in rows) == 1
+    flagged = max(rows, key=lambda r: abs(r.cusum_micro))
+    assert flagged.is_changepoint == 1, "argmax |cusum| must carry the flag"
+
+
+def test_centroid_similarity_matrix_shape(spark, sf_dir):
+    rows = REGISTRY["label_centroid_similarity"].fn(spark, sf_dir).collect()
+    labels = {r.label_a for r in rows} | {r.label_b for r in rows}
+    assert len(rows) == len(labels) * (len(labels) - 1) // 2
+    for r in rows:
+        assert r.label_a < r.label_b
+        assert -1_000_000 <= r.centroid_cos_q <= 1_000_000
+        assert r.n_a > 0 and r.n_b > 0
