@@ -588,3 +588,114 @@ def shard_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tokens", "first_doc", "last_doc", "fill_ppm")
         .orderBy("shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy set-cover selection (round 8)
+# ---------------------------------------------------------------------------
+
+_COVER_ROUNDS = 4
+_COVER_GRAM = 8
+
+
+def _cover_oracle() -> str:
+    """Unrolled greedy max-coverage CTEs: round t picks the doc with the
+    most grams NOT covered by rounds 1..t-1 (ties: min doc_id)."""
+    parts = [
+        rf"""g AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(
+            list_slice(t, i + 1, i + {_COVER_GRAM}), ' ')), 1, 15))::BIGINT AS gr
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+       unnest(range(0, greatest(len(t) - {_COVER_GRAM - 1}, 0))) u(i)
+)"""
+    ]
+    prev_cov = None
+    selects = []
+    for t in range(1, _COVER_ROUNDS + 1):
+        gain_src = (
+            "g"
+            if prev_cov is None
+            else f"(SELECT doc_id, gr FROM g ANTI JOIN {prev_cov} USING (gr))"
+        )
+        parts.append(
+            f"p{t} AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS gain "
+            f"FROM {gain_src} q{t} GROUP BY doc_id "
+            f"ORDER BY gain DESC, doc_id LIMIT 1)"
+        )
+        cov = f"c{t}"
+        base = "SELECT gr FROM g JOIN p{t} USING (doc_id)".format(t=t)
+        if prev_cov is None:
+            parts.append(f"{cov} AS ({base})")
+        else:
+            parts.append(f"{cov} AS (SELECT gr FROM {prev_cov} UNION {base})")
+        prev_cov = cov
+        selects.append(
+            f"SELECT CAST({t} AS BIGINT) AS round, doc_id, gain,"
+            f" (SELECT CAST(COUNT(1) AS BIGINT) FROM c{t}) AS covered_total"
+            f" FROM p{t}"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY round"
+    )
+
+
+@register(
+    "greedy_gram_cover",
+    ops="EXT-curation-setcover,A1,J-anti (submodular max-coverage pick)",
+    doc="Greedy maximum-coverage selection (the 1-1/e submodular "
+    "guarantee; the DataComp/coreset 'cover the benchmark vocabulary "
+    "with k exemplars' op): 4 unrolled rounds, each picking the doc "
+    "with the most distinct 8-grams NOT yet covered (ties: min doc_id) "
+    "and folding its grams into the covered set. Per round: one anti-"
+    "join of the gram postings against the (selected-docs-bounded, "
+    "checkpointed) covered set + one groupBy argmax — the kcenter/"
+    "kcore eager-checkpoint pattern keeps plan lineage flat. Emits "
+    "(round, doc_id, marginal gain, cumulative covered grams) — gains "
+    "non-increasing by submodularity, pinned by a golden test.",
+    oracle=_cover_oracle(),
+)
+def greedy_gram_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.dedup import positional_gram_postings
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    g = (
+        positional_gram_postings(docs, _COVER_GRAM)
+        .select("doc_id", F.col("g").alias("gr"))
+        .distinct()
+        .localCheckpoint(eager=False)  # scanned once per round
+    )
+    covered = None
+    picks = []
+    for t in range(1, _COVER_ROUNDS + 1):
+        pool = g if covered is None else g.join(covered, "gr", "leftanti")
+        # 1-row pick, eagerly checkpointed: without it round t's plan
+        # embeds every prior round's argmax subtree (the kcenter lesson)
+        pick = (
+            pool.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        new_cov = g.join(F.broadcast(pick.select("doc_id")), "doc_id").select("gr")
+        covered = (
+            new_cov
+            if covered is None
+            else covered.unionByName(new_cov).distinct()
+        ).localCheckpoint(eager=True)  # bounded by selected docs' vocab
+        n_cov = covered.count()  # tiny relation; drives the output column
+        picks.append(
+            pick.select(
+                F.lit(t).cast("bigint").alias("round"),
+                "doc_id",
+                "gain",
+                F.lit(n_cov).cast("bigint").alias("covered_total"),
+            )
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("round")

@@ -61,13 +61,14 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 # REGISTRY are skipped; registered names absent from this list keep
 # registration order after it.
 #
-# ROUND-9 ROTATION TODO: pin the 13 round-8 additions first
+# ROUND-9 ROTATION TODO: pin the 14 round-8 additions first
 # (ivf_nprobe_recall_curve, exactsubstr_dup50_profile,
 # exactsubstr_excision50, suffix_lrs_pow2, exactsubstr_threshold_curve,
 # exactsubstr_decontam50, kmv_source_overlap, similarity_ann_ivfpq,
 # neyman_allocation_plan, part_copurchase_clustering,
 # events_conversion_survival, orders_cusum_changepoint,
-# label_centroid_similarity — registered behind this window per the
+# label_centroid_similarity, greedy_gram_cover — registered behind
+# this window per the
 # growth protocol), then the 2 r03-cohort stale greens that did not fit this window
 # (orders_zorder_pruned_scan, quality_quantile_filter), then the stalest
 # r04 greens (see CORRECTNESS_r04.json).

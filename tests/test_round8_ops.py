@@ -207,3 +207,21 @@ def test_centroid_similarity_matrix_shape(spark, sf_dir):
         assert r.label_a < r.label_b
         assert -1_000_000 <= r.centroid_cos_q <= 1_000_000
         assert r.n_a > 0 and r.n_b > 0
+
+
+def test_greedy_cover_submodular_gains(spark, sf_dir):
+    """Marginal gains are non-increasing (submodularity) and the covered
+    total is exactly the cumulative sum of gains (picks never overlap
+    their own prior coverage)."""
+    rows = sorted(
+        REGISTRY["greedy_gram_cover"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.round,
+    )
+    assert [r.round for r in rows] == [1, 2, 3, 4]
+    assert len({r.doc_id for r in rows}) == 4, "picks must be distinct docs"
+    for a, b in zip(rows, rows[1:]):
+        assert b.gain <= a.gain, "greedy gains must be non-increasing"
+    cum = 0
+    for r in rows:
+        cum += r.gain
+        assert r.covered_total == cum
