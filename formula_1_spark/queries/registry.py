@@ -49,83 +49,82 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 
 
 # The correctness driver snapshots the FIRST 50 registry entries in
-# iteration order each round. Round 8 pins the 25 round-7 additions first —
-# the only queries without a driver CORRECTNESS row (registered behind the
-# round-7 window per the growth protocol; all locally bit-exact via
-# tests/test_oracle_parity.py). A green r08 closes cumulative driver
-# coverage at 249/249 for the pre-round-8 registry. The remaining 25 slots
-# re-check the STALEST greens: 25 of the 27 remaining r03-cohort names
-# (last green in CORRECTNESS_r03; the 2 that did not fit are named in the
-# ROUND-9 TODO below). New
-# round-8+ queries register BEHIND this pinned window. Names absent from
-# REGISTRY are skipped; registered names absent from this list keep
-# registration order after it.
+# iteration order each round. Round 9 pins the 14 round-8 additions first —
+# the only queries never driver-checked (registered behind the round-8
+# window per the growth protocol; all judge-verified green in VERDICT r08
+# and locally bit-exact via tests/test_oracle_parity.py). A green r09
+# closes cumulative driver coverage at 263/263 — every registered query
+# driver-certified at least once. The remaining 36 slots re-check the
+# STALEST greens: the 2 r03-cohort names that never fit a window
+# (orders_zorder_pruned_scan, quality_quantile_filter, last green r03),
+# then 34 of the 47 r04-cohort names whose last driver check was
+# CORRECTNESS_r04 (in r04 order). New round-9+ queries register BEHIND
+# this pinned window. Names absent from REGISTRY are skipped; registered
+# names absent from this list keep registration order after it.
 #
-# ROUND-9 ROTATION TODO: pin the 14 round-8 additions first
-# (ivf_nprobe_recall_curve, exactsubstr_dup50_profile,
-# exactsubstr_excision50, suffix_lrs_pow2, exactsubstr_threshold_curve,
-# exactsubstr_decontam50, kmv_source_overlap, similarity_ann_ivfpq,
-# neyman_allocation_plan, part_copurchase_clustering,
-# events_conversion_survival, orders_cusum_changepoint,
-# label_centroid_similarity, greedy_gram_cover — registered behind
-# this window per the
-# growth protocol), then the 2 r03-cohort stale greens that did not fit this window
-# (orders_zorder_pruned_scan, quality_quantile_filter), then the stalest
-# r04 greens (see CORRECTNESS_r04.json).
+# ROUND-10 ROTATION TODO: pin any round-9 additions first (registered
+# behind this window), then the 13 r04-cohort stale greens that did not
+# fit this window (map_functions_battery, embedding_dim_stats,
+# benford_price_audit, events_anomaly_mad, order_value_regression,
+# countmin_error_audit, token_length_deciles, bpe_pair_merge_stats,
+# top_terms_per_source, quality_vs_duplication, vocab_growth_heaps,
+# orders_seasonality_profile, part_revenue_pareto), then the stalest
+# r05 greens (see CORRECTNESS_r05.json).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (all 25 round-7 additions) ---
-    "line_dedup_hot_lines",
-    "line_dedup_excision",
-    "line_source_reuse_matrix",
-    "cdc_chunk_dedup",
-    "quality_threshold_sweep",
-    "lsh_band_occupancy",
-    "ivf_cell_balance",
-    "embedding_power_iteration",
-    "similarity_ann_multiprobe",
-    "basket_brand_affinity",
-    "line_dedup_incremental",
-    "dedup_cross_source_rate",
-    "embedding_norm_outliers",
-    "kcenter_greedy_seeding",
-    "bpe_merge_rounds",
-    "orders_open_backlog_daily",
-    "events_rate_limit_audit",
-    "multiprobe_recall_gain",
-    "source_token_tv_drift",
-    "hot_line_position_profile",
-    "corpus_novelty_curve",
-    "events_dau_wau_stickiness",
-    "pq_recall_audit",
-    "trade_kcore_membership",
-    "segment_hhi_concentration",
-    # --- regression re-checks: stalest driver greens (rest of the r03
-    # cohort, last green in CORRECTNESS_r03; 25 of 27 fit) ---
-    "tpch_q12_late_shipment_priority",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_relationship",
-    "tpch_q20_promotion_supplier",
-    "skew_salted_join",
-    "string_functions_battery",
-    "window_frames_battery",
-    "text_scrub_pii",
-    "training_data_funnel",
-    "training_epoch_shuffle",
-    "sample_stratified_by_lang",
-    "sample_fixed_per_source",
-    "sequence_packing",
-    "repetition_profile",
-    "orders_time_travel_diff",
-    "sample_weighted_priority",
-    "orders_grouping_sets",
-    "part_hierarchy_rollup",
-    "paged_api_source_ingest",
+    # --- never driver-checked (all 14 round-8 additions; judge-green r08) ---
+    "ivf_nprobe_recall_curve",
+    "exactsubstr_dup50_profile",
+    "exactsubstr_excision50",
+    "suffix_lrs_pow2",
+    "exactsubstr_threshold_curve",
+    "exactsubstr_decontam50",
+    "kmv_source_overlap",
+    "similarity_ann_ivfpq",
+    "neyman_allocation_plan",
+    "part_copurchase_clustering",
+    "events_conversion_survival",
+    "orders_cusum_changepoint",
+    "label_centroid_similarity",
+    "greedy_gram_cover",
+    # --- regression re-checks: the 2 r03-cohort greens never re-windowed ---
+    "orders_zorder_pruned_scan",
+    "quality_quantile_filter",
+    # --- stalest r04-cohort greens (last green CORRECTNESS_r04; 34 of 47
+    # fit — the 13 leftovers are named in the ROUND-10 TODO above) ---
+    "dedup_containment",
+    "minhash_recall_audit",
+    "dsir_importance_select",
+    "similarity_ann_pq",
+    "stateful_user_totals_stream",
+    "embedding_decontamination",
+    "media_perceptual_buckets",
+    "knn_label_noise",
+    "hard_negative_mining",
+    "label_centroid_cohesion",
+    "aqe_skew_split_join",
+    "runtime_bloom_pruned_join",
+    "nation_trade_pagerank",
+    "nation_trade_triangles",
+    "bm25_corpus_search",
+    "tfidf_lexical_topk",
+    "sample_temperature_mixture",
+    "grouped_kfold_split",
+    "events_sessionize_labels",
+    "paged_api_sink_roundtrip",
+    "orders_compaction_roundtrip",
+    "schema_evolution_scan",
+    "csv_quarantine_source",
+    "orc_roundtrip_summary",
+    "jsonl_roundtrip_events",
+    "user_erasure_audit",
+    "events_locf_fill",
+    "events_rolling_7d",
+    "customer_yoy_full_outer",
+    "split_leakage_audit",
+    "temporal_split_audit",
+    "latest_event_per_user_type",
+    "winsorized_order_stats",
+    "key_skew_profile",
 )
 
 
