@@ -74,6 +74,20 @@ def _assert_sort_under_id_projection(df: DataFrame) -> None:
     )
 
 
+def _default_range_parts(df: DataFrame) -> int:
+    """Range-exchange width for the two-phase operators: the shuffle conf,
+    capped at the INPUT's own partition count. Data that fits N upstream
+    partitions fits N range partitions of the same size; on a vanilla
+    200-shuffle-partition session a small scan would otherwise pay
+    3 × 200-task stages plus a 200-block localCheckpoint (measured 5.4 s
+    → 1.0 s for token_budget_selection at sf0.1). At cluster scale the
+    input is thousands of scan splits and the conf term is what caps it —
+    the sizing contract in session.py still applies.
+    """
+    conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return max(1, min(int(conf or 32), df.rdd.getNumPartitions()))
+
+
 def _ranged_enumerate(
     df: DataFrame,
     order_cols: Sequence[Column],
@@ -92,8 +106,7 @@ def _ranged_enumerate(
     the count is a free by-product of the offset pass.
     """
     if n_parts is None:
-        n_parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        n_parts = int(n_parts or 32)
+        n_parts = _default_range_parts(df)
     parts = (
         df.repartitionByRange(n_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
@@ -284,6 +297,7 @@ def global_ordered_cumsum(
     value_col: str,
     alias: str = "cum",
     n_parts: int | None = None,
+    total_alias: str | None = None,
 ) -> DataFrame:
     """Exact ``SUM(value) OVER (ORDER BY order_cols ROWS BETWEEN UNBOUNDED
     PRECEDING AND CURRENT ROW)`` without the single-partition global
@@ -306,12 +320,18 @@ def global_ordered_cumsum(
     FULL relation a second time, because range partitioning can't be
     proven to satisfy the window's required hash clustering; here only
     the tiny (pid, offset) relation moves after the range exchange.
+
+    ``total_alias``: the driver-side prefix-sum loop's final accumulator
+    IS the corpus-wide grand total of ``value_col`` — when set, it is
+    attached as a constant bigint column for free, so callers that need
+    ``SUM(value) OVER ()`` (e.g. budget thresholds) never re-scan the
+    input with a second aggregate. It costs nothing: the stats pass has
+    already collected the per-partition sums.
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
     if n_parts is None:
-        n_parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        n_parts = int(n_parts or 32)
+        n_parts = _default_range_parts(df)
     parts = (
         df.repartitionByRange(n_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
@@ -349,14 +369,20 @@ def global_ordered_cumsum(
 
     local = parts.mapInPandas(_running, schema=out_schema)
     if not offsets:
-        return local.withColumn(alias, F.col("__local_cum")).drop(
+        out = local.withColumn(alias, F.col("__local_cum")).drop(
             "__pid", "__local_cum"
         )
-    off_df = df.sparkSession.createDataFrame(offsets, "__pid int, __off bigint")
-    return (
-        local.join(F.broadcast(off_df), "__pid")
-        .withColumn(
-            alias, (F.col("__local_cum") + F.col("__off")).cast("bigint")
+    else:
+        off_df = df.sparkSession.createDataFrame(
+            offsets, "__pid int, __off bigint"
         )
-        .drop("__pid", "__local_cum", "__off")
-    )
+        out = (
+            local.join(F.broadcast(off_df), "__pid")
+            .withColumn(
+                alias, (F.col("__local_cum") + F.col("__off")).cast("bigint")
+            )
+            .drop("__pid", "__local_cum", "__off")
+        )
+    if total_alias is not None:
+        out = out.withColumn(total_alias, F.lit(acc).cast("bigint"))
+    return out

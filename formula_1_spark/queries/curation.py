@@ -225,17 +225,17 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div size(split(text, ' ')) AS BIGINT)"
         ).alias("quality_ppm"),
     )
-    # Corpus token total: one map-side-combined agg; the scalar joins in
-    # via a broadcast (a literal would force a collect-before-plan).
-    total = scored.agg(
-        F.sum("n_tokens").alias("__total_tokens")
-    )
+    # Corpus token total: the cumsum's stats pass already sums every
+    # partition — total_alias reuses its final accumulator, so the corpus
+    # is tokenized exactly ONCE (a separate agg would re-run the whole
+    # split(text) projection a second time).
     cum = global_ordered_cumsum(
         scored,
         [F.desc("quality_ppm"), F.asc("doc_id")],
         "n_tokens",
         "cum_tokens",
-    ).join(F.broadcast(total))
+        total_alias="__total_tokens",
+    )
     kept = F.col("cum_tokens") <= F.expr(
         f"__total_tokens * {BUDGET_PCT} div 100"
     )

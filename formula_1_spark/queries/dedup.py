@@ -35,12 +35,27 @@ from formula_1_spark.sources.tables import load_table, table_row_count
 # cache the shingle pipeline re-runs up to 4x (~7s at sf0.1). Values are
 # unaffected — the cached relations are exactly what each query built
 # inline before.
-_SHARED: dict[tuple[str, str], dict[str, DataFrame]] = {}
+_SHARED: dict[tuple, dict[str, DataFrame]] = {}
 
 
 def _shared_relations(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    ent = _SHARED.get(key)
+    # Key on (appId, path, mtime, size) — mirroring span_extents._POSTINGS
+    # — so a regenerated documents.parquet invalidates naturally instead of
+    # silently serving stale persisted relations for the rest of the
+    # session. Evictions: dead-app entries are dropped (their storage died
+    # with the old SparkContext); THIS app's superseded entries for the
+    # same path are unpersisted explicitly so executor storage is freed —
+    # one live entry per (app, path), ever.
+    import os
+
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(path)
+        key = (app_id, os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
+    except OSError:
+        key = None  # no invalidation signal (remote FS) — build fresh
+    ent = _SHARED.get(key) if key is not None else None
     if ent is None:
         docs = load_table(spark, sf_dir, "documents")
         tok = tokenized(docs).persist()
@@ -50,7 +65,20 @@ def _shared_relations(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             sh, threshold=0.5, max_df=50, cand=cand
         ).persist()
         ent = {"tok": tok, "sh": sh, "cand": cand, "jaccard_pairs": jac}
-        _SHARED[key] = ent
+        if key is not None:
+            for stale in [
+                k
+                for k in _SHARED
+                if k[0] != app_id or (k[1] == key[1] and k != key)
+            ]:
+                old = _SHARED.pop(stale)
+                if stale[0] == app_id:
+                    for df in old.values():
+                        try:
+                            df.unpersist()
+                        except Exception:
+                            pass  # best-effort storage release
+            _SHARED[key] = ent
     return ent
 
 
@@ -538,6 +566,178 @@ def dedup_semantic_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFram
     n = table_row_count(spark, sf_dir, "embeddings")
     k = max(8, int(math.ceil(math.sqrt(float(n)))))
     return semantic_dedup_pairs_scaled(emb, n_cells=k, iters=2, threshold=0.45)
+
+
+_SEM_EPS = 0.40  # SemDeDup epsilon: pairwise-cos duplicate threshold
+
+
+@register(
+    "semdedup_prune_report",
+    ops="EXT-dedup-semantic,A1,J4,W1 (SemDeDup keep/prune decision stage)",
+    doc="SemDeDup prune stage (Abbas et al. 2023 arXiv:2303.09540 §3, on "
+    "top of dedup_semantic_clusters' pair discovery): within each k-means "
+    "cell, every pair with exact cosine >= 0.40 is a semantic-duplicate "
+    "pair, and from each pair the member CLOSER to its centroid is "
+    "pruned — the paper keeps the low-centroid-similarity extrema as the "
+    "most diverse exemplars (ties: prune the higher vec_id). Per cell: "
+    "vectors, duplicate pairs, pruned docs, kept docs, pruned ppm. One "
+    "k-means + ONE assignment pass shared (localCheckpoint) by the pair "
+    "verify, the prune join, and the cell counts. Scale: n_cells grows "
+    "with the corpus (dedup_semantic_clusters_scaled's sqrt(n) knob) so "
+    "the per-cell pairwise verify stays bounded; the prune joins move "
+    "only (pair, cell_cos) rows.",
+    oracle=f"""
+WITH {{kmeans}},
+scored AS (
+  SELECT e.vec_id, c.cell_id,
+         {{cos}} AS cell_cos
+  FROM embeddings e, centroids c
+),
+assign AS (
+  SELECT vec_id, cell_id, cell_cos FROM (
+    SELECT vec_id, cell_id, cell_cos,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY cell_cos DESC, cell_id ASC) AS r
+    FROM scored) WHERE r = 1
+),
+unit AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)
+           / sqrt(list_reduce(
+               list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+               (acc, v) -> acc + v))) AS u
+  FROM embeddings
+),
+dup AS (
+  SELECT p.cell_id, p.vec_id_1, p.vec_id_2
+  FROM (SELECT x.cell_id, x.vec_id AS vec_id_1, y.vec_id AS vec_id_2
+        FROM assign x JOIN assign y
+          ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id) p
+  JOIN unit a ON a.vec_id = p.vec_id_1
+  JOIN unit b ON b.vec_id = p.vec_id_2
+  WHERE list_reduce(list_transform(list_zip(a.u, b.u), x -> x[1] * x[2]),
+                    (acc, v) -> acc + v) >= {_SEM_EPS}
+),
+pruned AS (
+  SELECT DISTINCT d.cell_id,
+         CASE WHEN x.cell_cos > y.cell_cos
+                   OR (x.cell_cos = y.cell_cos AND d.vec_id_1 > d.vec_id_2)
+              THEN d.vec_id_1 ELSE d.vec_id_2 END AS vec_id
+  FROM dup d
+  JOIN assign x ON x.vec_id = d.vec_id_1
+  JOIN assign y ON y.vec_id = d.vec_id_2
+),
+per_cell AS (
+  SELECT cell_id, CAST(COUNT(1) AS BIGINT) AS n_vectors
+  FROM assign GROUP BY cell_id
+),
+dup_cell AS (
+  SELECT cell_id, CAST(COUNT(1) AS BIGINT) AS dup_pairs
+  FROM dup GROUP BY cell_id
+),
+pr_cell AS (
+  SELECT cell_id, CAST(COUNT(1) AS BIGINT) AS pruned_docs
+  FROM pruned GROUP BY cell_id
+)
+SELECT CAST(p.cell_id AS BIGINT) AS cell_id,
+       p.n_vectors,
+       CAST(COALESCE(d.dup_pairs, 0) AS BIGINT) AS dup_pairs,
+       CAST(COALESCE(r.pruned_docs, 0) AS BIGINT) AS pruned_docs,
+       CAST(p.n_vectors - COALESCE(r.pruned_docs, 0) AS BIGINT) AS kept_docs,
+       CAST(COALESCE(r.pruned_docs, 0) * 1000000 // p.n_vectors AS BIGINT)
+         AS pruned_ppm
+FROM per_cell p
+LEFT JOIN dup_cell d USING (cell_id)
+LEFT JOIN pr_cell r USING (cell_id)
+ORDER BY cell_id
+""".format(
+        kmeans=_kmeans_ctes(n_cells=8, iters=2),
+        cos=_COS.format(a="e.embedding", b="c.cent"),
+    ),
+)
+def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from formula_1_spark.operators.similarity import (
+        _pairs_within_cells,
+        cosine,
+        kmeans_centroids,
+        norm,
+    )
+    from formula_1_spark.sources.tables import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, n_cells=8, iters=2).localCheckpoint(
+        eager=False
+    )
+    base = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("na")
+    ).localCheckpoint(eager=False)
+    scored = fan_out(base).join(F.broadcast(cents), F.lit(True)).withColumn(
+        "cell_cos", cosine(F.col("embedding"), F.col("cent"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_cos"), F.asc("cell_id")
+    )
+    # Shared by the pair verify, both prune joins, and the cell counts.
+    assign = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "cell_id", "cell_cos")
+        .localCheckpoint(eager=False)
+    )
+    dup = _pairs_within_cells(
+        base, assign.select("vec_id", "cell_id"), threshold=_SEM_EPS, dims=64
+    )
+    ca = assign.select(
+        F.col("vec_id").alias("vec_id_1"), F.col("cell_cos").alias("cc1")
+    )
+    cb = assign.select(
+        F.col("vec_id").alias("vec_id_2"), F.col("cell_cos").alias("cc2")
+    )
+    # cell_cos is the identical left-fold double in both engines, so the
+    # closer-to-centroid comparison (and its equality tie) is bit-stable.
+    loser = F.when(
+        (F.col("cc1") > F.col("cc2"))
+        | ((F.col("cc1") == F.col("cc2")) & (F.col("vec_id_1") > F.col("vec_id_2"))),
+        F.col("vec_id_1"),
+    ).otherwise(F.col("vec_id_2"))
+    scored_dup = dup.join(ca, "vec_id_1").join(cb, "vec_id_2")
+    pruned = scored_dup.select("cell_id", loser.alias("vec_id")).distinct()
+    per_cell = assign.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    dup_cell = scored_dup.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("dup_pairs")
+    )
+    pr_cell = pruned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("pruned_docs")
+    )
+    return (
+        per_cell.join(dup_cell, "cell_id", "left")
+        .join(pr_cell, "cell_id", "left")
+        .select(
+            F.col("cell_id").cast("bigint").alias("cell_id"),
+            "n_vectors",
+            F.coalesce(F.col("dup_pairs"), F.lit(0)).cast("bigint").alias(
+                "dup_pairs"
+            ),
+            F.coalesce(F.col("pruned_docs"), F.lit(0)).cast("bigint").alias(
+                "pruned_docs"
+            ),
+            (
+                F.col("n_vectors")
+                - F.coalesce(F.col("pruned_docs"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("kept_docs"),
+            F.expr(
+                "CAST(coalesce(pruned_docs, 0) * 1000000 div n_vectors"
+                " AS BIGINT)"
+            ).alias("pruned_ppm"),
+        )
+        .orderBy("cell_id")
+    )
 
 
 @register(

@@ -141,7 +141,17 @@ def _bucketed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         if key is not None:
-            for stale in [k for k in _POSTINGS if k[0] != app_id]:
+            # Evict (a) entries from stopped sessions — their checkpointed
+            # RDDs died with the old applicationId — and (b) THIS app's
+            # superseded entries for the same path (older mtime/size): a
+            # long-lived session sweeping regenerated sf_dirs would
+            # otherwise pin one checkpointed relation per (dir, mtime)
+            # forever. One live entry per (app, path), ever.
+            for stale in [
+                k
+                for k in _POSTINGS
+                if k[0] != app_id or (k[1] == key[1] and k != key)
+            ]:
                 del _POSTINGS[stale]
             _POSTINGS[key] = pos
     return pos

@@ -110,7 +110,15 @@ def _doubling_levels(spark: SparkSession, sf_dir: str) -> dict[int, DataFrame]:
                 .localCheckpoint(eager=False)
             )
         if key is not None:
-            for stale in [k for k in _GRID if k[0] != app_id]:
+            # Evict dead-session entries AND this app's superseded entries
+            # for the same path (older mtime/size) — one live grid per
+            # (app, path), so long-lived sessions sweeping regenerated
+            # sf_dirs never accumulate checkpointed grids unboundedly.
+            for stale in [
+                k
+                for k in _GRID
+                if k[0] != app_id or (k[1] == key[1] and k != key)
+            ]:
                 del _GRID[stale]
             _GRID[key] = levels
     return levels

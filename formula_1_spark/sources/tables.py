@@ -95,49 +95,93 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         if df.rdd.getNumPartitions() >= target:
             return df
         return df.repartition(target)
-    if len(files) >= target:
-        # Dominant case at scale: enough files to split at least one
-        # partition each — no stats needed.
-        return df
-    if _estimated_scan_splits(spark, files, target) >= target:
+    # Spark bin-packs small files into shared FilePartitions, so a raw
+    # ``len(files) >= target`` shortcut over-counts (many tiny files can
+    # collapse into far fewer scan partitions); always replay the packing.
+    # Spark sizes splits from spark.sql.files.minPartitionNum (default:
+    # leaf-node default parallelism == defaultParallelism locally) — NOT
+    # from this call's ``target`` — so that is what the replay must use.
+    packing_parallelism = int(
+        _conf_bytes(spark, "spark.sql.files.minPartitionNum", 0)
+        or spark.sparkContext.defaultParallelism
+    )
+    if _estimated_scan_partitions(spark, files, packing_parallelism) >= target:
         return df
     return df.repartition(target)
 
 
-def _estimated_scan_splits(spark: SparkSession, files: list[str], parallelism: int) -> int:
-    """Replay Spark's FilePartition sizing from file metadata only.
-
-    maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
-    totalBytes / parallelism)); each file contributes
-    ceil(size / maxSplitBytes) splits (parquet is splittable). Files whose
-    size can't be stat'd locally (remote FS) are assumed to be exactly one
-    split — the conservative direction: underestimating splits can only
-    trigger a redundant repartition, never leave a scan serialized.
-    """
-
-    def _conf_bytes(key: str, default: int) -> int:
-        raw = spark.conf.get(key, None)
-        if raw is None:
-            return default
-        raw = raw.strip().lower()
-        for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf (``128m``, ``1gb``, ``512kb``, bare
+    int). Two-letter suffixes must match before single letters — ``128mb``
+    ends in ``b`` too. Unparseable values fall back to the default rather
+    than crashing every scan-sizing call."""
+    raw = spark.conf.get(key, None)
+    if raw is None:
+        return default
+    raw = str(raw).strip().lower()
+    try:
+        for suffix, mult in (
+            ("kb", 1 << 10),
+            ("mb", 1 << 20),
+            ("gb", 1 << 30),
+            ("tb", 1 << 40),
+            ("k", 1 << 10),
+            ("m", 1 << 20),
+            ("g", 1 << 30),
+            ("t", 1 << 40),
+            ("b", 1),
+        ):
             if raw.endswith(suffix):
                 return int(float(raw[: -len(suffix)]) * mult)
         return int(raw)
+    except ValueError:
+        return default
 
-    max_partition_bytes = _conf_bytes("spark.sql.files.maxPartitionBytes", 128 << 20)
-    open_cost = _conf_bytes("spark.sql.files.openCostInBytes", 4 << 20)
+
+def _estimated_scan_partitions(
+    spark: SparkSession, files: list[str], parallelism: int
+) -> int:
+    """Replay Spark's FilePartition packing from file metadata only.
+
+    maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    (totalBytes + nFiles * openCost) / parallelism)); each file is cut
+    into splits of at most maxSplitBytes (parquet is splittable), then
+    splits are greedily packed descending-by-size into partitions of at
+    most maxSplitBytes, each split costing its length + openCost — the
+    same math as ``FilePartition.getFilePartitions``. Files whose size
+    can't be stat'd locally (remote FS) are assumed to be exactly one
+    zero-byte split — the conservative direction: underestimating
+    partitions can only trigger a redundant repartition, never leave a
+    scan serialized.
+    """
+    max_partition_bytes = _conf_bytes(
+        spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+    )
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
     sizes: list[int] = []
     for uri in files:
         local = uri[7:] if uri.startswith("file://") else uri
         try:
             sizes.append(os.stat(local).st_size)
         except OSError:
-            sizes.append(0)  # unknown size => 1 split below
+            sizes.append(0)  # unknown size => 1 zero-byte split below
     total = sum(s + open_cost for s in sizes)
     bytes_per_core = total // max(parallelism, 1)
     max_split = min(max_partition_bytes, max(open_cost, bytes_per_core))
-    return sum(max(1, -(-s // max_split)) for s in sizes)
+    splits: list[int] = []
+    for s in sizes:
+        while s > max_split:
+            splits.append(max_split)
+            s -= max_split
+        splits.append(s)
+    splits.sort(reverse=True)
+    partitions, current = 0, None
+    for length in splits:
+        if current is None or current + length > max_split:
+            partitions += 1
+            current = 0
+        current += length + open_cost
+    return partitions
 
 
 def load_tables(

@@ -32,6 +32,7 @@ BNLJ_OK = {
     "similarity_ann_ivf",
     "dedup_semantic_clusters",  # same k-means centroid broadcast as IVF
     "dedup_semantic_clusters_scaled",  # same centroid broadcast, scaled k
+    "semdedup_prune_report",  # same k-means centroid broadcast as IVF
     "tpch_q22_global_sales_opportunity",
     "tpch_q11_important_stock",  # 1-row scalar-threshold broadcast
     "embedding_quantization",  # 1-row per-dim stats broadcast

@@ -1,0 +1,160 @@
+"""Round-9 regression tests: scan-sizing conf parsing, FilePartition
+packing replay, shared-relation memo eviction, and the cumsum grand-total
+plumbing (the token_budget_selection single-scan fix)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from formula_1_spark.sources.tables import (
+    _conf_bytes,
+    _estimated_scan_partitions,
+)
+
+
+class _FakeConf:
+    def __init__(self, values):
+        self._values = values
+
+    def get(self, key, default=None):
+        return self._values.get(key, default)
+
+
+class _FakeSpark:
+    def __init__(self, values):
+        self.conf = _FakeConf(values)
+
+
+@pytest.mark.parametrize(
+    ("raw", "expected"),
+    [
+        ("128m", 128 << 20),
+        ("128mb", 128 << 20),  # two-letter suffix must not parse as 'b'
+        ("1gb", 1 << 30),
+        ("512kb", 512 << 10),
+        ("1tb", 1 << 40),
+        ("4194304", 4194304),
+        ("4194304b", 4194304),
+        ("  2G ", 2 << 30),
+    ],
+)
+def test_conf_bytes_suffixes(raw, expected):
+    spark = _FakeSpark({"k": raw})
+    assert _conf_bytes(spark, "k", -1) == expected
+
+
+def test_conf_bytes_fallbacks():
+    assert _conf_bytes(_FakeSpark({}), "missing", 99) == 99
+    # Unparseable values fall back instead of crashing every fan_out call.
+    assert _conf_bytes(_FakeSpark({"k": "not-a-size"}), "k", 77) == 77
+
+
+def test_scan_partition_packing_binpacks_small_files(tmp_path):
+    # 16 tiny files must NOT count as 16 partitions: Spark bin-packs them.
+    # Here maxSplit = totalBytes/parallelism = ~8MiB and each file costs
+    # size + openCost (4MiB) against the bin, so exactly 2 pack per
+    # partition — 8 partitions, where the old len(files) shortcut said 16.
+    files = []
+    for i in range(16):
+        p = tmp_path / f"f{i}.parquet"
+        p.write_bytes(b"x" * 1024)
+        files.append(str(p))
+    spark = _FakeSpark({})
+    assert _estimated_scan_partitions(spark, files, parallelism=8) == 8
+
+
+def test_scan_partition_packing_splits_large_file(tmp_path):
+    # One 16 MiB file with maxPartitionBytes=1m: ~16 splits, each filling
+    # a partition on its own (split + openCost > maxSplit).
+    p = tmp_path / "big.parquet"
+    p.write_bytes(b"x" * (16 << 20))
+    spark = _FakeSpark(
+        {
+            "spark.sql.files.maxPartitionBytes": "1mb",
+            "spark.sql.files.openCostInBytes": "0",
+        }
+    )
+    assert _estimated_scan_partitions(spark, [str(p)], parallelism=4) == 16
+
+
+def test_memo_caches_keep_one_entry_per_path(spark, sf_dir):
+    from formula_1_spark.queries import span_extents
+    from formula_1_spark.queries.dedup import _SHARED, _shared_relations
+
+    app_id = spark.sparkContext.applicationId
+
+    # Shared dedup relations: seed a fake superseded entry for the same
+    # path (same app, older mtime) plus a dead-app entry — both must be
+    # evicted on the next build; the live key stays.
+    _shared_relations(spark, sf_dir)
+    live = [k for k in _SHARED if k[0] == app_id]
+    assert len(live) == 1
+    path = live[0][1]
+    fake_df = spark.range(1)
+    _SHARED[(app_id, path, 0, 0)] = {"tok": fake_df}
+    _SHARED[("dead-app", path, 0, 0)] = {"tok": fake_df}
+    _SHARED.pop(live[0])
+    _shared_relations(spark, sf_dir)
+    assert (app_id, path, 0, 0) not in _SHARED
+    assert ("dead-app", path, 0, 0) not in _SHARED
+    assert sum(1 for k in _SHARED if k[1] == path) == 1
+
+    # Postings memo: same contract.
+    span_extents._bucketed_postings(spark, sf_dir)
+    live = [k for k in span_extents._POSTINGS if k[0] == app_id]
+    assert len(live) == 1
+    path = live[0][1]
+    span_extents._POSTINGS[(app_id, path, 0, 0)] = spark.range(1)
+    span_extents._POSTINGS.pop(live[0])
+    span_extents._bucketed_postings(spark, sf_dir)
+    assert (app_id, path, 0, 0) not in span_extents._POSTINGS
+    assert sum(1 for k in span_extents._POSTINGS if k[1] == path) == 1
+
+
+def test_cumsum_total_alias_matches_sum(spark):
+    from formula_1_spark.operators.windows import global_ordered_cumsum
+
+    df = spark.range(1, 101).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    out = global_ordered_cumsum(
+        df, [F.asc("k")], "v", "cum", total_alias="total"
+    )
+    rows = out.orderBy("k").collect()
+    expected_total = sum(i % 7 for i in range(1, 101))
+    assert all(r["total"] == expected_total for r in rows)
+    assert rows[-1]["cum"] == expected_total
+    running = 0
+    for r in rows:
+        running += r["v"]
+        assert r["cum"] == running
+
+
+def test_cumsum_range_parts_capped_at_input(spark):
+    # An 8-partition input on a 200-shuffle-partition session must not
+    # produce a 200-partition range exchange.
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        from formula_1_spark.operators.windows import global_ordered_cumsum
+
+        df = spark.range(0, 1000, numPartitions=8).select(
+            F.col("id").alias("k"), F.lit(1).alias("v")
+        )
+        out = global_ordered_cumsum(df, [F.asc("k")], "v", "cum")
+        assert out.rdd.getNumPartitions() <= 8
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def test_semdedup_prune_keeps_centroid_extrema(spark, sf_dir):
+    """SemDeDup invariants: pruned <= pairs per cell (each pair prunes at
+    most one NEW doc), kept + pruned == vectors, and ppm math exact."""
+    from formula_1_spark.queries.dedup import semdedup_prune_report
+
+    rows = semdedup_prune_report(spark, sf_dir).collect()
+    assert rows, "no cells"
+    for r in rows:
+        assert r["kept_docs"] + r["pruned_docs"] == r["n_vectors"]
+        assert r["pruned_docs"] <= r["dup_pairs"] or r["dup_pairs"] == 0
+        assert r["pruned_ppm"] == r["pruned_docs"] * 1_000_000 // r["n_vectors"]
