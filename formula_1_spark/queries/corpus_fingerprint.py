@@ -49,27 +49,44 @@ _PPM = 1_000_000
 _WIN_K = 3  # words per k-gram
 _WIN_W = 4  # k-gram hashes per winnowing window
 
+# Gram-hash combine: each TOKEN is md5'd once (28-bit prefix); a k-gram's
+# 32-bit hash is the exact-int64 polynomial (h0*K1 + h1) % 2^32 * K2 + h2
+# % 2^32 over consecutive token hashes. Versus md5 per gram (each token
+# string hashed k times inside k joined gram strings) this cuts the md5
+# work ~3x and drops the per-gram slice+join string building — measured
+# 2.42s -> 1.92s for the fingerprint stage at sf0.1, bit-identical in
+# both engines (28-bit inputs keep every intermediate < 2^52 < 2^63).
+_HASH_M = 1 << 32
+_HASH_K1 = 1_000_003
+_HASH_K2 = 999_983
+
 
 def _gram_hash_sql(k: int) -> str:
-    """DuckDB: list of 32-bit k-gram hashes for string_split tokens."""
+    """DuckDB: list of 32-bit k-gram polynomial hashes over per-token
+    28-bit md5 prefixes (k=3 hard-wired in the combine)."""
+    assert k == 3
     return f"""list_transform(
-        range(0, greatest(len(tok) - {k}, -1) + 1),
-        i -> ('0x' || substr(md5(array_to_string(
-                 list_slice(tok, i + 1, i + {k}), ' ')), 1, 8))::BIGINT)"""
+        range(0, greatest(len(th) - {k}, -1) + 1),
+        i -> ((th[i+1] * {_HASH_K1} + th[i+2]) % {_HASH_M} * {_HASH_K2}
+              + th[i+3]) % {_HASH_M})"""
 
 
 @register(
     "winnow_fingerprint_dedup",
     ops="EXT-winnowing,DEDUP (windowed-min k-gram fingerprints)",
     doc="Winnowing fingerprints (k=3-word grams, window w=4): per-row "
-    "array math builds gram hashes (md5 32-bit prefix) and takes each "
-    "sliding window's minimum; distinct (doc, fp) pairs are the only "
-    "shuffled relation. Fingerprints held by >=2 docs mark dup "
+    "array math builds gram hashes (per-token md5 prefix, exact-int64 "
+    "polynomial combine — one md5 per TOKEN, not per gram) and takes "
+    "each sliding window's minimum; distinct (doc, fp) pairs are the "
+    "only shuffled relation. Fingerprints held by >=2 docs mark dup "
     "candidates. Per source: docs, fingerprinted docs, fingerprint "
     "volume, and dup-candidate docs.",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, source, string_split(text, ' ') AS tok FROM documents
+  SELECT doc_id, source,
+         list_transform(string_split(text, ' '),
+                        t -> ('0x' || substr(md5(t), 1, 7))::BIGINT) AS th
+  FROM documents
 ),
 hashed AS (
   SELECT doc_id, source, {_gram_hash_sql(_WIN_K)} AS h FROM toks
@@ -119,25 +136,31 @@ ORDER BY t.source
 def winnow_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
-    # Guard: sequence(0, stop) DESCENDS when stop < 0 (docs shorter than
-    # k tokens), which would feed slice() a 0/negative start — emit an
-    # empty gram list instead, matching the oracle's empty range().
+    th = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint"),
+    )
+    base = docs.select("doc_id", "source", th.alias("th"))
+    # Gram combine via three SHIFTED SLICES zipped pairwise — NOT
+    # element_at(th, i) inside a sequence-transform lambda: CollapseProject
+    # re-inlines the md5 token array into every element access, turning
+    # the gram build O(n^2) per doc (measured 33s vs 1.9s at sf0.1).
+    # Guard: docs shorter than k tokens emit an empty gram list, matching
+    # the oracle's empty range().
+    n_g = F.size("th") - (_WIN_K - 1)
     grams = F.when(
-        F.size(toks) >= _WIN_K,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - _WIN_K),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(F.array_join(F.slice(toks, i + 1, _WIN_K), " ")),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint"),
+        F.size("th") >= _WIN_K,
+        F.zip_with(
+            F.zip_with(
+                F.slice(F.col("th"), 1, n_g),
+                F.slice(F.col("th"), 2, n_g),
+                lambda x, y: (x * _HASH_K1 + y) % _HASH_M,
+            ),
+            F.slice(F.col("th"), 3, n_g),
+            lambda s, z: (s * _HASH_K2 + z) % _HASH_M,
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    hashed = docs.select("doc_id", "source", grams.alias("h")).filter(
+    hashed = base.select("doc_id", "source", grams.alias("h")).filter(
         F.size("h") >= 1
     )
     fp_arr = F.transform(
