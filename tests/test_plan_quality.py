@@ -40,6 +40,7 @@ BNLJ_OK = {
     "bm25_corpus_search",  # 1-row corpus total-length broadcast
     "rrf_rank_fusion",  # same 1-row total-length broadcast via bm25_scores
     "sample_temperature_mixture",  # 1-row min-count broadcast
+    "unimax_budget_allocation",  # 1-row budget + capped-stats broadcasts
     "similarity_ann_pq",  # same tiny-codebook broadcast assigns as IVF
     "hard_negative_mining",  # probe-broadcast anti-label corpus scan
     "knn_label_noise",  # probe-broadcast non-equi (self-excluding) scan
@@ -229,6 +230,10 @@ UNPARTITIONED_WINDOW_OK = {
     "privacy_alloc.py": (
         "largest-remainder rank over the stratum aggregate "
         "(bounded at langs x sources rows at any corpus scale)"
+    ),
+    "mixture.py": (
+        "unimax waterfill rank/cumsum over the per-language aggregate "
+        "(bounded at #langs rows at any corpus scale)"
     ),
 }
 

@@ -158,3 +158,23 @@ def test_semdedup_prune_keeps_centroid_extrema(spark, sf_dir):
         assert r["kept_docs"] + r["pruned_docs"] == r["n_vectors"]
         assert r["pruned_docs"] <= r["dup_pairs"] or r["dup_pairs"] == 0
         assert r["pruned_ppm"] == r["pruned_docs"] * 1_000_000 // r["n_vectors"]
+
+
+def test_unimax_waterfill_invariants(spark, sf_dir):
+    """UniMax: allocations never exceed capacity, capped langs form the
+    ascending-capacity prefix, total allocation <= budget, uncapped langs
+    share equally."""
+    from formula_1_spark.queries.mixture import unimax_budget_allocation
+
+    rows = sorted(
+        unimax_budget_allocation(spark, sf_dir).collect(),
+        key=lambda r: (r["capacity"], r["lang"]),
+    )
+    assert rows
+    budget = sum(r["n_tokens"] for r in rows)
+    assert all(r["allocated"] <= r["capacity"] for r in rows)
+    assert sum(r["allocated"] for r in rows) <= budget
+    flags = [r["capped"] for r in rows]
+    assert flags == sorted(flags, reverse=True), "capped must be a prefix"
+    uncapped = {r["allocated"] for r in rows if not r["capped"]}
+    assert len(uncapped) <= 1, "uncapped langs share equally"
