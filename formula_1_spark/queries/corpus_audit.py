@@ -455,3 +455,79 @@ def source_token_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source diversity indices (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_diversity_index",
+    ops="EXT-corpus-diversity,A1,A5 (Simpson concentration per language)",
+    doc="Per-language source diversity: token shares per (lang, source) "
+    "in integer ppm, then the Simpson concentration index sum(share^2) "
+    "and its inverse — the effective number of sources — per language. "
+    "All accumulation is exact integers in ppm space (share_ppm <= 1e6, "
+    "so share_ppm^2 sums stay under 2^63 at ANY corpus size — the "
+    "overflow-safe formulation; summing raw token-count squares would "
+    "overflow int64 near 10^9 tokens/source). The training-mix evidence "
+    "for how concentrated each language's data supply is: effective "
+    "sources near 1 = single-source capture risk.",
+    oracle="""
+WITH tok AS (
+  SELECT lang, source,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS t
+  FROM documents GROUP BY lang, source
+),
+tot AS (
+  SELECT lang, CAST(SUM(t) AS BIGINT) AS total FROM tok GROUP BY lang
+),
+shares AS (
+  SELECT k.lang, k.source,
+         CAST(k.t * 1000000 // o.total AS BIGINT) AS share_ppm
+  FROM tok k JOIN tot o ON o.lang = k.lang
+)
+SELECT s.lang,
+       CAST(COUNT(1) AS BIGINT) AS n_sources,
+       CAST(MAX(o.total) AS BIGINT) AS tokens_total,
+       CAST(MAX(s.share_ppm) AS BIGINT) AS top_share_ppm,
+       CAST(SUM(s.share_ppm * s.share_ppm) AS BIGINT) AS simpson_pp12,
+       CAST(1000000000000 * 1000 // SUM(s.share_ppm * s.share_ppm)
+            AS BIGINT) AS effective_sources_milli
+FROM shares s JOIN tot o ON o.lang = s.lang
+GROUP BY s.lang
+ORDER BY s.lang
+""",
+)
+def source_diversity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.groupBy("lang", "source").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("bigint")
+        .alias("t")
+    )
+    tot = tok.groupBy("lang").agg(F.sum("t").cast("bigint").alias("total"))
+    shares = tok.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "source",
+        F.expr("CAST(t * 1000000 div total AS BIGINT)").alias("share_ppm"),
+        "total",
+    )
+    return (
+        shares.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.max("total").cast("bigint").alias("tokens_total"),
+            F.max("share_ppm").cast("bigint").alias("top_share_ppm"),
+            F.sum(F.col("share_ppm") * F.col("share_ppm"))
+            .cast("bigint")
+            .alias("simpson_pp12"),
+            F.expr(
+                "CAST(1000000000000 * 1000 div "
+                "sum(share_ppm * share_ppm) AS BIGINT)"
+            ).alias("effective_sources_milli"),
+        )
+        .orderBy("lang")
+    )

@@ -699,3 +699,92 @@ def greedy_gram_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Curriculum phase assignment (round 9)
+# ---------------------------------------------------------------------------
+
+_PHASE1_PCT = 20  # highest-quality tokens first
+_PHASE2_PCT = 50  # cumulative cut for phase 2; remainder is phase 3
+
+
+@register(
+    "curriculum_phase_assignment",
+    ops="EXT-curriculum,W2,A1 (multi-threshold budgeted ordering)",
+    doc="Quality-ordered curriculum split: rank docs by distinct-token "
+    "quality (DESC, doc_id tiebreak), run ONE corpus-wide prefix sum of "
+    "tokens (global_ordered_cumsum: range shuffle + Arrow running total; "
+    "the grand total rides out of the same pass via total_alias, no "
+    "second scan), and cut the order at 20% / 50% of total tokens into "
+    "training phases 1-3 (highest-quality tokens teach first). Reports "
+    "per (phase, source): docs, tokens, and the quality band the phase "
+    "spans — the curriculum-schedule evidence for staged pretraining.",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) * 1000000
+              // len(string_split(text, ' ')) AS BIGINT) AS quality_ppm
+  FROM documents
+),
+cum AS (
+  SELECT *,
+         CAST(SUM(n_tokens) OVER (ORDER BY quality_ppm DESC, doc_id)
+              AS BIGINT) AS cum_tokens,
+         CAST((SELECT SUM(n_tokens) FROM scored) AS BIGINT) AS total
+  FROM scored
+),
+phased AS (
+  SELECT *,
+         CASE WHEN cum_tokens <= total * {_PHASE1_PCT} // 100 THEN 1
+              WHEN cum_tokens <= total * {_PHASE2_PCT} // 100 THEN 2
+              ELSE 3 END AS phase
+  FROM cum
+)
+SELECT CAST(phase AS INTEGER) AS phase, source,
+       CAST(COUNT(1) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       CAST(MIN(quality_ppm) AS BIGINT) AS min_quality_ppm,
+       CAST(MAX(quality_ppm) AS BIGINT) AS max_quality_ppm
+FROM phased
+GROUP BY phase, source
+ORDER BY phase, source
+""",
+)
+def curriculum_phase_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) * 1000000"
+            " div size(split(text, ' ')) AS BIGINT)"
+        ).alias("quality_ppm"),
+    )
+    cum = global_ordered_cumsum(
+        scored,
+        [F.desc("quality_ppm"), F.asc("doc_id")],
+        "n_tokens",
+        "cum_tokens",
+        total_alias="__total",
+    )
+    phased = cum.withColumn(
+        "phase",
+        F.expr(
+            f"CASE WHEN cum_tokens <= __total * {_PHASE1_PCT} div 100 THEN 1 "
+            f"WHEN cum_tokens <= __total * {_PHASE2_PCT} div 100 THEN 2 "
+            "ELSE 3 END"
+        ).cast("int"),
+    )
+    return (
+        phased.groupBy("phase", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.min("quality_ppm").cast("bigint").alias("min_quality_ppm"),
+            F.max("quality_ppm").cast("bigint").alias("max_quality_ppm"),
+        )
+        .orderBy("phase", "source")
+    )

@@ -502,3 +502,110 @@ def part_copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities (round 9)
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 6
+
+
+def _hits_ctes(iters: int) -> str:
+    """Unrolled per-iteration CTE chain mirroring hits_quantized."""
+    from formula_1_spark.operators.graph import HITS_SCALE
+
+    rescale = (
+        "CAST(COALESCE({r}, 0) // GREATEST(SUM(COALESCE({r}, 0)) OVER () "
+        f"// {HITS_SCALE}, 1) AS BIGINT)"
+    )
+    parts = [
+        f"h0 AS MATERIALIZED (SELECT n_nationkey AS node, "
+        f"CAST({HITS_SCALE} AS BIGINT) AS h_q FROM nation)"
+    ]
+    for i in range(iters):
+        parts.append(
+            f"araw{i} AS MATERIALIZED (\n"
+            f"  SELECT e.dst AS node, CAST(SUM(e.n * h.h_q) AS BIGINT) AS r\n"
+            f"  FROM trade e JOIN h{i} h ON h.node = e.src GROUP BY e.dst\n)"
+        )
+        parts.append(
+            f"a{i + 1} AS MATERIALIZED (\n"
+            f"  SELECT n.n_nationkey AS node,\n"
+            f"         {rescale.format(r='ar.r')} AS a_q\n"
+            f"  FROM nation n LEFT JOIN araw{i} ar ON ar.node = n.n_nationkey\n)"
+        )
+        parts.append(
+            f"hraw{i} AS MATERIALIZED (\n"
+            f"  SELECT e.src AS node, CAST(SUM(e.n * aa.a_q) AS BIGINT) AS r\n"
+            f"  FROM trade e JOIN a{i + 1} aa ON aa.node = e.dst GROUP BY e.src\n)"
+        )
+        parts.append(
+            f"h{i + 1} AS MATERIALIZED (\n"
+            f"  SELECT n.n_nationkey AS node,\n"
+            f"         {rescale.format(r='hr.r')} AS h_q\n"
+            f"  FROM nation n LEFT JOIN hraw{i} hr ON hr.node = n.n_nationkey\n)"
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "trade_hits_hubs_authorities",
+    ops="EXT-graph-hits,A5,J4,W2 (mutual-reinforcement link analysis)",
+    doc=f"Weighted HITS ({_HITS_ITERS} iterations) over the directed "
+    "nation trade graph: hub score = how much a customer nation's "
+    "spending flows to authoritative supplier nations, authority = how "
+    "much supply flows from strong hubs — the complementary centrality "
+    "to PageRank (which only follows in-links). Every half-iteration is "
+    "exact scaled-bigint arithmetic with a deterministic floor-division "
+    "rescale (operators/graph.hits_quantized), so the result is "
+    "bit-identical across engines and aggregation orders; the oracle "
+    "replays the identical unrolled iterations. Per half-iteration: one "
+    "key join + one map-side-combined groupBy — the same distributed "
+    "shape as PageRank; node-grain relations stay tiny at any corpus "
+    "scale.",
+    oracle=f"""
+WITH {_TRADE_CTE},
+{{hits_ctes}}
+SELECT h.node, h.h_q AS hub_q, a.a_q AS auth_q,
+       CAST(RANK() OVER (ORDER BY h.h_q DESC, h.node ASC) AS INTEGER)
+         AS hub_rank,
+       CAST(RANK() OVER (ORDER BY a.a_q DESC, a.node ASC) AS INTEGER)
+         AS auth_rank
+FROM h{_HITS_ITERS} h JOIN a{_HITS_ITERS} a ON a.node = h.node
+""".replace("{hits_ctes}", _hits_ctes(_HITS_ITERS)),
+)
+def trade_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.graph import hits_quantized
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    trade = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scores = hits_quantized(nation, trade, iters=_HITS_ITERS)
+    return scores.select(
+        "node",
+        F.col("h_q").alias("hub_q"),
+        F.col("a_q").alias("auth_q"),
+        F.rank()
+        .over(Window.orderBy(F.desc("h_q"), F.asc("node")))
+        .cast("int")
+        .alias("hub_rank"),
+        F.rank()
+        .over(Window.orderBy(F.desc("a_q"), F.asc("node")))
+        .cast("int")
+        .alias("auth_rank"),
+    )

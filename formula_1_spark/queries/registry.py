@@ -178,6 +178,8 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.span_extents",
         "formula_1_spark.queries.line_dedup",
         "formula_1_spark.queries.suffix_doubling",
+        "formula_1_spark.queries.dedup_tuning",
+        "formula_1_spark.queries.footer_stats",
     ):
         try:
             __import__(mod)

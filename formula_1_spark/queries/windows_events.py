@@ -908,3 +908,375 @@ def events_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval sweep-line peak concurrency (round 9)
+# ---------------------------------------------------------------------------
+
+# The synthetic lineitem has no l_receiptdate, so transit time is derived
+# deterministically from the row key: 1 + (l_orderkey + l_linenumber) % 14
+# days — the same replayable convention both engines apply.
+_TRANSIT_MOD = 14
+
+
+@register(
+    "supplier_peak_concurrency",
+    ops="EXT-interval-sweep,A1,W1,O3 (sweep-line max-overlap)",
+    doc="Peak concurrent in-transit shipments per supplier via the "
+    "sweep-line decomposition: each shipment interval [ship_date, "
+    "ship_date + transit) becomes a +1 delta at the start and a -1 delta "
+    "at the (exclusive) end, deltas aggregate per (supplier, date), and "
+    "a per-supplier date-ordered running sum gives the concurrency "
+    "curve; the peak and its first date come from one more window pass "
+    "over the same partitioning. Never materializes interval x interval "
+    "pairs or per-day explosions — shuffle volume is O(shipments), the "
+    "scale-safe shape for interval overlap analytics at 100 TB. Top 20 "
+    "suppliers by peak via the two-phase global top-k (no "
+    "single-partition window).",
+    oracle=f"""
+WITH deltas AS (
+  SELECT l_suppkey,
+         CAST(l_shipdate AS DATE) AS d, 1 AS delta, 1 AS ship
+  FROM lineitem
+  UNION ALL
+  SELECT l_suppkey,
+         CAST(l_shipdate AS DATE)
+           + CAST(1 + (l_orderkey + l_linenumber) % {_TRANSIT_MOD}
+                  AS INTEGER) AS d,
+         -1 AS delta, 0 AS ship
+  FROM lineitem
+),
+daily AS (
+  SELECT l_suppkey, d,
+         CAST(SUM(delta) AS BIGINT) AS delta,
+         CAST(SUM(ship) AS BIGINT) AS ships
+  FROM deltas GROUP BY 1, 2
+),
+curve AS (
+  SELECT l_suppkey, d, ships,
+         CAST(SUM(delta) OVER (PARTITION BY l_suppkey ORDER BY d
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+  FROM daily
+),
+peaks AS (
+  SELECT l_suppkey, d, run,
+         MAX(run) OVER (PARTITION BY l_suppkey) AS peak,
+         SUM(ships) OVER (PARTITION BY l_suppkey) AS n_shipments
+  FROM curve
+),
+summary AS (
+  SELECT l_suppkey,
+         CAST(MAX(peak) AS BIGINT) AS peak_concurrent,
+         MIN(d) AS peak_first_date,
+         CAST(MAX(n_shipments) AS BIGINT) AS n_shipments
+  FROM peaks WHERE run = peak
+  GROUP BY l_suppkey
+)
+SELECT l_suppkey, peak_concurrent,
+       CAST(peak_first_date AS VARCHAR) AS peak_first_date, n_shipments,
+       CAST(RANK() OVER (ORDER BY peak_concurrent DESC, l_suppkey ASC)
+            AS BIGINT) AS rank
+FROM summary
+ORDER BY peak_concurrent DESC, l_suppkey ASC
+LIMIT 20
+""",
+)
+def supplier_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.windows import two_phase_global_topk
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    start = li.select(
+        "l_suppkey",
+        F.col("l_shipdate").cast("date").alias("d"),
+        F.lit(1).alias("delta"),
+        F.lit(1).alias("ship"),
+    )
+    end = li.select(
+        "l_suppkey",
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            (
+                F.lit(1)
+                + (F.col("l_orderkey") + F.col("l_linenumber"))
+                % F.lit(_TRANSIT_MOD)
+            ).cast("int"),
+        ).alias("d"),
+        F.lit(-1).alias("delta"),
+        F.lit(0).alias("ship"),
+    )
+    daily = (
+        start.unionByName(end)
+        .groupBy("l_suppkey", "d")
+        .agg(
+            F.sum("delta").cast("bigint").alias("delta"),
+            F.sum("ship").cast("bigint").alias("ships"),
+        )
+    )
+    w_run = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_supp = Window.partitionBy("l_suppkey")
+    curve = daily.select(
+        "l_suppkey",
+        "d",
+        "ships",
+        F.sum("delta").over(w_run).cast("bigint").alias("run"),
+    )
+    peaks = curve.select(
+        "l_suppkey",
+        "d",
+        "run",
+        F.max("run").over(w_supp).alias("peak"),
+        F.sum("ships").over(w_supp).alias("n_shipments"),
+    )
+    summary = (
+        peaks.filter(F.col("run") == F.col("peak"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.max("peak").cast("bigint").alias("peak_concurrent"),
+            F.min("d").alias("peak_first_date"),
+            F.max("n_shipments").cast("bigint").alias("n_shipments"),
+        )
+    )
+    return two_phase_global_topk(
+        summary,
+        [F.desc("peak_concurrent"), F.asc("l_suppkey")],
+        k=20,
+    ).select(
+        "l_suppkey",
+        "peak_concurrent",
+        F.col("peak_first_date").cast("string").alias("peak_first_date"),
+        "n_shipments",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type sequence n-grams (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_sequence_ngrams",
+    ops="EXT-seq-mining,W1,A1,O3 (sequential pattern support)",
+    doc="Top event-type trigrams across per-user journeys: order each "
+    "user's events by (ts, event_id), form consecutive (e1, e2, e3) "
+    "windows with two leads over the user partition, and report the 20 "
+    "most frequent trigrams with support (count), distinct users, and "
+    "integer-ppm confidence support(e1,e2,e3)/support(e1,e2 prefix). "
+    "One shuffle on user_id covers the sequencing; trigram aggregation "
+    "is map-side combined; the final top-20 is the two-phase global "
+    "top-k. The standard sequential-pattern evidence for funnel design "
+    "without a candidate-generation explosion.",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e3
+  FROM events
+),
+tri AS (
+  SELECT e1, e2, e3,
+         CAST(COUNT(1) AS BIGINT) AS support,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM seq WHERE e3 IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+pre AS (
+  SELECT e1, e2, CAST(COUNT(1) AS BIGINT) AS pre_support
+  FROM seq WHERE e2 IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT t.e1, t.e2, t.e3, t.support, t.n_users,
+       CAST(t.support * 1000000 // p.pre_support AS BIGINT)
+         AS confidence_ppm,
+       CAST(RANK() OVER (ORDER BY t.support DESC, t.e1, t.e2, t.e3)
+            AS BIGINT) AS rank
+FROM tri t JOIN pre p ON p.e1 = t.e1 AND p.e2 = t.e2
+ORDER BY t.support DESC, t.e1, t.e2, t.e3
+LIMIT 20
+""",
+)
+def event_sequence_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.windows import two_phase_global_topk
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    tri = (
+        seq.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("support"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+    pre = (
+        seq.filter(F.col("e2").isNotNull())
+        .groupBy("e1", "e2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pre_support"))
+    )
+    scored = tri.join(pre, ["e1", "e2"]).select(
+        "e1",
+        "e2",
+        "e3",
+        "support",
+        "n_users",
+        F.expr("CAST(support * 1000000 div pre_support AS BIGINT)").alias(
+            "confidence_ppm"
+        ),
+    )
+    return two_phase_global_topk(
+        scored,
+        [F.desc("support"), F.asc("e1"), F.asc("e2"), F.asc("e3")],
+        k=20,
+    ).select(
+        "e1", "e2", "e3", "support", "n_users", "confidence_ppm",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark lateness audit (round 9)
+# ---------------------------------------------------------------------------
+
+_WM_BATCH = 1000  # arrival micro-batch size (event_id is arrival order)
+_WM_DELAYS_S = (60, 300, 900)
+
+
+@register(
+    "watermark_late_audit",
+    ops="EXT-stream-planning,W1,A1 (watermark-delay sizing evidence)",
+    doc="Batch replay of Structured Streaming watermark semantics: "
+    "arrival order = event_id, grouped into micro-batches of "
+    f"{_WM_BATCH}; the watermark after batch b is max(event time up to "
+    "b) - delay, and an event is DROPPED-LATE iff its event time is "
+    "behind the watermark established by the PREVIOUS batch. For each "
+    "candidate delay (60s/5m/15m) reports dropped events, drop ppm, "
+    "affected users, and the worst lateness — the evidence for sizing "
+    "withWatermark() before deploying the streaming job. The batch-max "
+    "relation is ~rows/1000, so the global cumulative max runs on a "
+    "tiny aggregate, never on raw events.",
+    oracle=f"""
+WITH arr AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us,
+         event_id // {_WM_BATCH} AS batch
+  FROM events
+),
+bmax AS (
+  SELECT batch, CAST(MAX(t_us) AS BIGINT) AS bmax_us
+  FROM arr GROUP BY batch
+),
+wm0 AS (
+  SELECT batch,
+         CAST(MAX(bmax_us) OVER (ORDER BY batch
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cummax_us
+  FROM bmax
+),
+wm AS (
+  SELECT batch, cummax_us,
+         CAST(LAG(cummax_us) OVER (ORDER BY batch) AS BIGINT)
+           AS prev_cummax_us
+  FROM wm0
+),
+delays AS (SELECT unnest([{", ".join(str(d) for d in _WM_DELAYS_S)}])
+             AS delay_s),
+flagged AS (
+  SELECT d.delay_s, a.user_id,
+         (w.prev_cummax_us - d.delay_s * 1000000) - a.t_us AS late_by_us
+  FROM arr a JOIN wm w ON w.batch = a.batch, delays d
+  WHERE w.prev_cummax_us IS NOT NULL
+    AND a.t_us < w.prev_cummax_us - d.delay_s * 1000000
+),
+tot AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_events FROM arr)
+SELECT CAST(d.delay_s AS INTEGER) AS delay_s,
+       CAST(COALESCE(f.n_late, 0) AS BIGINT) AS n_late,
+       CAST(COALESCE(f.n_late, 0) * 1000000 // t.n_events AS BIGINT)
+         AS late_ppm,
+       CAST(COALESCE(f.n_users, 0) AS BIGINT) AS users_affected,
+       CAST(COALESCE(f.max_late_s, 0) AS BIGINT) AS max_lateness_s
+FROM delays d
+LEFT JOIN (
+  SELECT delay_s, COUNT(1) AS n_late, COUNT(DISTINCT user_id) AS n_users,
+         MAX(late_by_us) // 1000000 AS max_late_s
+  FROM flagged GROUP BY delay_s
+) f ON f.delay_s = d.delay_s, tot t
+ORDER BY delay_s
+""",
+)
+def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    arr = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.expr(f"event_id div {_WM_BATCH}").alias("batch"),
+    )
+    bmax = arr.groupBy("batch").agg(F.max("t_us").cast("bigint").alias("bmax_us"))
+    w_ord = Window.orderBy("batch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wm = bmax.select(
+        "batch", F.max("bmax_us").over(w_ord).cast("bigint").alias("cummax_us")
+    ).select(
+        "batch",
+        "cummax_us",
+        F.lag("cummax_us").over(Window.orderBy("batch")).alias("prev_cummax_us"),
+    )
+    delays = spark.range(1).select(
+        F.explode(F.array(*[F.lit(d) for d in _WM_DELAYS_S])).alias("delay_s")
+    )
+    joined = arr.join(F.broadcast(wm), "batch").join(
+        F.broadcast(delays), F.lit(True)
+    )
+    flagged = joined.filter(
+        F.col("prev_cummax_us").isNotNull()
+        & (
+            F.col("t_us")
+            < F.col("prev_cummax_us") - F.col("delay_s") * F.lit(1_000_000)
+        )
+    ).select(
+        "delay_s",
+        "user_id",
+        (
+            (F.col("prev_cummax_us") - F.col("delay_s") * F.lit(1_000_000))
+            - F.col("t_us")
+        ).alias("late_by_us"),
+    )
+    tot = arr.agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    per_delay = flagged.groupBy("delay_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_late"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.expr("max(late_by_us) div 1000000").alias("max_late_s"),
+    )
+    return (
+        delays.join(per_delay, "delay_s", "left")
+        .join(F.broadcast(tot), F.lit(True))
+        .select(
+            F.col("delay_s").cast("int").alias("delay_s"),
+            F.coalesce("n_late", F.lit(0)).cast("bigint").alias("n_late"),
+            F.expr(
+                "CAST(coalesce(n_late, 0) * 1000000 div n_events AS BIGINT)"
+            ).alias("late_ppm"),
+            F.coalesce("n_users", F.lit(0)).cast("bigint").alias("users_affected"),
+            F.coalesce("max_late_s", F.lit(0))
+            .cast("bigint")
+            .alias("max_lateness_s"),
+        )
+        .orderBy("delay_s")
+    )

@@ -21,6 +21,9 @@ PANDAS_OK = {
     "media_perceptual_buckets",  # same declared feature kernel as extract
     "token_budget_selection",  # global_ordered_cumsum Arrow running-total
     "shard_packing_plan",  # same global_ordered_cumsum Arrow pass
+    "curriculum_phase_assignment",  # same global_ordered_cumsum Arrow pass
+    "parquet_rowgroup_skipping_audit",  # declared footer-harvest kernel:
+    #   pyarrow footer reads over a FILE-PATH relation (O(KB)/footer)
 }
 # Broadcast nested-loop is the intended strategy for the brute-force
 # similarity baseline, the IVF centroid assignment (tiny broadcast
@@ -97,6 +100,10 @@ BNLJ_OK = {
     #   date-domain-bounded daily relation
     "label_centroid_similarity",  # 10-row centroid pair grid (non-equi
     #   a<b) — bounded by the LABEL domain, never data
+    "lsh_band_planning",  # <=20-bin similarity histogram x 5-row (b,r)
+    #   config grid — both sides bounded by constants, never data
+    "simhash_hamming_roc",  # 8-row Hamming-threshold grid broadcast
+    "watermark_late_audit",  # 3-row delay grid + 1-row total broadcast
 }
 
 
@@ -112,6 +119,10 @@ SINGLE_PARTITION_OK = {
     # same shape: the persisted per-source stats aggregate feeds the
     # largest-remainder window through a cache boundary
     "neyman_allocation_plan",
+    # HITS rescale windows: the nation scan (<=25 rows by TPC-H schema)
+    # reaches each per-iteration global-window exchange through the
+    # node-grain left join — same domain bound as nation_trade_pagerank
+    "trade_hits_hubs_authorities",
 }
 
 

@@ -178,3 +178,135 @@ def test_unimax_waterfill_invariants(spark, sf_dir):
     assert flags == sorted(flags, reverse=True), "capped must be a prefix"
     uncapped = {r["allocated"] for r in rows if not r["capped"]}
     assert len(uncapped) <= 1, "uncapped langs share equally"
+
+
+def test_lsh_band_planning_scurve_monotone(spark, sf_dir):
+    """More bands (same 128 perms) = looser: expected candidates rise and
+    expected missed dups fall monotonically with the band count."""
+    from formula_1_spark.queries.dedup_tuning import lsh_band_planning
+
+    rows = sorted(lsh_band_planning(spark, sf_dir).collect(),
+                  key=lambda r: r["bands"])
+    assert len(rows) == 5
+    cands = [r["exp_candidates_micro"] for r in rows]
+    missed = [r["exp_missed_dup_micro"] for r in rows]
+    assert cands == sorted(cands), "candidates must rise with bands"
+    assert missed == sorted(missed, reverse=True), "misses fall with bands"
+    for r in rows:
+        assert r["bands"] * r["rows_per_band"] == 128
+        assert 0 <= r["exp_candidates_micro"] <= r["pairs_scored"] * 1_000_000
+
+
+def test_simhash_roc_confusion_consistency(spark, sf_dir):
+    """TP+FN and FP+TN are threshold-invariant (same population), recall
+    is monotone nondecreasing in the Hamming threshold."""
+    from formula_1_spark.queries.dedup_tuning import simhash_hamming_roc
+
+    rows = sorted(simhash_hamming_roc(spark, sf_dir).collect(),
+                  key=lambda r: r["max_hamming"])
+    assert rows
+    pos = {r["tp"] + r["fn"] for r in rows}
+    neg = {r["fp"] + r["tn"] for r in rows}
+    assert len(pos) == 1 and len(neg) == 1
+    recalls = [r["recall_ppm"] for r in rows]
+    assert recalls == sorted(recalls)
+
+
+def test_soft_dedup_bounded_by_hard_and_raw(spark, sf_dir):
+    """Soft-effective token mass sits between hard-dedup kept mass and the
+    raw total for every source (1/c weighting can only shrink, and never
+    below keep-one-per-cluster)."""
+    from formula_1_spark.queries.dedup_tuning import soft_dedup_weights
+
+    rows = soft_dedup_weights(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["soft_tokens_micro"] <= r["tokens_total"] * 1_000_000
+        # floor-division slack: each doc loses < 1 micro-token to flooring
+        assert (r["soft_tokens_micro"]
+                >= r["hard_kept_tokens"] * 1_000_000 - r["n_docs"])
+
+
+def test_hits_scores_bounded_and_ranked(spark, sf_dir):
+    """HITS: scores nonnegative and on the (2x-slack) scale grid; both
+    rank columns start at 1."""
+    from formula_1_spark.operators.graph import HITS_SCALE
+    from formula_1_spark.queries.graph_rank import trade_hits_hubs_authorities
+
+    rows = trade_hits_hubs_authorities(spark, sf_dir).collect()
+    assert rows
+    assert min(r["hub_rank"] for r in rows) == 1
+    assert min(r["auth_rank"] for r in rows) == 1
+    for r in rows:
+        assert 0 <= r["hub_q"] <= 2 * HITS_SCALE
+        assert 0 <= r["auth_q"] <= 2 * HITS_SCALE
+
+
+def test_peak_concurrency_invariants(spark, sf_dir):
+    """Sweep-line peaks: every supplier peak >= 1, and the peak never
+    exceeds its shipment count (intervals can at most all overlap)."""
+    from formula_1_spark.queries.windows_events import supplier_peak_concurrency
+
+    rows = supplier_peak_concurrency(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["peak_concurrent"] <= r["n_shipments"]
+
+
+def test_watermark_lateness_monotone_in_delay(spark, sf_dir):
+    """A longer watermark delay can only accept MORE events."""
+    from formula_1_spark.queries.windows_events import watermark_late_audit
+
+    rows = sorted(watermark_late_audit(spark, sf_dir).collect(),
+                  key=lambda r: r["delay_s"])
+    lates = [r["n_late"] for r in rows]
+    assert lates == sorted(lates, reverse=True)
+
+
+def test_curriculum_phases_partition_and_order(spark, sf_dir):
+    """Phases partition the corpus token mass, and the global quality
+    floor of phase 1 is >= the global quality ceiling of phase 3."""
+    from formula_1_spark.queries.curation import curriculum_phase_assignment
+
+    rows = curriculum_phase_assignment(spark, sf_dir).collect()
+    assert {r["phase"] for r in rows} == {1, 2, 3}
+    p1_min = min(r["min_quality_ppm"] for r in rows if r["phase"] == 1)
+    p3_max = max(r["max_quality_ppm"] for r in rows if r["phase"] == 3)
+    assert p1_min >= p3_max
+
+
+def test_source_diversity_effective_bounds(spark, sf_dir):
+    """1 <= effective sources <= n_sources (Simpson inverse bounds)."""
+    from formula_1_spark.queries.corpus_audit import source_diversity_index
+
+    rows = source_diversity_index(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # ppm flooring makes the inverse slightly optimistic; 1% slack
+        assert 990 <= r["effective_sources_milli"] <= r["n_sources"] * 1010
+
+
+def test_rowgroup_audit_accounts_for_all_rows(spark):
+    """The harvested footer stats must cover every fixture row, and the
+    central-box predicate must leave at least one non-skippable group."""
+    from formula_1_spark.queries.footer_stats import (
+        _N_ROWS,
+        parquet_rowgroup_skipping_audit,
+    )
+
+    rows = parquet_rowgroup_skipping_audit(spark, "unused").collect()
+    assert sum(r["n_rows"] for r in rows) == _N_ROWS
+    assert sum(r["rows_skippable"] for r in rows) < _N_ROWS
+    for r in rows:
+        assert 0 <= r["skip_ppm"] <= 1_000_000
+
+
+def test_sequence_ngram_confidence_bounded(spark, sf_dir):
+    """Trigram confidence is a fraction of its prefix support."""
+    from formula_1_spark.queries.windows_events import event_sequence_ngrams
+
+    rows = event_sequence_ngrams(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["confidence_ppm"] <= 1_000_000
+        assert r["n_users"] <= r["support"]
