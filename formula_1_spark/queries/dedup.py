@@ -582,12 +582,17 @@ _SEM_EPS = 0.40  # SemDeDup epsilon: pairwise-cos duplicate threshold
     "most diverse exemplars (ties: prune the higher vec_id). Per cell: "
     "vectors, duplicate pairs, pruned docs, kept docs, pruned ppm. One "
     "k-means + ONE assignment pass shared (localCheckpoint) by the pair "
-    "verify, the prune join, and the cell counts. Scale: n_cells grows "
-    "with the corpus (dedup_semantic_clusters_scaled's sqrt(n) knob) so "
-    "the per-cell pairwise verify stays bounded; the prune joins move "
-    "only (pair, cell_cos) rows.",
+    "verify, the prune join, and the cell counts. Scale: k = max(8, "
+    "ceil(sqrt(n))) cells (same knob as dedup_semantic_clusters_scaled) "
+    "balances assignment and in-cell verify at O(n^1.5) — the fixed-8 "
+    "variant read 5.4x wall on the 10x probe (quadratic in-cell pairs), "
+    "this one 1.9x; the oracle derives the SAME k from COUNT(1).",
     oracle=f"""
-WITH {{kmeans}},
+WITH params AS (
+  SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(1))) AS BIGINT)) AS k
+  FROM embeddings
+),
+{{kmeans}},
 scored AS (
   SELECT e.vec_id, c.cell_id,
          {{cos}} AS cell_cos
@@ -651,31 +656,31 @@ LEFT JOIN dup_cell d USING (cell_id)
 LEFT JOIN pr_cell r USING (cell_id)
 ORDER BY cell_id
 """.format(
-        kmeans=_kmeans_ctes(n_cells=8, iters=2),
+        kmeans=_kmeans_ctes(iters=2, k_expr="SELECT k FROM params"),
         cos=_COS.format(a="e.embedding", b="c.cent"),
     ),
 )
 def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    import math
+
     from formula_1_spark.operators.similarity import (
+        _flat_cell_cos,
         _pairs_within_cells,
-        cosine,
-        kmeans_centroids,
+        kmeans_centroids_flat,
         norm,
     )
     from formula_1_spark.sources.tables import fan_out
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb, n_cells=8, iters=2).localCheckpoint(
-        eager=False
-    )
+    n = table_row_count(spark, sf_dir, "embeddings")
+    k = max(8, int(math.ceil(math.sqrt(float(n)))))
+    cents = kmeans_centroids_flat(emb, n_cells=k, iters=2)
     base = emb.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("na")
     ).localCheckpoint(eager=False)
-    scored = fan_out(base).join(F.broadcast(cents), F.lit(True)).withColumn(
-        "cell_cos", cosine(F.col("embedding"), F.col("cent"))
-    )
+    scored = _flat_cell_cos(cents, fan_out(base), 64)
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cell_cos"), F.asc("cell_id")
     )

@@ -26,8 +26,10 @@ from formula_1_spark.session import get_spark
 from formula_1_spark.sources.tables import load_table
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sfx1"
-REPLICAS = 10
+# Override for curve checks (e.g. REPLICAS=30 DST=/tmp/sfx3 for the 30x
+# point): SPARK_GRAFT_PROBE_DST / SPARK_GRAFT_PROBE_REPLICAS.
+DST = os.environ.get("SPARK_GRAFT_PROBE_DST", "/tmp/sfx1")
+REPLICAS = int(os.environ.get("SPARK_GRAFT_PROBE_REPLICAS", "10"))
 
 SLATE = [
     "tpch_q1_pricing_summary", "tpch_q9_product_profit",
