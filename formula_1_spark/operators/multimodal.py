@@ -191,3 +191,63 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         (F.col("n_chars") % 1080).cast("int").alias("meta_height"),
         (F.col("n_chars") * 40).cast("int").alias("meta_duration_ms"),
     )
+
+
+AUDIO_FRAME = 128  # fake-PCM frame width (bytes per analysis frame)
+
+FRAME_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_id", T.LongType(), False),
+        T.StructField("energy", T.LongType(), False),
+    ]
+)
+
+
+def audio_frame_energy(
+    media: DataFrame, frame: int = AUDIO_FRAME, fake: bool = True
+) -> DataFrame:
+    """Per-frame energy over audio payloads — the VAD/segmentation front
+    end of an audio-training pipeline, run as the declared Arrow
+    ``mapInPandas`` kernel (Spark has no audio decoders).
+
+    ``fake=False`` is the real-codec path — STUB: raises
+    NotImplementedError (no torchaudio/ffmpeg in this environment). The
+    fake path treats the payload BYTES as 8-bit PCM samples: frame f is
+    bytes [f*frame, (f+1)*frame) (the trailing partial frame included)
+    and its energy is the exact integer sum of squared sample values —
+    reproducible in ANSI SQL, so the whole kernel is oracle-checkable.
+
+    Scale: the kernel is stateless per payload and emits frame-grain rows
+    (len/frame per media) — embarrassingly parallel, output volume is a
+    1/frame fraction of the input bytes."""
+    if not fake:
+        raise NotImplementedError(
+            "real audio decoding requires torchaudio/ffmpeg — not "
+            "available; use fake=True for the 8-bit PCM stand-in kernel"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, fids, energies = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n_frames = (len(s) + frame - 1) // frame
+                sq = s * s
+                for f in range(n_frames):
+                    ids.append(mid)
+                    fids.append(f)
+                    energies.append(int(sq[f * frame : (f + 1) * frame].sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_id": pd.Series(fids, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=FRAME_ENERGY_SCHEMA
+    )

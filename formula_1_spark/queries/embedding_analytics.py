@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from formula_1_spark.functions.vectors import cosine
+from formula_1_spark.operators.sampling import hash_uniform_sql
 from formula_1_spark.queries.registry import register
 from formula_1_spark.sources.tables import fan_out, load_table
 
@@ -883,4 +884,354 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("centroid_cos_q"),
         )
         .orderBy("label_a", "label_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation-quality audit (round 9)
+# ---------------------------------------------------------------------------
+
+_MRL_PROBES = 4
+_MRL_K = 10
+_MRL_DIMS = (16, 32, 64)  # 64 = full dimension (sanity row: overlap == k)
+
+
+@register(
+    "matryoshka_truncation_audit",
+    ops="EXT-embedding-mrl,W1,A1,J4 (truncated-dim retrieval quality)",
+    doc="Matryoshka-style truncation audit: for a deterministic probe "
+    f"panel ({_MRL_PROBES} lowest vec_ids), retrieve top-{_MRL_K} "
+    "neighbors by full-dimension cosine and by prefix-truncated cosine "
+    "(first 16 / 32 components, renormalized), and report per dimension "
+    "the overlap@k with the full-dim ranking — the evidence for how many "
+    "components a memory-constrained ANN tier can drop. Cosines are "
+    "floored to integer ppm with vec_id tiebreaks, so ranks are "
+    "bit-stable cross-engine. The probe panel broadcasts (declared "
+    "brute-force baseline shape); per-(dim, probe) top-k runs TWO-PHASE "
+    "(per-partition prune to k, then the tiny survivor rank) so no "
+    "corpus-sized partition ever funnels through one task.",
+    oracle=f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS p
+  FROM embeddings ORDER BY vec_id LIMIT {_MRL_PROBES}
+),
+dims AS (SELECT unnest([{", ".join(str(d) for d in _MRL_DIMS)}]) AS dims),
+scored AS (
+  SELECT d.dims, pr.probe_id, e.vec_id,
+         CAST(FLOOR(({_PI_COS.format(
+             a="list_slice(e.embedding, 1, d.dims)",
+             b="list_slice(pr.p, 1, d.dims)")}) * 1000000) AS BIGINT)
+           AS cos_ppm
+  FROM embeddings e, probes pr, dims d
+  WHERE e.vec_id <> pr.probe_id
+),
+ranked AS (
+  SELECT dims, probe_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY dims, probe_id
+                            ORDER BY cos_ppm DESC, vec_id ASC) AS r
+  FROM scored
+),
+topk AS (SELECT dims, probe_id, vec_id FROM ranked WHERE r <= {_MRL_K}),
+full_set AS (SELECT probe_id, vec_id FROM topk WHERE dims = {_MRL_DIMS[-1]}),
+overlap AS (
+  SELECT t.dims, t.probe_id, CAST(COUNT(1) AS BIGINT) AS n_overlap
+  FROM topk t JOIN full_set f
+    ON f.probe_id = t.probe_id AND f.vec_id = t.vec_id
+  GROUP BY t.dims, t.probe_id
+)
+SELECT CAST(dims AS INTEGER) AS dims,
+       CAST(SUM(n_overlap) AS BIGINT) AS overlap_total,
+       CAST(MIN(n_overlap) AS BIGINT) AS overlap_min,
+       CAST(SUM(n_overlap) * 1000 // ({_MRL_PROBES} * {_MRL_K}) AS BIGINT)
+         AS mean_overlap_milli
+FROM overlap
+GROUP BY dims
+ORDER BY dims
+""",
+)
+def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    probes = (
+        emb.orderBy("vec_id")
+        .limit(_MRL_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p"))
+    )
+    dims = spark.range(1).select(
+        F.explode(F.array(*[F.lit(d) for d in _MRL_DIMS])).alias("dims")
+    )
+    pairs = emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+    scored = pairs.join(F.broadcast(dims), F.lit(True)).select(
+        "dims",
+        "probe_id",
+        "vec_id",
+        F.floor(
+            cosine(
+                F.slice(F.col("embedding"), 1, F.col("dims")),
+                F.slice(F.col("p"), 1, F.col("dims")),
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("cos_ppm"),
+    )
+    # Two-phase per-(dims, probe) top-k: local prune bounds every survivor
+    # set at k per partition, so the final rank window sees <= k * parts
+    # rows per key instead of the corpus.
+    local_w = Window.partitionBy(
+        F.spark_partition_id(), "dims", "probe_id"
+    ).orderBy(F.desc("cos_ppm"), F.asc("vec_id"))
+    pruned = (
+        scored.withColumn("lr", F.row_number().over(local_w))
+        .filter(F.col("lr") <= _MRL_K)
+        .drop("lr")
+    )
+    final_w = Window.partitionBy("dims", "probe_id").orderBy(
+        F.desc("cos_ppm"), F.asc("vec_id")
+    )
+    topk = (
+        pruned.withColumn("r", F.row_number().over(final_w))
+        .filter(F.col("r") <= _MRL_K)
+        .select("dims", "probe_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    full_set = topk.filter(F.col("dims") == _MRL_DIMS[-1]).select(
+        F.col("probe_id").alias("f_probe"), F.col("vec_id").alias("f_vec")
+    )
+    overlap = (
+        topk.join(
+            full_set,
+            (F.col("probe_id") == F.col("f_probe"))
+            & (F.col("vec_id") == F.col("f_vec")),
+        )
+        .groupBy("dims", "probe_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    return (
+        overlap.groupBy("dims")
+        .agg(
+            F.sum("n_overlap").cast("bigint").alias("overlap_total"),
+            F.min("n_overlap").cast("bigint").alias("overlap_min"),
+            F.expr(
+                f"CAST(sum(n_overlap) * 1000 div ({_MRL_PROBES} * {_MRL_K})"
+                " AS BIGINT)"
+            ).alias("mean_overlap_milli"),
+        )
+        .select(F.col("dims").cast("int").alias("dims"), "overlap_total",
+                "overlap_min", "mean_overlap_milli")
+        .orderBy("dims")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means|| oversampling init (round 9)
+# ---------------------------------------------------------------------------
+
+_KPP_L = 16  # oversampling factor per round (~2x the target k=8)
+
+
+def _kpp_dist_sql(a: str, b: str) -> str:
+    """Milli-quantized cosine distance 1000 - floor(cos*1000): exact int
+    in [0, 2000]. Milli (not ppm) so sum-of-squares stays under int64
+    even at 10^12 points (4e6 per point)."""
+    return f"(1000 - CAST(FLOOR(({_PI_COS.format(a=a, b=b)}) * 1000) AS BIGINT))"
+
+
+@register(
+    "kmeanspp_parallel_init",
+    ops="EXT-clustering-init,A1,W1 (k-means|| oversampling)",
+    doc="k-means|| initialization (Bahmani et al. 2012, VLDB): seed with "
+    "the min-id vector, then TWO oversampling rounds each keep point i "
+    f"with probability {_KPP_L} * d(i)^2 / sum(d^2) (d = milli-quantized "
+    "cosine distance to the nearest candidate so far, exact integers; "
+    "the keep decision reuses the engine-shared salted-md5 uniform grid, "
+    "so sampling is reproducible row-for-row in any engine). Distance "
+    "updates run as a MAP-ONLY fold over the sorted broadcast candidate "
+    "array — no corpus x candidates shuffle — and the final weights "
+    "(points per nearest candidate, the input to the weighted k-means "
+    "that follows) come from one argmin fold + one count aggregate. "
+    "Candidates already selected have d = 0, hence keep probability 0 — "
+    "rounds never re-pick. Per round: one corpus scan; everything else "
+    "is candidate-grain.",
+    oracle=f"""
+WITH c0 AS (
+  SELECT vec_id AS c_id, embedding AS c_vec
+  FROM embeddings ORDER BY vec_id LIMIT 1
+),
+d0 AS (
+  SELECT e.vec_id, e.embedding,
+         {_kpp_dist_sql("e.embedding", "c.c_vec")} AS d
+  FROM embeddings e, c0 c
+),
+t0 AS (SELECT CAST(SUM(d * d) AS BIGINT) AS t FROM d0),
+keep1 AS (
+  SELECT p.vec_id, p.embedding
+  FROM d0 p, t0
+  WHERE {hash_uniform_sql("p.vec_id", "kpp0")}
+        < CAST({_KPP_L} * p.d * p.d AS DOUBLE) / CAST(t0.t AS DOUBLE)
+),
+k1d AS (
+  SELECT p.vec_id, MIN({_kpp_dist_sql("p.embedding", "k.embedding")}) AS md
+  FROM d0 p, keep1 k GROUP BY p.vec_id
+),
+d1 AS (
+  SELECT p.vec_id, p.embedding, LEAST(p.d, COALESCE(k.md, p.d)) AS d
+  FROM d0 p LEFT JOIN k1d k ON k.vec_id = p.vec_id
+),
+t1 AS (SELECT CAST(SUM(d * d) AS BIGINT) AS t FROM d1),
+keep2 AS (
+  SELECT p.vec_id, p.embedding
+  FROM d1 p, t1
+  WHERE {hash_uniform_sql("p.vec_id", "kpp1")}
+        < CAST({_KPP_L} * p.d * p.d AS DOUBLE) / CAST(t1.t AS DOUBLE)
+),
+cands AS (
+  SELECT 0 AS round_added, c_id AS cand_id, c_vec AS cand_vec FROM c0
+  UNION ALL
+  SELECT 1, vec_id, embedding FROM keep1
+  UNION ALL
+  SELECT 2, vec_id, embedding FROM keep2
+),
+assigned AS (
+  SELECT vec_id, cand_id FROM (
+    SELECT e.vec_id, c.cand_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_kpp_dist_sql("e.embedding", "c.cand_vec")} ASC,
+                      c.cand_id ASC) AS r
+    FROM embeddings e, cands c) WHERE r = 1
+)
+SELECT CAST(c.round_added AS INTEGER) AS round_added,
+       CAST(c.cand_id AS BIGINT) AS cand_id,
+       CAST(COUNT(a.vec_id) AS BIGINT) AS weight
+FROM cands c LEFT JOIN assigned a ON a.cand_id = c.cand_id
+GROUP BY c.round_added, c.cand_id
+ORDER BY round_added, cand_id
+""",
+)
+def kmeanspp_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.sampling import hash_uniform
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+
+    def dist_to(vec):
+        return (
+            F.lit(1000).cast("bigint")
+            - F.floor(cosine(F.col("embedding"), vec) * 1000).cast("bigint")
+        )
+
+    def keep_round(drel, salt):
+        """One oversampling round: threshold the shared uniform grid at
+        l * d^2 / sum(d^2); the total rides on a 1-row broadcast."""
+        t = drel.agg(F.sum(F.col("d") * F.col("d")).cast("bigint").alias("t"))
+        return (
+            drel.join(F.broadcast(t), F.lit(True))
+            .filter(
+                hash_uniform(F.col("vec_id"), salt)
+                < (F.lit(_KPP_L) * F.col("d") * F.col("d")).cast("double")
+                / F.col("t").cast("double")
+            )
+            .select("vec_id", "embedding")
+            .localCheckpoint(eager=False)
+        )
+
+    def min_over(drel, keeps):
+        """Map-only distance update: fold over the SORTED broadcast
+        candidate array (sort_array makes the fold order deterministic;
+        min over exact ints is order-free anyway)."""
+        arr = keeps.agg(
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "embedding"))
+            ).alias("ks")
+        )
+        return drel.join(F.broadcast(arr), F.lit(True)).select(
+            "vec_id",
+            "embedding",
+            F.least(
+                F.col("d"),
+                F.aggregate(
+                    F.col("ks"),
+                    F.lit(2001).cast("bigint"),
+                    lambda acc, k: F.least(acc, dist_to(k["embedding"])),
+                ),
+            ).alias("d"),
+        )
+
+    c0 = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+        .localCheckpoint(eager=False)
+    )
+    d0 = emb.join(F.broadcast(c0), F.lit(True)).select(
+        "vec_id", "embedding", dist_to(F.col("c_vec")).alias("d")
+    )
+    keep1 = keep_round(d0, "kpp0")
+    d1 = min_over(d0, keep1)
+    keep2 = keep_round(d1, "kpp1")
+
+    cands = (
+        c0.select(
+            F.lit(0).alias("round_added"),
+            F.col("c_id").alias("cand_id"),
+            F.col("c_vec").alias("cand_vec"),
+        )
+        .unionByName(
+            keep1.select(
+                F.lit(1).alias("round_added"),
+                F.col("vec_id").alias("cand_id"),
+                F.col("embedding").alias("cand_vec"),
+            )
+        )
+        .unionByName(
+            keep2.select(
+                F.lit(2).alias("round_added"),
+                F.col("vec_id").alias("cand_id"),
+                F.col("embedding").alias("cand_vec"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    # Argmin assignment as another map-only fold over the sorted candidate
+    # array: acc = (best_d, best_id), strict < keeps the lowest cand_id on
+    # ties — identical to the oracle's ROW_NUMBER (d ASC, cand_id ASC).
+    carr = cands.agg(
+        F.sort_array(F.collect_list(F.struct("cand_id", "cand_vec"))).alias(
+            "cs"
+        )
+    )
+    assigned = (
+        emb.join(F.broadcast(carr), F.lit(True))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.col("cs"),
+                F.struct(
+                    F.lit(2001).cast("bigint").alias("bd"),
+                    F.lit(-1).cast("bigint").alias("bi"),
+                ),
+                lambda acc, c: F.when(
+                    dist_to(c["cand_vec"]) < acc["bd"],
+                    F.struct(
+                        dist_to(c["cand_vec"]).alias("bd"),
+                        c["cand_id"].cast("bigint").alias("bi"),
+                    ),
+                ).otherwise(acc),
+            )["bi"].alias("cand_id"),
+        )
+        .groupBy("cand_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+    )
+    return (
+        cands.select("round_added", "cand_id")
+        .join(assigned, "cand_id", "left")
+        .select(
+            F.col("round_added").cast("int").alias("round_added"),
+            F.col("cand_id").cast("bigint").alias("cand_id"),
+            F.coalesce("weight", F.lit(0)).cast("bigint").alias("weight"),
+        )
+        .orderBy("round_added", "cand_id")
     )

@@ -305,3 +305,85 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _HAM_MAX)
         .orderBy("media_type", "media_id_1", "media_id_2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio frame-energy VAD profile (round 9)
+# ---------------------------------------------------------------------------
+
+_VAD_THRESHOLD = 1_200_000  # ~frame * mean(byte^2) for ASCII text payloads
+
+
+@register(
+    "media_audio_energy_vad",
+    ops="EXT-multimodal-audio,P6,A1 (Arrow frame-energy kernel)",
+    doc="Audio voice-activity profile over the synthetic media lake: the "
+    "declared Arrow mapInPandas kernel treats each audio payload's bytes "
+    "as 8-bit PCM, frames them at 128 samples (trailing partial frame "
+    "kept), and emits exact integer frame energies (sum of squared "
+    "samples); per media the query reports frames, active frames above "
+    "the energy threshold, activity ppm, and the peak frame. Real codecs "
+    "stay env-gated (operators/multimodal.decode_media contract); the "
+    "oracle replays the byte math via per-character explosion, proving "
+    "the Python kernel itself, not just the plan around it. Top 20 by "
+    "(peak desc, media_id) via the two-phase global top-k.",
+    oracle=f"""
+WITH {{media_cte}},
+audio AS (
+  SELECT media_id, payload_text FROM media WHERE media_type = 'audio'
+),
+chars AS (
+  SELECT a.media_id, u.i AS i,
+         ascii(substr(a.payload_text, u.i::INT, 1)) AS c
+  FROM audio a, unnest(range(1, len(a.payload_text) + 1)) AS u(i)
+),
+frames AS (
+  SELECT media_id, CAST((i - 1) // 128 AS BIGINT) AS frame_id,
+         CAST(SUM(c * c) AS BIGINT) AS energy
+  FROM chars GROUP BY 1, 2
+),
+per_media AS (
+  SELECT media_id,
+         CAST(COUNT(1) AS BIGINT) AS n_frames,
+         CAST(SUM(CASE WHEN energy > {_VAD_THRESHOLD} THEN 1 ELSE 0 END)
+              AS BIGINT) AS active_frames,
+         CAST(SUM(CASE WHEN energy > {_VAD_THRESHOLD} THEN 1 ELSE 0 END)
+              * 1000000 // COUNT(1) AS BIGINT) AS active_ppm,
+         CAST(MAX(energy) AS BIGINT) AS peak_energy
+  FROM frames GROUP BY media_id
+)
+SELECT media_id, n_frames, active_frames, active_ppm, peak_energy,
+       CAST(RANK() OVER (ORDER BY peak_energy DESC, media_id ASC) AS BIGINT)
+         AS rank
+FROM per_media
+ORDER BY peak_energy DESC, media_id ASC
+LIMIT 20
+""".format(media_cte=_MEDIA_CTE),
+)
+def media_audio_energy_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.multimodal import audio_frame_energy
+    from formula_1_spark.operators.windows import two_phase_global_topk
+    from formula_1_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    media = documents_as_media(docs).filter(F.col("media_type") == "audio")
+    frames = audio_frame_energy(media, frame=128, fake=True)
+    per_media = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum(F.when(F.col("energy") > _VAD_THRESHOLD, 1).otherwise(0))
+        .cast("bigint")
+        .alias("active_frames"),
+        F.expr(
+            f"CAST(sum(CASE WHEN energy > {_VAD_THRESHOLD} THEN 1 ELSE 0 END)"
+            " * 1000000 div count(1) AS BIGINT)"
+        ).alias("active_ppm"),
+        F.max("energy").cast("bigint").alias("peak_energy"),
+    )
+    return two_phase_global_topk(
+        per_media,
+        [F.desc("peak_energy"), F.asc("media_id")],
+        k=20,
+    ).select(
+        "media_id", "n_frames", "active_frames", "active_ppm", "peak_energy",
+        F.col("rank").cast("bigint").alias("rank"),
+    )

@@ -24,6 +24,8 @@ PANDAS_OK = {
     "curriculum_phase_assignment",  # same global_ordered_cumsum Arrow pass
     "parquet_rowgroup_skipping_audit",  # declared footer-harvest kernel:
     #   pyarrow footer reads over a FILE-PATH relation (O(KB)/footer)
+    "media_audio_energy_vad",  # declared Arrow frame-energy kernel (the
+    #   sanctioned multimodal mapInPandas surface)
 }
 # Broadcast nested-loop is the intended strategy for the brute-force
 # similarity baseline, the IVF centroid assignment (tiny broadcast
@@ -104,6 +106,10 @@ BNLJ_OK = {
     #   config grid — both sides bounded by constants, never data
     "simhash_hamming_roc",  # 8-row Hamming-threshold grid broadcast
     "watermark_late_audit",  # 3-row delay grid + 1-row total broadcast
+    "matryoshka_truncation_audit",  # 4-probe panel x 3-row dim grid
+    #   broadcast (declared brute-force baseline shape)
+    "kmeanspp_parallel_init",  # 1-row seed / total / candidate-array
+    #   broadcasts per oversampling round — all candidate-grain
 }
 
 

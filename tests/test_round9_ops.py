@@ -310,3 +310,61 @@ def test_sequence_ngram_confidence_bounded(spark, sf_dir):
     for r in rows:
         assert 0 <= r["confidence_ppm"] <= 1_000_000
         assert r["n_users"] <= r["support"]
+
+
+def test_matryoshka_overlap_sane(spark, sf_dir):
+    """Full-dim row recovers itself (overlap == k on dims=64), truncated
+    overlaps never exceed it."""
+    from formula_1_spark.queries.embedding_analytics import (
+        _MRL_K,
+        _MRL_PROBES,
+        matryoshka_truncation_audit,
+    )
+
+    rows = {r["dims"]: r for r in
+            matryoshka_truncation_audit(spark, sf_dir).collect()}
+    full = rows[64]
+    assert full["overlap_total"] == _MRL_PROBES * _MRL_K
+    assert full["mean_overlap_milli"] == 1000
+    for d, r in rows.items():
+        assert r["overlap_total"] <= full["overlap_total"]
+
+
+def test_audio_energy_frame_accounting(spark, sf_dir):
+    """Kernel vs closed form: n_frames == ceil(n_chars / 128) for the
+    top-ranked media, and activity ppm is exact."""
+    from formula_1_spark.queries.multimodal import media_audio_energy_vad
+    from formula_1_spark.sources.tables import load_table
+
+    rows = media_audio_energy_vad(spark, sf_dir).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    for r in rows:
+        n_chars = docs[r["media_id"]]
+        assert r["n_frames"] == (n_chars + 127) // 128
+        assert r["active_ppm"] == r["active_frames"] * 1_000_000 // r["n_frames"]
+        assert r["media_id"] % 3 == 1  # audio slice of the media adapter
+
+
+def test_kmeanspp_weights_partition_corpus(spark, sf_dir):
+    """Candidate weights sum to the corpus size (every vector assigned
+    exactly once); round 0 is the single min-id seed; no candidate
+    repeats across rounds."""
+    from formula_1_spark.queries.embedding_analytics import (
+        kmeanspp_parallel_init,
+    )
+    from formula_1_spark.sources.tables import table_row_count
+
+    rows = kmeanspp_parallel_init(spark, sf_dir).collect()
+    n = table_row_count(spark, sf_dir, "embeddings")
+    assert sum(r["weight"] for r in rows) == n
+    assert [r["cand_id"] for r in rows if r["round_added"] == 0] == [
+        min(r["cand_id"] for r in rows)
+    ]
+    ids = [r["cand_id"] for r in rows]
+    assert len(ids) == len(set(ids))
