@@ -788,3 +788,81 @@ def curriculum_phase_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window truncation waste (round 9)
+# ---------------------------------------------------------------------------
+
+_CTX_LIMITS = (256, 512, 1024)
+
+
+@register(
+    "context_truncation_waste",
+    ops="EXT-curation-context,A1,A3 (context-length budget audit)",
+    doc="Context-window sizing evidence: for each candidate training "
+    "context length (256/512/1024 tokens), how many documents exceed it, "
+    "how many tokens a hard truncation discards, and the discarded "
+    "fraction in ppm — the trade a packing pipeline weighs before fixing "
+    "its sequence length. ONE corpus scan, conditional aggregates per "
+    "limit over the broadcast 3-row grid; all exact integers.",
+    oracle=f"""
+WITH sized AS (
+  SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+lims AS (SELECT unnest([{", ".join(str(l) for l in _CTX_LIMITS)}])
+           AS ctx_limit),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(COUNT(1) AS BIGINT) AS total_docs FROM sized)
+SELECT CAST(l.ctx_limit AS INTEGER) AS ctx_limit,
+       t.total_docs,
+       CAST(SUM(CASE WHEN s.n_tokens > l.ctx_limit THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_truncated,
+       CAST(SUM(GREATEST(s.n_tokens - l.ctx_limit, 0)) AS BIGINT)
+         AS tokens_lost,
+       CAST(SUM(GREATEST(s.n_tokens - l.ctx_limit, 0)) * 1000000
+            // t.total_tokens AS BIGINT) AS lost_ppm
+FROM sized s, lims l, tot t
+GROUP BY l.ctx_limit, t.total_docs, t.total_tokens
+ORDER BY ctx_limit
+""",
+)
+def context_truncation_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sized = docs.select(
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens")
+    )
+    lims = spark.range(1).select(
+        F.explode(F.array(*[F.lit(l) for l in _CTX_LIMITS])).alias("ctx_limit")
+    )
+    tot = sized.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("total_docs"),
+    )
+    return (
+        sized.join(F.broadcast(lims), F.lit(True))
+        .join(F.broadcast(tot), F.lit(True))
+        .groupBy("ctx_limit", "total_docs", "total_tokens")
+        .agg(
+            F.sum(F.when(F.col("n_tokens") > F.col("ctx_limit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_truncated"),
+            F.sum(F.greatest(F.col("n_tokens") - F.col("ctx_limit"), F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_lost"),
+            F.expr(
+                "CAST(sum(GREATEST(n_tokens - ctx_limit, 0)) * 1000000"
+                " div total_tokens AS BIGINT)"
+            ).alias("lost_ppm"),
+        )
+        .select(
+            F.col("ctx_limit").cast("int").alias("ctx_limit"),
+            "total_docs",
+            "docs_truncated",
+            "tokens_lost",
+            "lost_ppm",
+        )
+        .orderBy("ctx_limit")
+    )

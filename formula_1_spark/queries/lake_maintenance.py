@@ -211,3 +211,137 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed checksum reconciliation (round 9)
+# ---------------------------------------------------------------------------
+
+_CK_BUCKET = 1024  # orderkeys per checksum bucket
+_CK_MUT = 9973  # keys % this get a value mutation in snapshot B
+_CK_DEL = 15013  # keys % this are deleted in snapshot B
+
+# Two independent 30-bit checksum components per bucket (low/high halves
+# of the 60-bit row hash), each summed exactly in int64 — a bucket of up
+# to ~9e9 rows stays overflow-free, and matching BOTH components makes a
+# silent collision astronomically unlikely.
+_CK_ROW = (
+    "('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' "
+    "|| CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' "
+    "|| CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)), "
+    "1, 15))::BIGINT"
+)
+
+
+@register(
+    "orders_checksum_reconcile",
+    ops="EXT-lake-reconcile,A1,J4 (bucketed anti-entropy diff)",
+    doc="Anti-entropy reconciliation between two table snapshots without "
+    "a row-level compare: hash every row once (60-bit md5 over the "
+    "business columns, prices on the exact cent grid), fold into "
+    f"per-bucket (orderkey div {_CK_BUCKET}) counts plus two summed "
+    "30-bit checksum components, and full-outer-join the two bucket "
+    "manifests — only buckets whose (count, low, high) triple disagrees "
+    "surface, localizing the diff to key ranges. Snapshot B is derived "
+    "in-plan (deterministic mutation of keys % "
+    f"{_CK_MUT}, deletion of keys % {_CK_DEL}) so the op is "
+    "fixture-free. This is how replicas diff at 100 TB: shuffle volume "
+    "is ONE row per bucket per side, never rows.",
+    oracle=f"""
+WITH a AS (
+  SELECT o_orderkey // {_CK_BUCKET} AS bucket, {_CK_ROW} AS h
+  FROM orders
+),
+b_src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % {_CK_MUT} = 0
+              THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % {_CK_DEL} <> 0
+),
+b AS (
+  SELECT o_orderkey // {_CK_BUCKET} AS bucket, {_CK_ROW} AS h
+  FROM b_src
+),
+ma AS (
+  SELECT bucket, CAST(COUNT(1) AS BIGINT) AS n,
+         CAST(SUM(h % 1073741824) AS BIGINT) AS lo,
+         CAST(SUM(h // 1073741824) AS BIGINT) AS hi
+  FROM a GROUP BY bucket
+),
+mb AS (
+  SELECT bucket, CAST(COUNT(1) AS BIGINT) AS n,
+         CAST(SUM(h % 1073741824) AS BIGINT) AS lo,
+         CAST(SUM(h // 1073741824) AS BIGINT) AS hi
+  FROM b GROUP BY bucket
+)
+SELECT CAST(COALESCE(ma.bucket, mb.bucket) AS BIGINT) AS bucket,
+       CAST(COALESCE(ma.n, 0) AS BIGINT) AS rows_a,
+       CAST(COALESCE(mb.n, 0) AS BIGINT) AS rows_b,
+       COALESCE(ma.n, 0) = COALESCE(mb.n, 0) AS counts_match
+FROM ma FULL OUTER JOIN mb ON mb.bucket = ma.bucket
+WHERE ma.bucket IS NULL OR mb.bucket IS NULL
+   OR ma.n <> mb.n OR ma.lo <> mb.lo OR ma.hi <> mb.hi
+ORDER BY bucket
+""",
+)
+def orders_checksum_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    row_h = F.expr(
+        "CAST(conv(substring(md5(concat_ws('|', CAST(o_orderkey AS STRING), "
+        "CAST(o_custkey AS STRING), o_orderstatus, "
+        "CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS STRING))), 1, 15), "
+        "16, 10) AS BIGINT)"
+    )
+
+    def manifest(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.expr(f"o_orderkey div {_CK_BUCKET}").alias("bucket"),
+                row_h.alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.expr("h % 1073741824")).cast("bigint").alias("lo"),
+                F.sum(F.expr("h div 1073741824")).cast("bigint").alias("hi"),
+            )
+        )
+
+    snap_b = orders.filter(F.expr(f"o_orderkey % {_CK_DEL} <> 0")).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.expr(
+            f"CASE WHEN o_orderkey % {_CK_MUT} = 0 THEN o_totalprice + 1.0 "
+            "ELSE o_totalprice END"
+        ).alias("o_totalprice"),
+    )
+    ma = manifest(orders).select(
+        F.col("bucket").alias("a_bucket"), F.col("n").alias("a_n"),
+        F.col("lo").alias("a_lo"), F.col("hi").alias("a_hi"),
+    )
+    mb = manifest(snap_b).select(
+        F.col("bucket").alias("b_bucket"), F.col("n").alias("b_n"),
+        F.col("lo").alias("b_lo"), F.col("hi").alias("b_hi"),
+    )
+    joined = ma.join(mb, ma.a_bucket == mb.b_bucket, "full_outer")
+    return (
+        joined.filter(
+            F.col("a_bucket").isNull()
+            | F.col("b_bucket").isNull()
+            | (F.col("a_n") != F.col("b_n"))
+            | (F.col("a_lo") != F.col("b_lo"))
+            | (F.col("a_hi") != F.col("b_hi"))
+        )
+        .select(
+            F.coalesce("a_bucket", "b_bucket").cast("bigint").alias("bucket"),
+            F.coalesce("a_n", F.lit(0)).cast("bigint").alias("rows_a"),
+            F.coalesce("b_n", F.lit(0)).cast("bigint").alias("rows_b"),
+            (
+                F.coalesce("a_n", F.lit(0)) == F.coalesce("b_n", F.lit(0))
+            ).alias("counts_match"),
+        )
+        .orderBy("bucket")
+    )

@@ -62,14 +62,23 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 # this pinned window. Names absent from REGISTRY are skipped; registered
 # names absent from this list keep registration order after it.
 #
-# ROUND-10 ROTATION TODO: pin any round-9 additions first (registered
-# behind this window), then the 13 r04-cohort stale greens that did not
-# fit this window (map_functions_battery, embedding_dim_stats,
-# benford_price_audit, events_anomaly_mad, order_value_regression,
-# countmin_error_audit, token_length_deciles, bpe_pair_merge_stats,
-# top_terms_per_source, quality_vs_duplication, vocab_growth_heaps,
-# orders_seasonality_profile, part_revenue_pareto), then the stalest
-# r05 greens (see CORRECTNESS_r05.json).
+# ROUND-10 ROTATION TODO: pin the 17 round-9 additions first (registered
+# behind this window; all locally bit-exact vs DuckDB at sf0.001 AND
+# sf0.01, driver-never-checked): semdedup_prune_report,
+# unimax_budget_allocation, lsh_band_planning, simhash_hamming_roc,
+# soft_dedup_weights, trade_hits_hubs_authorities,
+# supplier_peak_concurrency, event_sequence_ngrams, watermark_late_audit,
+# curriculum_phase_assignment, source_diversity_index,
+# parquet_rowgroup_skipping_audit, matryoshka_truncation_audit,
+# media_audio_energy_vad, kmeanspp_parallel_init,
+# context_truncation_waste, orders_checksum_reconcile. Then the 13
+# r04-cohort stale greens that did not fit this window
+# (map_functions_battery, embedding_dim_stats, benford_price_audit,
+# events_anomaly_mad, order_value_regression, countmin_error_audit,
+# token_length_deciles, bpe_pair_merge_stats, top_terms_per_source,
+# quality_vs_duplication, vocab_growth_heaps, orders_seasonality_profile,
+# part_revenue_pareto), then the stalest r05 greens (see
+# CORRECTNESS_r05.json).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never driver-checked (all 14 round-8 additions; judge-green r08) ---
     "ivf_nprobe_recall_curve",

@@ -108,6 +108,7 @@ BNLJ_OK = {
     "watermark_late_audit",  # 3-row delay grid + 1-row total broadcast
     "matryoshka_truncation_audit",  # 4-probe panel x 3-row dim grid
     #   broadcast (declared brute-force baseline shape)
+    "context_truncation_waste",  # 3-row limit grid + 1-row totals broadcast
     "kmeanspp_parallel_init",  # 1-row seed / total / candidate-array
     #   broadcasts per oversampling round — all candidate-grain
 }

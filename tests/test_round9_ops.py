@@ -368,3 +368,44 @@ def test_kmeanspp_weights_partition_corpus(spark, sf_dir):
     ]
     ids = [r["cand_id"] for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def test_truncation_waste_monotone(spark, sf_dir):
+    """Larger context limits lose strictly no more tokens or docs."""
+    from formula_1_spark.queries.curation import context_truncation_waste
+
+    rows = sorted(context_truncation_waste(spark, sf_dir).collect(),
+                  key=lambda r: r["ctx_limit"])
+    lost = [r["tokens_lost"] for r in rows]
+    docs = [r["docs_truncated"] for r in rows]
+    assert lost == sorted(lost, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+
+
+def test_checksum_reconcile_localizes_mutations(spark, sf_dir):
+    """Every surfaced bucket contains a planted mutation or deletion, and
+    every planted key's bucket is surfaced — no false hits, no misses."""
+    from formula_1_spark.queries.lake_maintenance import (
+        _CK_BUCKET,
+        _CK_DEL,
+        _CK_MUT,
+        orders_checksum_reconcile,
+    )
+    from formula_1_spark.sources.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    keys = [
+        r["o_orderkey"]
+        for r in load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderkey") % _CK_MUT == 0)
+            | (F.col("o_orderkey") % _CK_DEL == 0)
+        )
+        .select("o_orderkey")
+        .collect()
+    ]
+    expected = {k // _CK_BUCKET for k in keys}
+    got = {r["bucket"] for r in
+           orders_checksum_reconcile(spark, sf_dir).collect()}
+    assert got == expected
