@@ -206,3 +206,128 @@ def unimax_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# IPF / raking mixture weights (round 9)
+# ---------------------------------------------------------------------------
+
+_IPF_GRID = 10_000_000  # pp10m share grid: products stay under int64 at any n
+_IPF_ROUNDS = 3
+
+
+def _ipf_ctes(rounds: int) -> str:
+    """Unrolled row-scale / column-scale rounds, windows over the cell
+    relation (bounded by the lang x source domain)."""
+    parts = []
+    prev = "w0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"r{r}a AS (SELECT lang, source, n_tokens,\n"
+            f"  CAST({prev} * t_row // SUM({prev}) OVER (PARTITION BY lang)"
+            f" AS BIGINT) AS w, t_row, t_col, w0 FROM {'cells' if r == 1 else f'r{r-1}b'})"
+        )
+        parts.append(
+            f"r{r}b AS (SELECT lang, source, n_tokens,\n"
+            f"  CAST(w * t_col // SUM(w) OVER (PARTITION BY source)"
+            f" AS BIGINT) AS {'w' + str(r)}, t_row, t_col, w0 FROM r{r}a)"
+        )
+        prev = f"w{r}"
+        if r < rounds:
+            parts[-1] = parts[-1].replace(f"AS w{r},", f"AS {prev},")
+    return ",\n".join(parts)
+
+
+@register(
+    "ipf_raking_weights",
+    ops="EXT-mixture-ipf,A1,W1 (iterative proportional fitting)",
+    doc="IPF / raking mixture weights: fit the (lang x source) token-share "
+    "matrix to UNIFORM lang and source marginals by three unrolled "
+    "row-scale / column-scale rounds — the survey-statistics raking "
+    "estimator, used here to derive per-cell sampling weights that "
+    "simultaneously balance languages and sources. Shares live on an "
+    "exact pp10m integer grid (floor divisions only, so every round is "
+    "bit-identical cross-engine and products never leave int64 at any "
+    "corpus size); the corpus is scanned ONCE for token counts, then "
+    "every round is a window pass over the domain-bounded cell matrix. "
+    "Reports per cell the raw share, the raked weight, and the "
+    "resampling ratio in ppm.",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, source,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY lang, source
+),
+par AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS grand,
+         CAST({_IPF_GRID} // COUNT(DISTINCT lang) AS BIGINT) AS t_row,
+         CAST({_IPF_GRID} // COUNT(DISTINCT source) AS BIGINT) AS t_col
+  FROM tok
+),
+cells AS (
+  SELECT t.lang, t.source, t.n_tokens,
+         CAST(t.n_tokens * {_IPF_GRID} // p.grand AS BIGINT) AS w0,
+         p.t_row, p.t_col
+  FROM tok t, par p
+),
+{_ipf_ctes(_IPF_ROUNDS)}
+SELECT lang, source, n_tokens,
+       CAST(w0 AS BIGINT) AS share_pp10m,
+       CAST(w{_IPF_ROUNDS} AS BIGINT) AS rake_pp10m,
+       CAST(w{_IPF_ROUNDS} * 1000000 // GREATEST(w0, 1) AS BIGINT)
+         AS ratio_ppm
+FROM r{_IPF_ROUNDS}b
+ORDER BY lang, source
+""",
+)
+def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from formula_1_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.groupBy("lang", "source").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    par = tok.agg(
+        F.sum("n_tokens").cast("bigint").alias("grand"),
+        F.expr(f"CAST({_IPF_GRID} div count(DISTINCT lang) AS BIGINT)").alias(
+            "t_row"
+        ),
+        F.expr(
+            f"CAST({_IPF_GRID} div count(DISTINCT source) AS BIGINT)"
+        ).alias("t_col"),
+    )
+    cells = tok.join(F.broadcast(par), F.lit(True)).select(
+        "lang",
+        "source",
+        "n_tokens",
+        F.expr(f"CAST(n_tokens * {_IPF_GRID} div grand AS BIGINT)").alias("w0"),
+        "t_row",
+        "t_col",
+    )
+    w_lang = Window.partitionBy("lang")
+    w_src = Window.partitionBy("source")
+    cur = cells.withColumn("w", F.col("w0"))
+    for _ in range(_IPF_ROUNDS):
+        cur = (
+            cur.withColumn("rs", F.sum("w").over(w_lang))
+            .withColumn("w", F.expr("CAST(w * t_row div rs AS BIGINT)"))
+            .drop("rs")
+            .withColumn("cs", F.sum("w").over(w_src))
+            .withColumn("w", F.expr("CAST(w * t_col div cs AS BIGINT)"))
+            .drop("cs")
+        )
+    return cur.select(
+        "lang",
+        "source",
+        "n_tokens",
+        F.col("w0").cast("bigint").alias("share_pp10m"),
+        F.col("w").cast("bigint").alias("rake_pp10m"),
+        F.expr("CAST(w * 1000000 div GREATEST(w0, 1) AS BIGINT)").alias(
+            "ratio_ppm"
+        ),
+    ).orderBy("lang", "source")

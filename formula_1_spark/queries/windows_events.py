@@ -1154,43 +1154,67 @@ def event_sequence_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Watermark lateness audit (round 9)
 # ---------------------------------------------------------------------------
 
-_WM_BATCH = 1000  # arrival micro-batch size (event_id is arrival order)
+# The synthetic events arrive perfectly ordered (ts is monotone in
+# event_id), so real-world delivery jitter is modeled deterministically:
+# each event arrives jitter = uniform[0, 20 min) after its event time,
+# with the uniform drawn from the engine-shared salted-md5 1e-6 grid —
+# replayable bit-for-bit in ANSI SQL. Triggers fire every 5 minutes of
+# ARRIVAL time; the watermark rule is the ENGINE'S MEASURED one: the
+# filter in trigger b uses the watermark committed at the start of
+# trigger b-1, which was computed from data through trigger b-2 — i.e.
+# max event time through trigger b-2, minus the delay (Structured
+# Streaming propagates watermarks with a one-microbatch commit lag;
+# tests/test_streaming.py pins this against the engine's own
+# numRowsDroppedByWatermark metric).
+_WM_JITTER_S = 1200
+_WM_TRIGGER_S = 300
 _WM_DELAYS_S = (60, 300, 900)
+_WM_GRID = 1_000_000
+
+
+def _wm_jitter_sql(key_sql: str) -> str:
+    return (
+        f"((('0x' || substr(md5('wmj' || ':' || CAST({key_sql} AS VARCHAR)),"
+        f" 1, 15))::BIGINT % {_WM_GRID}) * {_WM_JITTER_S})"
+    )
 
 
 @register(
     "watermark_late_audit",
     ops="EXT-stream-planning,W1,A1 (watermark-delay sizing evidence)",
-    doc="Batch replay of Structured Streaming watermark semantics: "
-    "arrival order = event_id, grouped into micro-batches of "
-    f"{_WM_BATCH}; the watermark after batch b is max(event time up to "
-    "b) - delay, and an event is DROPPED-LATE iff its event time is "
-    "behind the watermark established by the PREVIOUS batch. For each "
-    "candidate delay (60s/5m/15m) reports dropped events, drop ppm, "
-    "affected users, and the worst lateness — the evidence for sizing "
-    "withWatermark() before deploying the streaming job. The batch-max "
-    "relation is ~rows/1000, so the global cumulative max runs on a "
-    "tiny aggregate, never on raw events.",
+    doc="Batch replay of Structured Streaming watermark semantics under "
+    "deterministic delivery jitter (uniform[0, 20 min) from the shared "
+    "md5 grid): triggers fire every 5 minutes of arrival time, the "
+    "watermark after trigger b is max(event time through b) - delay, and "
+    "an event is DROPPED-LATE iff its event time is behind the watermark "
+    "established by the PREVIOUS trigger — bit-for-bit the engine rule, "
+    "proven against numRowsDroppedByWatermark in the streaming test. For "
+    "each candidate delay (1m/5m/15m) reports dropped events, drop ppm, "
+    "affected users, and the worst lateness — the withWatermark() sizing "
+    "evidence. The trigger-max relation aggregates before the tiny "
+    "global cummax window, so nothing corpus-sized funnels through one "
+    "task.",
     oracle=f"""
 WITH arr AS (
   SELECT event_id, user_id, epoch_us(ts) AS t_us,
-         event_id // {_WM_BATCH} AS batch
+         (epoch_us(ts) + {_wm_jitter_sql("event_id")})
+           // {_WM_TRIGGER_S * 1_000_000} AS trigger_id
   FROM events
 ),
 bmax AS (
-  SELECT batch, CAST(MAX(t_us) AS BIGINT) AS bmax_us
-  FROM arr GROUP BY batch
+  SELECT trigger_id, CAST(MAX(t_us) AS BIGINT) AS bmax_us
+  FROM arr GROUP BY trigger_id
 ),
 wm0 AS (
-  SELECT batch,
-         CAST(MAX(bmax_us) OVER (ORDER BY batch
+  SELECT trigger_id,
+         CAST(MAX(bmax_us) OVER (ORDER BY trigger_id
                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
            AS cummax_us
   FROM bmax
 ),
 wm AS (
-  SELECT batch, cummax_us,
-         CAST(LAG(cummax_us) OVER (ORDER BY batch) AS BIGINT)
+  SELECT trigger_id, cummax_us,
+         CAST(LAG(cummax_us, 2) OVER (ORDER BY trigger_id) AS BIGINT)
            AS prev_cummax_us
   FROM wm0
 ),
@@ -1199,7 +1223,7 @@ delays AS (SELECT unnest([{", ".join(str(d) for d in _WM_DELAYS_S)}])
 flagged AS (
   SELECT d.delay_s, a.user_id,
          (w.prev_cummax_us - d.delay_s * 1000000) - a.t_us AS late_by_us
-  FROM arr a JOIN wm w ON w.batch = a.batch, delays d
+  FROM arr a JOIN wm w ON w.trigger_id = a.trigger_id, delays d
   WHERE w.prev_cummax_us IS NOT NULL
     AND a.t_us < w.prev_cummax_us - d.delay_s * 1000000
 ),
@@ -1221,27 +1245,62 @@ ORDER BY delay_s
 )
 def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return watermark_late_counts(ev, _WM_TRIGGER_S, _WM_DELAYS_S)
+
+
+def wm_arrival_us(t_us, event_id):
+    """Deterministic arrival time: event time + md5-grid jitter in
+    [0, _WM_JITTER_S) seconds. Shared by the audit and the streaming
+    equivalence test so both replay the same arrival order."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("wmj"), event_id.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return t_us + (h % _WM_GRID) * _WM_JITTER_S
+
+
+def watermark_late_counts(
+    ev: DataFrame, trigger_s: int, delays_s: tuple[int, ...]
+) -> DataFrame:
+    """The batch replay of streaming watermark drop semantics, trigger
+    cadence parametrized so the Structured Streaming equivalence test
+    (tests/test_streaming.py) can drive it against the real engine's
+    numRowsDroppedByWatermark metric."""
+    spark = ev.sparkSession
+    t_us = F.unix_micros("ts")
     arr = ev.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("t_us"),
-        F.expr(f"event_id div {_WM_BATCH}").alias("batch"),
+        t_us.alias("t_us"),
+        (wm_arrival_us(t_us, F.col("event_id")) / F.lit(trigger_s * 1_000_000))
+        .cast("bigint")
+        .alias("trigger_id"),
     )
-    bmax = arr.groupBy("batch").agg(F.max("t_us").cast("bigint").alias("bmax_us"))
-    w_ord = Window.orderBy("batch").rowsBetween(
+    bmax = arr.groupBy("trigger_id").agg(
+        F.max("t_us").cast("bigint").alias("bmax_us")
+    )
+    w_ord = Window.orderBy("trigger_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     wm = bmax.select(
-        "batch", F.max("bmax_us").over(w_ord).cast("bigint").alias("cummax_us")
+        "trigger_id",
+        F.max("bmax_us").over(w_ord).cast("bigint").alias("cummax_us"),
     ).select(
-        "batch",
+        "trigger_id",
         "cummax_us",
-        F.lag("cummax_us").over(Window.orderBy("batch")).alias("prev_cummax_us"),
+        F.lag("cummax_us", 2)
+        .over(Window.orderBy("trigger_id"))
+        .alias("prev_cummax_us"),
     )
     delays = spark.range(1).select(
-        F.explode(F.array(*[F.lit(d) for d in _WM_DELAYS_S])).alias("delay_s")
+        F.explode(F.array(*[F.lit(d) for d in delays_s])).alias("delay_s")
     )
-    joined = arr.join(F.broadcast(wm), "batch").join(
+    joined = arr.join(F.broadcast(wm), "trigger_id").join(
         F.broadcast(delays), F.lit(True)
     )
     flagged = joined.filter(

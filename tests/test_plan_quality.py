@@ -109,6 +109,8 @@ BNLJ_OK = {
     "matryoshka_truncation_audit",  # 4-probe panel x 3-row dim grid
     #   broadcast (declared brute-force baseline shape)
     "context_truncation_waste",  # 3-row limit grid + 1-row totals broadcast
+    "ipf_raking_weights",  # 1-row marginal-targets broadcast onto the
+    #   domain-bounded lang x source cell matrix
     "kmeanspp_parallel_init",  # 1-row seed / total / candidate-array
     #   broadcasts per oversampling round — all candidate-grain
 }

@@ -409,3 +409,27 @@ def test_checksum_reconcile_localizes_mutations(spark, sf_dir):
     got = {r["bucket"] for r in
            orders_checksum_reconcile(spark, sf_dir).collect()}
     assert got == expected
+
+
+def test_ipf_raking_converges_toward_marginals(spark, sf_dir):
+    """After three rounds the column marginals are exact (last scale was
+    by source) and the row marginals are within floor-division slack of
+    the uniform target."""
+    from collections import defaultdict
+
+    from formula_1_spark.queries.mixture import _IPF_GRID, ipf_raking_weights
+
+    rows = ipf_raking_weights(spark, sf_dir).collect()
+    assert rows
+    by_lang, by_src = defaultdict(int), defaultdict(int)
+    for r in rows:
+        assert r["rake_pp10m"] >= 0
+        by_lang[r["lang"]] += r["rake_pp10m"]
+        by_src[r["source"]] += r["rake_pp10m"]
+    t_col = _IPF_GRID // len(by_src)
+    for s, tot in by_src.items():
+        # every cell loses < 1 unit to flooring
+        assert t_col - len(by_lang) <= tot <= t_col, (s, tot, t_col)
+    t_row = _IPF_GRID // len(by_lang)
+    for lang, tot in by_lang.items():
+        assert abs(tot - t_row) <= t_row * 0.15, (lang, tot, t_row)

@@ -60,6 +60,12 @@ SLATE = {
     "kmv_source_overlap": "bucket-partial k-mins (bounded windows) merge to <=64-row sketches; the pair stage never re-touches the corpus",
     "part_copurchase_clustering": "per-order pair join bounded by basket size; support filter prunes edges BEFORE the wedge-close joins",
     "events_conversion_survival": "two event scans + one user-keyed join; risk sets + KM folds all on the broadcast 14-row bucket grid",
+    "supplier_peak_concurrency": "interval sweep-line: deltas aggregate to (supplier, date) before the key-partitioned running sum; top-20 two-phase",
+    "trade_hits_hubs_authorities": "12 half-iterations, each one key join + map-side-combined groupBy; rescale windows bounded by the nation domain",
+    "lsh_band_planning": "one loose verify pass feeds a <=20-bin histogram; the S-curve scoring runs on a 100-row grid",
+    "parquet_rowgroup_skipping_audit": "footer harvest is a MapInPandas over the file-path relation; everything after is row-group-grain",
+    "kmeanspp_parallel_init": "per-round corpus scan with map-only HOF folds over sorted broadcast candidate arrays; no corpus x candidate shuffle",
+    "orders_checksum_reconcile": "two bucket-grain manifests (count + dual hash sums) full-outer-joined; rows never cross the exchange",
 }
 
 
