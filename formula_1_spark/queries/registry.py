@@ -62,7 +62,7 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 # this pinned window. Names absent from REGISTRY are skipped; registered
 # names absent from this list keep registration order after it.
 #
-# ROUND-10 ROTATION TODO: pin the 18 round-9 additions first (registered
+# ROUND-10 ROTATION TODO: pin the 19 round-9 additions first (registered
 # behind this window; all locally bit-exact vs DuckDB at sf0.001 AND
 # sf0.01, driver-never-checked): semdedup_prune_report,
 # unimax_budget_allocation, lsh_band_planning, simhash_hamming_roc,
@@ -72,7 +72,7 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 # parquet_rowgroup_skipping_audit, matryoshka_truncation_audit,
 # media_audio_energy_vad, kmeanspp_parallel_init,
 # context_truncation_waste, orders_checksum_reconcile,
-# ipf_raking_weights. Then the 13
+# ipf_raking_weights, join_cardinality_estimate_audit. Then the 13
 # r04-cohort stale greens that did not fit this window
 # (map_functions_battery, embedding_dim_stats, benford_price_audit,
 # events_anomaly_mad, order_value_regression, countmin_error_audit,

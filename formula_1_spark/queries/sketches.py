@@ -550,3 +550,92 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation audit (round 9)
+# ---------------------------------------------------------------------------
+
+_JCE_RATE_PPM = 62_500  # 1/16 key-sampling rate on the md5 grid
+
+
+@register(
+    "join_cardinality_estimate_audit",
+    ops="EXT-optimizer-stats,A1,A3 (sampled-key join-size estimation)",
+    doc="Optimizer-statistics audit: estimate the self-equi-join "
+    "cardinality of events on (user_id) per event_type — true size is "
+    "sum(cnt^2) over join keys — from a 1/16 deterministic KEY sample "
+    "(the shared salted-md5 grid, so the sample is identical in any "
+    "engine) scaled by 16, and report the exact size, the estimate, and "
+    "the signed error in ppm. Key-level sampling is how a distributed "
+    "planner prices candidate joins without scanning group counts for "
+    "every key: ONE aggregate per side at key grain, sample decided in "
+    "codegen, everything after is key-grain. All integers exact.",
+    oracle=f"""
+WITH grp AS (
+  SELECT event_type, user_id, CAST(COUNT(1) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, user_id
+),
+flagged AS (
+  SELECT event_type, cnt,
+         CASE WHEN (('0x' || substr(md5('jce' || ':'
+                      || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 1000000) < {_JCE_RATE_PPM}
+              THEN 1 ELSE 0 END AS sampled
+  FROM grp
+)
+SELECT event_type,
+       CAST(COUNT(1) AS BIGINT) AS n_keys,
+       CAST(SUM(sampled) AS BIGINT) AS keys_sampled,
+       CAST(SUM(cnt * cnt) AS BIGINT) AS exact_join_rows,
+       CAST(SUM(CASE WHEN sampled = 1 THEN cnt * cnt ELSE 0 END)
+            * 1000000 // {_JCE_RATE_PPM} AS BIGINT) AS estimated_join_rows,
+       CAST((SUM(CASE WHEN sampled = 1 THEN cnt * cnt ELSE 0 END)
+             * 1000000 // {_JCE_RATE_PPM} - SUM(cnt * cnt))
+            * 1000000 // SUM(cnt * cnt) AS BIGINT) AS err_ppm
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def join_cardinality_estimate_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    grp = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    u = F.expr(
+        "conv(substring(md5(concat_ws(':', 'jce', CAST(user_id AS STRING))),"
+        " 1, 15), 16, 10)"
+    ).cast("bigint")
+    flagged = grp.select(
+        "event_type",
+        "cnt",
+        F.when((u % 1_000_000) < _JCE_RATE_PPM, 1).otherwise(0).alias("sampled"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("sampled").cast("bigint").alias("keys_sampled"),
+            F.sum(F.col("cnt") * F.col("cnt"))
+            .cast("bigint")
+            .alias("exact_join_rows"),
+            F.expr(
+                "CAST(sum(CASE WHEN sampled = 1 THEN cnt * cnt ELSE 0 END)"
+                f" * 1000000 div {_JCE_RATE_PPM} AS BIGINT)"
+            ).alias("estimated_join_rows"),
+            # engines disagree on negative integer division (floor vs
+            # truncate), so the signed error decomposes into sign * abs
+            F.expr(
+                "CAST(CASE WHEN sum(CASE WHEN sampled = 1 THEN cnt * cnt"
+                f" ELSE 0 END) * 1000000 div {_JCE_RATE_PPM}"
+                " >= sum(cnt * cnt) THEN 1 ELSE -1 END"
+                " * (ABS(sum(CASE WHEN sampled = 1 THEN cnt * cnt ELSE 0 END)"
+                f" * 1000000 div {_JCE_RATE_PPM} - sum(cnt * cnt))"
+                " * 1000000 div sum(cnt * cnt)) AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("event_type")
+    )

@@ -433,3 +433,23 @@ def test_ipf_raking_converges_toward_marginals(spark, sf_dir):
     t_row = _IPF_GRID // len(by_lang)
     for lang, tot in by_lang.items():
         assert abs(tot - t_row) <= t_row * 0.15, (lang, tot, t_row)
+
+
+def test_join_cardinality_estimate_within_sampling_error(spark, sf_dir):
+    """The 1/16-key estimate lands within a loose sampling bound of the
+    exact join size, and sign/abs err math is self-consistent."""
+    from formula_1_spark.queries.sketches import (
+        join_cardinality_estimate_audit,
+    )
+
+    rows = join_cardinality_estimate_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["keys_sampled"] <= r["n_keys"]
+        assert r["exact_join_rows"] > 0
+        # hash-sampling at 1/16 over hundreds of keys: generous 5x bound
+        assert r["estimated_join_rows"] <= r["exact_join_rows"] * 5
+        expect_sign = (
+            1 if r["estimated_join_rows"] >= r["exact_join_rows"] else -1
+        )
+        assert (r["err_ppm"] >= 0) == (expect_sign == 1)
