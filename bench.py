@@ -107,14 +107,49 @@ def main() -> None:
             total += dt
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "total_query_wall_sec",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # The driver's tail capture truncates very long lines (282 per-query
+    # timings ≈ 10 KB broke BENCH_r08/r09 parsing). Persist the full dump
+    # to a file, emit it on stdout first for anyone reading the whole log,
+    # and finish with a compact single-line summary (total + the 20
+    # slowest queries) that survives any tail/linewidth capture — the
+    # LAST line is always parseable JSON.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             f"BENCH_FULL_sf{sf}.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh)
+    except OSError as e:
+        print(f"bench: could not write {full_path}: {e}", file=sys.stderr)
+    print(json.dumps(full))
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v is not None),
+            key=lambda kv: kv[1],
+            reverse=True,
+        )[:20]
+    )
+    failed = sorted(k for k, v in timings.items() if v is None)
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
                 "value": round(total, 4),
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": slowest,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "n_failed": len(failed),
+                "failed": failed[:20],
+                "queries_is_top20_slowest": True,
+                "full_dump": full_path,
             }
         )
     )

@@ -247,6 +247,11 @@ def hits_quantized(
     ``SUM(w * q)`` needs ``total_w < 2^62 / HITS_SCALE`` — enforced
     loudly below (same contract as pagerank_quantized).
     """
+    if iters < 1:
+        raise ValueError(
+            f"hits_quantized: iters must be >= 1 (got {iters}) — zero "
+            "iterations would leave the authority relation undefined"
+        )
     ew = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
         F.col(weight_col).alias("w"),
@@ -260,8 +265,8 @@ def hits_quantized(
             "pre-divide weights by their GCD or lift to decimal(38,0)"
         )
     base = nodes.select(F.col(node_col).alias("node")).persist()
-    h = base.withColumn("h_q", F.lit(HITS_SCALE).cast("bigint")).persist()
-    a = None
+    h0 = base.withColumn("h_q", F.lit(HITS_SCALE).cast("bigint")).persist()
+    h, a = h0, None
     rescale = (
         "coalesce(r, 0L) div "
         f"greatest(sum(coalesce(r, 0L)) over () div {HITS_SCALE}, 1L)"
@@ -290,4 +295,82 @@ def hits_quantized(
     # 2*iters half-steps and recomputing the upstream edge aggregation per
     # reference would repeat the expensive fact join. Node-pair grain, so
     # the pinned footprint is <= |nodes|^2 rows at any corpus size.
+    # h0 and base, by contrast, are cheap projections each referenced a
+    # bounded number of times — drop their cache pins so they never hold
+    # executor storage past this builder (they recompute trivially if the
+    # lazy plan touches them at action time).
+    h0.unpersist()
+    base.unpersist()
     return h.join(a, "node")
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 3,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007) —
+    community detection over an undirected weighted graph, fully
+    deterministic so any engine replays it bit-for-bit.
+
+    Every node starts labeled with its own id. Each round, node v adopts
+    the label maximizing ``sum(w(v, u))`` over neighbors u currently
+    holding that label; ties break to the SMALLEST label (argmax via
+    ``row_number() OVER (PARTITION BY node ORDER BY s DESC, lbl ASC)``).
+    Weights are exact integers, so scores never float-drift.
+
+    Callers pass ``edges`` already expanded to BOTH directions of each
+    undirected edge. A zero-weight self-loop is unioned in for every
+    node, which keeps isolated nodes present in the per-round argmax
+    (their own label wins at s = 0) WITHOUT a second reference to the
+    label relation — each round's plan references its predecessor exactly
+    once, so the logical plan grows linearly in ``iters`` (the 2^iters
+    double-reference blow-up measured on hits_quantized cannot occur).
+
+    100 TB design: per round one src-keyed join of the node-grain label
+    relation with the persisted edge list, one map-side-combined groupBy
+    on (dst, label), and one node-partitioned window at (node, label)
+    grain — all key-partitioned shuffles, no driver-side graph state.
+    """
+    from pyspark.sql import Window
+
+    if iters < 1:
+        raise ValueError(
+            f"label_propagation: iters must be >= 1 (got {iters})"
+        )
+    base = nodes.select(F.col(node_col).alias("node"))
+    ew = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("bigint").alias("w"),
+        )
+        .unionByName(
+            base.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(0).cast("bigint").alias("w"),
+            )
+        )
+        .persist()
+    )
+    lbl = base.withColumn("lbl", F.col("node"))
+    arg = Window.partitionBy("node").orderBy(F.desc("s"), F.asc("lbl"))
+    for _ in range(iters):
+        scores = (
+            ew.join(lbl, ew.src == lbl.node)
+            .select(F.col("dst").alias("node"), "lbl", "w")
+            .groupBy("node", "lbl")
+            .agg(F.sum("w").alias("s"))
+        )
+        lbl = (
+            scores.withColumn("r", F.row_number().over(arg))
+            .filter(F.col("r") == 1)
+            .select("node", "lbl")
+        )
+    # ew stays pinned for the caller's action (referenced by every round).
+    return lbl

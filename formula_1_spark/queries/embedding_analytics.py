@@ -1051,9 +1051,11 @@ def _kpp_dist_sql(a: str, b: str) -> str:
     "array — no corpus x candidates shuffle — and the final weights "
     "(points per nearest candidate, the input to the weighted k-means "
     "that follows) come from one argmin fold + one count aggregate. "
-    "Candidates already selected have d = 0, hence keep probability 0 — "
-    "rounds never re-pick. Per round: one corpus scan; everything else "
-    "is candidate-grain.",
+    "Rounds never re-pick a selected candidate: each keep round "
+    "anti-joins the candidate set so far (explicit, not a reliance on "
+    "the float cosine of a vector with itself quantizing to exactly "
+    "d = 0). Per round: one corpus scan; everything else is "
+    "candidate-grain.",
     oracle=f"""
 WITH c0 AS (
   SELECT vec_id AS c_id, embedding AS c_vec
@@ -1068,7 +1070,8 @@ t0 AS (SELECT CAST(SUM(d * d) AS BIGINT) AS t FROM d0),
 keep1 AS (
   SELECT p.vec_id, p.embedding
   FROM d0 p, t0
-  WHERE {hash_uniform_sql("p.vec_id", "kpp0")}
+  WHERE p.vec_id NOT IN (SELECT c_id FROM c0)
+    AND {hash_uniform_sql("p.vec_id", "kpp0")}
         < CAST({_KPP_L} * p.d * p.d AS DOUBLE) / CAST(t0.t AS DOUBLE)
 ),
 k1d AS (
@@ -1083,7 +1086,9 @@ t1 AS (SELECT CAST(SUM(d * d) AS BIGINT) AS t FROM d1),
 keep2 AS (
   SELECT p.vec_id, p.embedding
   FROM d1 p, t1
-  WHERE {hash_uniform_sql("p.vec_id", "kpp1")}
+  WHERE p.vec_id NOT IN (SELECT c_id FROM c0 UNION ALL
+                         SELECT vec_id FROM keep1)
+    AND {hash_uniform_sql("p.vec_id", "kpp1")}
         < CAST({_KPP_L} * p.d * p.d AS DOUBLE) / CAST(t1.t AS DOUBLE)
 ),
 cands AS (
@@ -1123,12 +1128,16 @@ def kmeanspp_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.floor(cosine(F.col("embedding"), vec) * 1000).cast("bigint")
         )
 
-    def keep_round(drel, salt):
+    def keep_round(drel, salt, selected):
         """One oversampling round: threshold the shared uniform grid at
-        l * d^2 / sum(d^2); the total rides on a 1-row broadcast."""
+        l * d^2 / sum(d^2); the total rides on a 1-row broadcast. The
+        candidate set so far (``selected``: vec_id-only, candidate-grain
+        so broadcastable) is anti-joined out — an explicit no-re-pick
+        guarantee instead of trusting cos(v, v) to quantize to d = 0."""
         t = drel.agg(F.sum(F.col("d") * F.col("d")).cast("bigint").alias("t"))
         return (
-            drel.join(F.broadcast(t), F.lit(True))
+            drel.join(F.broadcast(selected), "vec_id", "left_anti")
+            .join(F.broadcast(t), F.lit(True))
             .filter(
                 hash_uniform(F.col("vec_id"), salt)
                 < (F.lit(_KPP_L) * F.col("d") * F.col("d")).cast("double")
@@ -1169,9 +1178,10 @@ def kmeanspp_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     d0 = emb.join(F.broadcast(c0), F.lit(True)).select(
         "vec_id", "embedding", dist_to(F.col("c_vec")).alias("d")
     )
-    keep1 = keep_round(d0, "kpp0")
+    sel0 = c0.select(F.col("c_id").alias("vec_id"))
+    keep1 = keep_round(d0, "kpp0", sel0)
     d1 = min_over(d0, keep1)
-    keep2 = keep_round(d1, "kpp1")
+    keep2 = keep_round(d1, "kpp1", sel0.unionByName(keep1.select("vec_id")))
 
     cands = (
         c0.select(

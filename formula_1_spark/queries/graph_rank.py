@@ -609,3 +609,124 @@ def trade_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("auth_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (round 10)
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def _lpa_ctes(iters: int) -> str:
+    """Unrolled synchronous LPA rounds mirroring operators/graph.py
+    label_propagation — argmax of neighbor-label weight, ties to the
+    smallest label, zero-weight self-loops keep isolated nodes present."""
+    parts = [
+        """und AS MATERIALIZED (
+  SELECT a AS src, b AS dst, n AS w FROM e0
+  UNION ALL SELECT b, a, n FROM e0
+  UNION ALL SELECT n_nationkey, n_nationkey, 0 FROM nation
+)""",
+        "lbl0 AS (SELECT n_nationkey AS node, n_nationkey AS lbl FROM nation)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"s{i} AS (\n"
+            f"  SELECT e.dst AS node, l.lbl, CAST(SUM(e.w) AS BIGINT) AS s\n"
+            f"  FROM und e JOIN lbl{i} l ON l.node = e.src GROUP BY 1, 2\n)"
+        )
+        parts.append(
+            f"lbl{i + 1} AS MATERIALIZED (\n"
+            f"  SELECT node, lbl FROM (\n"
+            f"    SELECT node, lbl, ROW_NUMBER() OVER (\n"
+            f"      PARTITION BY node ORDER BY s DESC, lbl ASC) AS r\n"
+            f"    FROM s{i}) WHERE r = 1\n)"
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "label_propagation_communities",
+    ops="EXT-graph-lpa,A1,W1 (synchronous label propagation)",
+    doc=f"Community detection by synchronous weighted label propagation "
+    f"(Raghavan et al. 2007), {_LPA_ITERS} rounds over the "
+    "median-thresholded undirected nation trade graph (the same "
+    "scale-invariant sparsifier as trade_kcore_membership — the full "
+    "graph is near-complete and collapses to one community). Fully "
+    "deterministic: integer edge weights, argmax by (weight DESC, label "
+    "ASC), zero-weight self-loops keep isolated nations present without "
+    "referencing the label relation twice per round (plan grows "
+    "linearly in rounds — operators/graph.py label_propagation). Emits "
+    "each nation's final community, the community size, and the "
+    "size-rank. The only corpus-scale work is the one trade aggregate; "
+    "every LPA round is nation-grain.",
+    oracle=f"""
+WITH {_KCORE_EDGE_CTES.replace("SELECT a, b FROM trade", "SELECT a, b, n FROM trade")},
+{_lpa_ctes(_LPA_ITERS)},
+comm AS (
+  SELECT lbl AS community, CAST(COUNT(1) AS BIGINT) AS comm_size
+  FROM lbl{_LPA_ITERS} GROUP BY lbl
+)
+SELECT l.node, CAST(l.lbl AS BIGINT) AS community, c.comm_size,
+       CAST(DENSE_RANK() OVER (ORDER BY c.comm_size DESC, l.lbl ASC)
+            AS INT) AS comm_rank
+FROM lbl{_LPA_ITERS} l JOIN comm c ON c.community = l.lbl
+ORDER BY l.node
+""",
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    trade = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    med = trade.agg(F.expr("percentile(n, 0.5)").alias("m"))
+    # EAGER: <= 300 edge rows feeding 2 * iters downstream subtrees — lazy
+    # materialization would replan the corpus join per subtree (the same
+    # reasoning as trade_kcore_membership's e0 checkpoint).
+    e0 = (
+        trade.join(F.broadcast(med))
+        .filter(F.col("n") > F.col("m"))
+        .select("a", "b", "n")
+        .localCheckpoint(eager=True)
+    )
+    und = e0.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.col("n").alias("w")
+    ).unionByName(
+        e0.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), F.col("n").alias("w")
+        )
+    )
+    lbl = label_propagation(nation, und, iters=_LPA_ITERS)
+    comm = lbl.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("comm_size")
+    )
+    return (
+        lbl.join(F.broadcast(comm), "lbl")
+        .select(
+            "node",
+            F.col("lbl").cast("bigint").alias("community"),
+            "comm_size",
+            F.dense_rank()
+            .over(Window.orderBy(F.desc("comm_size"), F.asc("lbl")))
+            .cast("int")
+            .alias("comm_rank"),
+        )
+        .orderBy("node")
+    )

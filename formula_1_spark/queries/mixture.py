@@ -233,8 +233,6 @@ def _ipf_ctes(rounds: int) -> str:
             f" AS BIGINT) AS {'w' + str(r)}, t_row, t_col, w0 FROM r{r}a)"
         )
         prev = f"w{r}"
-        if r < rounds:
-            parts[-1] = parts[-1].replace(f"AS w{r},", f"AS {prev},")
     return ",\n".join(parts)
 
 

@@ -324,23 +324,32 @@ _VAD_THRESHOLD = 1_200_000  # ~frame * mean(byte^2) for ASCII text payloads
     "samples); per media the query reports frames, active frames above "
     "the energy threshold, activity ppm, and the peak frame. Real codecs "
     "stay env-gated (operators/multimodal.decode_media contract); the "
-    "oracle replays the byte math via per-character explosion, proving "
-    "the Python kernel itself, not just the plan around it. Top 20 by "
+    "oracle replays the byte math by exploding the hex-encoded UTF-8 "
+    "blob (true BYTES, not code points — agrees with the kernel on "
+    "non-ASCII payloads too), proving the Python kernel itself, not "
+    "just the plan around it. Top 20 by "
     "(peak desc, media_id) via the two-phase global top-k.",
     oracle=f"""
 WITH {{media_cte}},
 audio AS (
-  SELECT media_id, payload_text FROM media WHERE media_type = 'audio'
+  SELECT media_id, hex(encode(payload_text)) AS hx,
+         octet_length(encode(payload_text)) AS n_bytes
+  FROM media WHERE media_type = 'audio'
 ),
-chars AS (
+bytes AS (
+  -- UTF-8 BYTES, not code points: the Python kernel frames
+  -- encode(text).frombuffer(uint8), so the oracle must too (a non-ASCII
+  -- payload has more bytes than chars and values never exceed 255).
+  -- hex() the blob once, then read byte i as two hex nibbles.
   SELECT a.media_id, u.i AS i,
-         ascii(substr(a.payload_text, u.i::INT, 1)) AS c
-  FROM audio a, unnest(range(1, len(a.payload_text) + 1)) AS u(i)
+         16 * (strpos('0123456789ABCDEF', substr(a.hx, 2 * u.i + 1, 1)) - 1)
+           + strpos('0123456789ABCDEF', substr(a.hx, 2 * u.i + 2, 1)) - 1 AS c
+  FROM audio a, unnest(range(0, a.n_bytes)) AS u(i)
 ),
 frames AS (
-  SELECT media_id, CAST((i - 1) // 128 AS BIGINT) AS frame_id,
+  SELECT media_id, CAST(i // 128 AS BIGINT) AS frame_id,
          CAST(SUM(c * c) AS BIGINT) AS energy
-  FROM chars GROUP BY 1, 2
+  FROM bytes GROUP BY 1, 2
 ),
 per_media AS (
   SELECT media_id,

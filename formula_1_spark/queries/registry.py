@@ -49,92 +49,81 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 
 
 # The correctness driver snapshots the FIRST 50 registry entries in
-# iteration order each round. Round 9 pins the 14 round-8 additions first —
-# the only queries never driver-checked (registered behind the round-8
-# window per the growth protocol; all judge-verified green in VERDICT r08
-# and locally bit-exact via tests/test_oracle_parity.py). A green r09
-# closes cumulative driver coverage at 263/263 — every registered query
-# driver-certified at least once. The remaining 36 slots re-check the
-# STALEST greens: the 2 r03-cohort names that never fit a window
-# (orders_zorder_pruned_scan, quality_quantile_filter, last green r03),
-# then 34 of the 47 r04-cohort names whose last driver check was
-# CORRECTNESS_r04 (in r04 order). New round-9+ queries register BEHIND
-# this pinned window. Names absent from REGISTRY are skipped; registered
-# names absent from this list keep registration order after it.
+# iteration order each round. Round 10 pins the 19 round-9 additions first —
+# the only queries never driver-checked (registered behind the round-9
+# window per the growth protocol; all judge-verified green in VERDICT r09
+# and locally bit-exact via tests/test_oracle_parity.py at sf0.001 AND
+# sf0.01). A green r10 keeps cumulative driver coverage total: every
+# registered pre-r10 query driver-certified at least once. The remaining
+# 31 slots re-check the STALEST greens: the 13 r04-cohort names whose
+# last driver check was CORRECTNESS_r04 and that never fit a later
+# window, then the first 18 r05-cohort names (last green CORRECTNESS_r05)
+# in r05 order. New round-10+ queries register BEHIND this pinned window.
+# Names absent from REGISTRY are skipped; registered names absent from
+# this list keep registration order after it.
 #
-# ROUND-10 ROTATION TODO: pin the 19 round-9 additions first (registered
-# behind this window; all locally bit-exact vs DuckDB at sf0.001 AND
-# sf0.01, driver-never-checked): semdedup_prune_report,
-# unimax_budget_allocation, lsh_band_planning, simhash_hamming_roc,
-# soft_dedup_weights, trade_hits_hubs_authorities,
-# supplier_peak_concurrency, event_sequence_ngrams, watermark_late_audit,
-# curriculum_phase_assignment, source_diversity_index,
-# parquet_rowgroup_skipping_audit, matryoshka_truncation_audit,
-# media_audio_energy_vad, kmeanspp_parallel_init,
-# context_truncation_waste, orders_checksum_reconcile,
-# ipf_raking_weights, join_cardinality_estimate_audit. Then the 13
-# r04-cohort stale greens that did not fit this window
-# (map_functions_battery, embedding_dim_stats, benford_price_audit,
-# events_anomaly_mad, order_value_regression, countmin_error_audit,
-# token_length_deciles, bpe_pair_merge_stats, top_terms_per_source,
-# quality_vs_duplication, vocab_growth_heaps, orders_seasonality_profile,
-# part_revenue_pareto), then the stalest r05 greens (see
-# CORRECTNESS_r05.json).
+# ROUND-11 ROTATION TODO: pin the round-10 additions first (registered
+# behind this window, driver-never-checked), then the 32 remaining
+# r05-cohort stale greens in r05 order starting at
+# tpch_q10_returned_items (see CORRECTNESS_r05.json — the first 18,
+# through tpch_q8_market_share, are re-checked this round), then the
+# stalest r06 greens.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (all 14 round-8 additions; judge-green r08) ---
-    "ivf_nprobe_recall_curve",
-    "exactsubstr_dup50_profile",
-    "exactsubstr_excision50",
-    "suffix_lrs_pow2",
-    "exactsubstr_threshold_curve",
-    "exactsubstr_decontam50",
-    "kmv_source_overlap",
-    "similarity_ann_ivfpq",
-    "neyman_allocation_plan",
-    "part_copurchase_clustering",
-    "events_conversion_survival",
-    "orders_cusum_changepoint",
-    "label_centroid_similarity",
-    "greedy_gram_cover",
-    # --- regression re-checks: the 2 r03-cohort greens never re-windowed ---
-    "orders_zorder_pruned_scan",
-    "quality_quantile_filter",
-    # --- stalest r04-cohort greens (last green CORRECTNESS_r04; 34 of 47
-    # fit — the 13 leftovers are named in the ROUND-10 TODO above) ---
-    "dedup_containment",
-    "minhash_recall_audit",
-    "dsir_importance_select",
-    "similarity_ann_pq",
-    "stateful_user_totals_stream",
-    "embedding_decontamination",
-    "media_perceptual_buckets",
-    "knn_label_noise",
-    "hard_negative_mining",
-    "label_centroid_cohesion",
-    "aqe_skew_split_join",
-    "runtime_bloom_pruned_join",
-    "nation_trade_pagerank",
-    "nation_trade_triangles",
-    "bm25_corpus_search",
-    "tfidf_lexical_topk",
-    "sample_temperature_mixture",
-    "grouped_kfold_split",
-    "events_sessionize_labels",
-    "paged_api_sink_roundtrip",
-    "orders_compaction_roundtrip",
-    "schema_evolution_scan",
-    "csv_quarantine_source",
-    "orc_roundtrip_summary",
-    "jsonl_roundtrip_events",
-    "user_erasure_audit",
-    "events_locf_fill",
-    "events_rolling_7d",
-    "customer_yoy_full_outer",
-    "split_leakage_audit",
-    "temporal_split_audit",
-    "latest_event_per_user_type",
-    "winsorized_order_stats",
-    "key_skew_profile",
+    # --- never driver-checked (all 19 round-9 additions; judge-green r09) ---
+    "semdedup_prune_report",
+    "unimax_budget_allocation",
+    "lsh_band_planning",
+    "simhash_hamming_roc",
+    "soft_dedup_weights",
+    "trade_hits_hubs_authorities",
+    "supplier_peak_concurrency",
+    "event_sequence_ngrams",
+    "watermark_late_audit",
+    "curriculum_phase_assignment",
+    "source_diversity_index",
+    "parquet_rowgroup_skipping_audit",
+    "matryoshka_truncation_audit",
+    "media_audio_energy_vad",
+    "kmeanspp_parallel_init",
+    "context_truncation_waste",
+    "orders_checksum_reconcile",
+    "ipf_raking_weights",
+    "join_cardinality_estimate_audit",
+    # --- stalest r04-cohort greens (last green CORRECTNESS_r04; the 13
+    # that never fit the r09 window) ---
+    "map_functions_battery",
+    "embedding_dim_stats",
+    "benford_price_audit",
+    "events_anomaly_mad",
+    "order_value_regression",
+    "countmin_error_audit",
+    "token_length_deciles",
+    "bpe_pair_merge_stats",
+    "top_terms_per_source",
+    "quality_vs_duplication",
+    "vocab_growth_heaps",
+    "orders_seasonality_profile",
+    "part_revenue_pareto",
+    # --- stalest r05-cohort greens (last green CORRECTNESS_r05; first 18
+    # in r05 order — the remaining 32 are queued for round 11) ---
+    "lang_id_confusion_matrix",
+    "source_mix_drift",
+    "customer_rfm_segments",
+    "shingle_df_profile",
+    "embedding_cosine_histogram",
+    "events_hour_of_day_profile",
+    "customer_order_gap_stats",
+    "orders_mom_change",
+    "dedup_semantic_clusters_scaled",
+    "f1_gold_driver_standings",
+    "ctas_priority_summary",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_priority_exists",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
 )
 
 
