@@ -1133,3 +1133,101 @@ def orders_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap join via time-bucket blocking (round 10)
+# ---------------------------------------------------------------------------
+
+_IOJ_W = 300  # bucket width (s) == max interval duration -> <= 2 buckets each
+
+
+@register(
+    "interval_overlap_join",
+    ops="EXT-interval-join,J4,P6 (bucket-blocked interval overlap)",
+    doc="Interval overlap join with NO equi key — the join class a naive "
+    "plan turns into a cartesian product: every purchase event becomes "
+    "the interval [ts, ts + 60 + floor(value) % 240 s) and the query "
+    "finds all cross-user overlapping pairs. Scale path: each interval "
+    f"is exploded to the <= 2 width-{_IOJ_W}s time buckets it touches "
+    "(bucket width == the max duration, the standard interval-blocking "
+    "bound), candidates pair up through an equi-join on the bucket, "
+    "duplicates from pairs sharing 2 buckets collapse via distinct, and "
+    "the exact half-open overlap predicate re-verifies — shuffle volume "
+    "is O(intervals + true pairs), never O(n^2). The DuckDB oracle "
+    "states the same join declaratively (its IEJoin handles the "
+    "inequality natively). All epoch math in exact integer seconds.",
+    oracle=f"""
+WITH iv AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) // 1000000 AS s,
+         epoch_us(ts) // 1000000 + 60
+           + CAST(FLOOR(value) AS BIGINT) % 240 AS e
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.event_id AS event_a, b.event_id AS event_b,
+       a.user_id AS user_a, b.user_id AS user_b,
+       CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS BIGINT) AS overlap_s
+FROM iv a JOIN iv b
+  ON a.event_id < b.event_id AND a.user_id <> b.user_id
+ AND a.s < b.e AND b.s < a.e
+ORDER BY event_a, event_b
+""",
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    iv = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("unix_micros(ts) div 1000000").alias("s"),
+            F.expr(
+                "unix_micros(ts) div 1000000 + 60"
+                " + CAST(FLOOR(value) AS BIGINT) % 240"
+            ).alias("e"),
+        )
+    )
+    bucketed = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {_IOJ_W}"), F.expr(f"(e - 1) div {_IOJ_W}")
+            )
+        ),
+    )
+    a = bucketed.select(
+        "bucket",
+        F.col("event_id").alias("event_a"),
+        F.col("user_id").alias("user_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    b = bucketed.select(
+        "bucket",
+        F.col("event_id").alias("event_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a["bucket"] == b["bucket"])
+            & (F.col("event_a") < F.col("event_b"))
+            & (F.col("user_a") != F.col("user_b"))
+            & (F.col("s_a") < F.col("e_b"))
+            & (F.col("s_b") < F.col("e_a")),
+        )
+        .select(
+            "event_a",
+            "event_b",
+            "user_a",
+            "user_b",
+            (F.least("e_a", "e_b") - F.greatest("s_a", "s_b"))
+            .cast("bigint")
+            .alias("overlap_s"),
+        )
+        .distinct()
+        .orderBy("event_a", "event_b")
+    )

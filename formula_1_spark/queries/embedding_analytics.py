@@ -1245,3 +1245,316 @@ def kmeanspp_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round_added", "cand_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# One Lloyd iteration of k-means (round 10)
+# ---------------------------------------------------------------------------
+
+_LLOYD_K = 8
+
+
+@register(
+    "kmeans_lloyd_iteration",
+    ops="EXT-clustering-lloyd,A1,W1 (one exact k-means step)",
+    doc="One Lloyd iteration of k-means over the embedding corpus — the "
+    "step that follows kmeanspp_parallel_init in a full clustering run, "
+    f"made exactly reproducible: vectors quantize to the offset-millis "
+    "grid q = floor((x + 2) * 1000) (the +2 offset keeps every "
+    "coordinate non-negative, so floor-division centroid means agree "
+    "between Spark's truncating div and DuckDB's flooring // — squared "
+    "L2 distances are offset-invariant), assignment is argmin of exact "
+    "integer squared L2 with ties to the smallest centroid id, and the "
+    "centroid update is the per-dimension floor mean. Reports per "
+    "cluster the member count, exact inertia, and the squared shift of "
+    "the updated centroid. Scale shape: the distance pass is a map-only "
+    "fold over the sorted broadcast centroid array (no corpus x k "
+    "shuffle); the update is one posexplode + (cluster, dim)-keyed "
+    "aggregate — k*dims result rows.",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR((CAST(x AS DOUBLE) + 2) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT {_LLOYD_K}
+),
+dist AS (
+  SELECT p.vec_id, s.cid,
+         list_reduce(list_transform(list_zip(p.qv, s.cv),
+                     x -> (x[1] - x[2]) * (x[1] - x[2])),
+                     (a, v) -> a + v) AS d
+  FROM q p, seeds s
+),
+assigned AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT vec_id, cid, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d ASC, cid ASC) AS r
+    FROM dist) WHERE r = 1
+),
+members AS (
+  SELECT cid, CAST(COUNT(1) AS BIGINT) AS n_members,
+         CAST(SUM(d) AS BIGINT) AS inertia
+  FROM assigned GROUP BY cid
+),
+newdim AS (
+  SELECT a.cid, u.i, CAST(SUM(p.qv[u.i::INT]) // m.n_members AS BIGINT) AS c_new
+  FROM assigned a
+  JOIN q p ON p.vec_id = a.vec_id
+  JOIN members m ON m.cid = a.cid,
+  unnest(range(1, 65)) AS u(i)
+  GROUP BY a.cid, u.i, m.n_members
+),
+shift AS (
+  SELECT n.cid,
+         CAST(SUM((s.cv[n.i::INT] - n.c_new) * (s.cv[n.i::INT] - n.c_new))
+              AS BIGINT) AS shift_sq
+  FROM newdim n JOIN seeds s ON s.cid = n.cid
+  GROUP BY n.cid
+)
+SELECT m.cid AS cluster_id, m.n_members, m.inertia, sh.shift_sq
+FROM members m JOIN shift sh ON sh.cid = m.cid
+ORDER BY cluster_id
+""",
+)
+def kmeans_lloyd_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor((x.cast("double") + F.lit(2.0)) * 1000).cast(
+                "bigint"
+            ),
+        ).alias("qv"),
+    )
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(_LLOYD_K)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+        .localCheckpoint(eager=False)
+    )
+    # Map-only assignment: fold over the sorted broadcast centroid array,
+    # acc = (best_d, best_id); strict < keeps the smallest cid on ties —
+    # identical to the oracle's ROW_NUMBER (d ASC, cid ASC).
+    carr = seeds.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cs")
+    )
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    assigned = (
+        emb.join(F.broadcast(carr), F.lit(True))
+        .select(
+            "vec_id",
+            "qv",
+            F.aggregate(
+                F.col("cs"),
+                F.struct(
+                    F.lit(None).cast("bigint").alias("bd"),
+                    F.lit(-1).cast("bigint").alias("bi"),
+                ),
+                lambda acc, c: F.when(
+                    acc["bd"].isNull() | (sqdist(F.col("qv"), c["cv"]) < acc["bd"]),
+                    F.struct(
+                        sqdist(F.col("qv"), c["cv"]).alias("bd"),
+                        c["cid"].cast("bigint").alias("bi"),
+                    ),
+                ).otherwise(acc),
+            ).alias("best"),
+        )
+        .select(
+            "vec_id",
+            "qv",
+            F.col("best.bi").alias("cid"),
+            F.col("best.bd").alias("d"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    members = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("d").cast("bigint").alias("inertia"),
+    )
+    newdim = (
+        assigned.select("cid", F.posexplode("qv").alias("i0", "v"))
+        .groupBy("cid", (F.col("i0") + 1).alias("i"))
+        .agg(F.sum("v").alias("s"))
+        .join(F.broadcast(members), "cid")
+        .select(
+            "cid", "i", F.expr("CAST(s div n_members AS BIGINT)").alias("c_new")
+        )
+    )
+    seed_dims = seeds.select(
+        "cid", F.posexplode("cv").alias("i0", "c_old")
+    ).select("cid", (F.col("i0") + 1).alias("i"), "c_old")
+    shift = (
+        newdim.join(F.broadcast(seed_dims), ["cid", "i"])
+        .groupBy("cid")
+        .agg(
+            F.sum((F.col("c_old") - F.col("c_new")) * (F.col("c_old") - F.col("c_new")))
+            .cast("bigint")
+            .alias("shift_sq")
+        )
+    )
+    return (
+        members.join(shift, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"), "n_members", "inertia", "shift_sq"
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random-projection distortion audit (round 10)
+# ---------------------------------------------------------------------------
+
+_JL_DIMS = 64
+_JL_PROJ = 16
+
+
+def _jl_signs() -> list[list[int]]:
+    """The +-1 projection matrix (16 rows x 64 input dims), derived once
+    from salted md5 so both engines share it as embedded LITERALS — no
+    in-engine hashing, no float randomness. Achlioptas (2003): +-1
+    entries satisfy the JL lemma like Gaussians do."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[:15], 16) % 2
+            == 0
+            else -1
+            for i in range(_JL_DIMS)
+        ]
+        for j in range(_JL_PROJ)
+    ]
+
+
+def _jl_proj_sql(col: str, j: int, signs: list[list[int]]) -> str:
+    arr = ", ".join(str(s) for s in signs[j])
+    return (
+        f"list_reduce(list_transform(list_zip({col}, [{arr}]),"
+        " x -> x[1] * CAST(x[2] AS BIGINT)), (a, v) -> a + v)"
+    )
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    projs = ",\n         ".join(
+        f"{_jl_proj_sql('qv', j, signs)} AS p{j}" for j in range(_JL_PROJ)
+    )
+    dsum = " + ".join(
+        f"(a.p{j} - b.p{j}) * (a.p{j} - b.p{j})" for j in range(_JL_PROJ)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, qv,
+         {projs}
+  FROM q
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_reduce(list_transform(list_zip(a.qv, b.qv),
+                     x -> (x[1] - x[2]) * (x[1] - x[2])),
+                     (acc, v) -> acc + v) AS orig_sq,
+         CAST(({dsum}) // {_JL_PROJ} AS BIGINT) AS est_sq
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 2 = 0
+)
+SELECT vec_a, vec_b, CAST(orig_sq AS BIGINT) AS orig_sq, est_sq,
+       CAST(est_sq * 1000000 // orig_sq AS BIGINT) AS distortion_ppm
+FROM pairs
+WHERE orig_sq > 0
+ORDER BY vec_a
+"""
+
+
+@register(
+    "random_projection_jl_audit",
+    ops="EXT-embedding-jl,P6,J1 (random-projection distortion audit)",
+    doc="Johnson-Lindenstrauss sketch audit: project the milli-quantized "
+    f"embeddings from {_JL_DIMS} to {_JL_PROJ} dims with a +-1 "
+    "Achlioptas matrix (derived from salted md5 ONCE at query-build "
+    "time and embedded as integer literals in both engines — no "
+    "in-engine randomness), then compare each consecutive-id pair's "
+    "exact squared L2 distance with its sketch estimate "
+    "sum(dp_j^2)/16. distortion_ppm ~ 1e6 means the sketch preserved "
+    "the distance; the spread around it is the JL epsilon the 16-dim "
+    "sketch actually buys. All-integer folds over the embedding arrays "
+    "— map-only per vector, one equi-join on adjacent ids for pairing "
+    "(no quadratic pair enumeration), no shuffle wider than the pair "
+    "relation.",
+    oracle=_jl_oracle(),
+)
+def random_projection_jl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    signs = _jl_signs()
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("qv"),
+    )
+    proj_cols = [
+        F.expr(
+            "aggregate(zip_with(qv, array({arr}), (x, s) -> x * CAST(s AS BIGINT)),"
+            " 0L, (a, v) -> a + v)".format(
+                arr=", ".join(str(s) for s in signs[j])
+            )
+        ).alias(f"p{j}")
+        for j in range(_JL_PROJ)
+    ]
+    proj = emb.select("vec_id", "qv", *proj_cols)
+    a = proj.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qv").alias("qa"),
+        *[F.col(f"p{j}").alias(f"pa{j}") for j in range(_JL_PROJ)],
+    ).filter(F.col("vec_a") % 2 == 0)
+    b = proj.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qv").alias("qb"),
+        *[F.col(f"p{j}").alias(f"pb{j}") for j in range(_JL_PROJ)],
+    )
+    dsum_sql = " + ".join(
+        f"(pa{j} - pb{j}) * (pa{j} - pb{j})" for j in range(_JL_PROJ)
+    )
+    pairs = a.join(b, F.col("vec_b") == F.col("vec_a") + 1).select(
+        "vec_a",
+        "vec_b",
+        F.aggregate(
+            F.zip_with("qa", "qb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("orig_sq"),
+        F.expr(f"CAST(({dsum_sql}) div {_JL_PROJ} AS BIGINT)").alias(
+            "est_sq_raw"
+        ),
+    )
+    return (
+        pairs.filter(F.col("orig_sq") > 0)
+        .select(
+            "vec_a",
+            "vec_b",
+            "orig_sq",
+            F.col("est_sq_raw").alias("est_sq"),
+            F.expr("CAST(est_sq_raw * 1000000 div orig_sq AS BIGINT)").alias(
+                "distortion_ppm"
+            ),
+        )
+        .orderBy("vec_a")
+    )

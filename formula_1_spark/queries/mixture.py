@@ -329,3 +329,163 @@ def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ratio_ppm"
         ),
     ).orderBy("lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (round 10)
+# ---------------------------------------------------------------------------
+
+_DRM_ROUNDS = 3
+_DRM_ETA_PPM = 500_000  # multiplicative-weights step size (0.5 on ppm grid)
+_DRM_SMOOTH_PPM = 100_000  # uniform smoothing mix (0.2 in the paper; 0.1 here)
+
+
+def _doremi_ctes(rounds: int) -> str:
+    """Unrolled multiplicative-weights rounds over the domain-grain
+    relation: boost ∝ excess loss, renormalize to the ppm simplex, then
+    mix with uniform — all floor-division integer ops."""
+    parts = []
+    prev = "w0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"m{r} AS (SELECT source, n_tokens, loss_ppm, excess_ppm, w0, k,\n"
+            f"  CAST({prev} * (1000000 + ({_DRM_ETA_PPM} * excess_ppm)"
+            f" // 1000000) // 1000000 AS BIGINT) AS raw"
+            f"{', ' + prev if r > 1 else ''}"
+            f" FROM {'dom' if r == 1 else f'n{r-1}'})"
+        )
+        parts.append(
+            f"n{r} AS (SELECT source, n_tokens, loss_ppm, excess_ppm, w0, k,\n"
+            f"  CAST((1000000 - {_DRM_SMOOTH_PPM})"
+            f" * (raw * 1000000 // SUM(raw) OVER ()) // 1000000\n"
+            f"  + ({_DRM_SMOOTH_PPM} * (1000000 // k)) // 1000000"
+            f" AS BIGINT) AS w{r} FROM m{r})"
+        )
+        prev = f"w{r}"
+    return ",\n".join(parts)
+
+
+@register(
+    "doremi_domain_reweight",
+    ops="EXT-mixture-doremi,A1,W1 (multiplicative-weights domain reweighting)",
+    doc="DoReMi-shaped domain reweighting (Xie et al. 2023, NeurIPS): "
+    f"{_DRM_ROUNDS} multiplicative-weights rounds boost each source's "
+    "mixture weight proportionally to its EXCESS LOSS over the corpus "
+    "baseline, renormalize onto the ppm simplex, and mix with the "
+    "uniform distribution (smoothing) — the Group-DRO update the paper "
+    "runs alongside proxy-model training, here with a deterministic "
+    "static loss proxy (token-repetition rate: 1e6 - distinct/total "
+    "tokens in ppm, an exact-integer stand-in for the reference-model "
+    "excess log-loss). Linear 1 + eta*excess boost instead of exp() "
+    "because libm exp is not cross-engine bit-stable; every update is "
+    "floor-division integer arithmetic on the ppm grid, so any engine "
+    "replays it exactly. One corpus scan builds the domain aggregates; "
+    "every round is a window pass over the domain-grain (<= #sources) "
+    "relation.",
+    oracle=f"""
+WITH tok AS (
+  SELECT source,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+              AS BIGINT) AS n_tokens,
+         CAST(SUM(len(list_distinct(regexp_split_to_array(trim(text),
+              '\\s+')))) AS BIGINT) AS n_distinct
+  FROM documents GROUP BY source
+),
+gstat AS (
+  SELECT CAST(1000000 - SUM(n_distinct) * 1000000 // SUM(n_tokens)
+              AS BIGINT) AS base_ppm,
+         CAST(COUNT(1) AS BIGINT) AS k
+  FROM tok
+),
+dom AS (
+  SELECT t.source, t.n_tokens,
+         CAST(1000000 - t.n_distinct * 1000000 // t.n_tokens AS BIGINT)
+           AS loss_ppm,
+         GREATEST(CAST(1000000 - t.n_distinct * 1000000 // t.n_tokens
+                       AS BIGINT) - g.base_ppm, 0) AS excess_ppm,
+         CAST(1000000 // g.k AS BIGINT) AS w0, g.k
+  FROM tok t, gstat g
+),
+{_doremi_ctes(_DRM_ROUNDS)}
+SELECT source, n_tokens, loss_ppm, excess_ppm,
+       w0 AS w0_ppm, w{_DRM_ROUNDS} AS w_final_ppm,
+       CAST(w{_DRM_ROUNDS} * 1000000 // GREATEST(w0, 1) AS BIGINT)
+         AS boost_ppm,
+       CAST(RANK() OVER (ORDER BY w{_DRM_ROUNDS} DESC, source ASC) AS INT)
+         AS rank
+FROM n{_DRM_ROUNDS}
+ORDER BY source
+""",
+)
+def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from formula_1_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.trim("text"), r"\s+")
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(toks)).cast("bigint").alias("n_tokens"),
+        F.sum(F.size(F.array_distinct(toks))).cast("bigint").alias("n_distinct"),
+    )
+    glob = tok.agg(
+        F.expr(
+            "CAST(1000000 - sum(n_distinct) * 1000000 div sum(n_tokens)"
+            " AS BIGINT)"
+        ).alias("base_ppm"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    dom = tok.join(F.broadcast(glob), F.lit(True)).select(
+        "source",
+        "n_tokens",
+        F.expr("CAST(1000000 - n_distinct * 1000000 div n_tokens AS BIGINT)")
+        .alias("loss_ppm"),
+        F.greatest(
+            F.expr(
+                "CAST(1000000 - n_distinct * 1000000 div n_tokens AS BIGINT)"
+            )
+            - F.col("base_ppm"),
+            F.lit(0).cast("bigint"),
+        ).alias("excess_ppm"),
+        F.expr("CAST(1000000 div k AS BIGINT)").alias("w0"),
+        "k",
+    )
+    # Unpartitioned window over the domain-grain relation: bounded at
+    # #sources rows at any corpus scale (same argument as the UniMax
+    # waterfill below — mixture.py is on the reviewed allowlist).
+    cur = dom.withColumn("w", F.col("w0"))
+    for _ in range(_DRM_ROUNDS):
+        cur = (
+            cur.withColumn(
+                "raw",
+                F.expr(
+                    f"CAST(w * (1000000 + ({_DRM_ETA_PPM} * excess_ppm)"
+                    " div 1000000) div 1000000 AS BIGINT)"
+                ),
+            )
+            .withColumn(
+                "w",
+                F.expr(
+                    f"CAST((1000000 - {_DRM_SMOOTH_PPM})"
+                    " * (raw * 1000000 div SUM(raw) OVER ()) div 1000000"
+                    f" + ({_DRM_SMOOTH_PPM} * (1000000 div k)) div 1000000"
+                    " AS BIGINT)"
+                ),
+            )
+            .drop("raw")
+        )
+    return cur.select(
+        "source",
+        "n_tokens",
+        "loss_ppm",
+        "excess_ppm",
+        F.col("w0").cast("bigint").alias("w0_ppm"),
+        F.col("w").cast("bigint").alias("w_final_ppm"),
+        F.expr("CAST(w * 1000000 div GREATEST(w0, 1) AS BIGINT)").alias(
+            "boost_ppm"
+        ),
+        F.rank()
+        .over(Window.orderBy(F.desc("w"), F.asc("source")))
+        .cast("int")
+        .alias("rank"),
+    ).orderBy("source")

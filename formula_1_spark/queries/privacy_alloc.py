@@ -395,3 +395,131 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (round 10) — completes the k-anonymity / l-diversity trio
+# ---------------------------------------------------------------------------
+
+_T_PPM = 150_000  # publication threshold: EMD(group, global) <= 0.15
+
+
+@register(
+    "tcloseness_audit",
+    ops="EXT-tcloseness,J1,A1,W1 (ordered-attribute EMD audit)",
+    doc="t-closeness audit (Li et al., ICDE 2007), completing the "
+    "k-anonymity (curation.py) / l-diversity trio: a QI group leaks even "
+    "with many distinct sensitive values when its DISTRIBUTION over them "
+    "strays from the global one. QI = (market segment, nation); ordered "
+    "sensitive attribute = order priority; distance = the ordered-EMD "
+    "closed form sum|cumulative(P - Q)| / (m - 1), computed on the exact "
+    "ppm integer grid so both engines agree bit-for-bit. The (group x "
+    "priority) grid is densified with a bounded cross join (125 x 5 at "
+    "any corpus scale) so zero-count cells contribute their full deficit; "
+    "cumulative diffs run in a group-partitioned window over that "
+    "bounded grid. One corpus-scale aggregate; everything after is "
+    "group-grain.",
+    oracle=f"""
+WITH cnt AS (
+  SELECT c.c_mktsegment AS seg, c.c_nationkey AS nat,
+         o.o_orderpriority AS pri, CAST(COUNT(1) AS BIGINT) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3
+),
+grp AS (SELECT seg, nat, CAST(SUM(n) AS BIGINT) AS n_g FROM cnt GROUP BY 1, 2),
+pris AS (SELECT DISTINCT pri FROM cnt),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(COUNT(DISTINCT pri) AS BIGINT) AS m
+  FROM cnt
+),
+q AS (
+  SELECT pri, CAST(SUM(n) * 1000000 // (SELECT n_tot FROM tot) AS BIGINT)
+           AS q_ppm
+  FROM cnt GROUP BY pri
+),
+grid AS (
+  SELECT g.seg, g.nat, g.n_g, p.pri, COALESCE(c.n, 0) AS n
+  FROM grp g CROSS JOIN pris p
+  LEFT JOIN cnt c ON c.seg = g.seg AND c.nat = g.nat AND c.pri = p.pri
+),
+cum AS (
+  SELECT gr.seg, gr.nat, gr.n_g,
+         SUM(CAST(gr.n * 1000000 // gr.n_g AS BIGINT) - q.q_ppm)
+           OVER (PARTITION BY gr.seg, gr.nat ORDER BY gr.pri
+                 ROWS UNBOUNDED PRECEDING) AS cumdiff
+  FROM grid gr JOIN q ON q.pri = gr.pri
+)
+SELECT seg AS c_mktsegment, nat AS c_nationkey,
+       CAST(MAX(n_g) AS BIGINT) AS n_orders,
+       CAST(SUM(ABS(cumdiff)) // ((SELECT m FROM tot) - 1) AS BIGINT)
+         AS emd_ppm,
+       CAST(SUM(ABS(cumdiff)) // ((SELECT m FROM tot) - 1) > {_T_PPM}
+            AS BOOLEAN) AS t_violation
+FROM cum
+GROUP BY seg, nat
+ORDER BY c_mktsegment, c_nationkey
+""",
+)
+def tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = fan_out(load_table(spark, sf_dir, "orders"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    cnt = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").alias("nat"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        # Bounded (segments x nations x priorities) — referenced by four
+        # downstream subtrees (groups, priorities, global dist, grid).
+        .localCheckpoint(eager=False)
+    )
+    grp = cnt.groupBy("seg", "nat").agg(F.sum("n").cast("bigint").alias("n_g"))
+    pris = cnt.select("pri").distinct()
+    tot = cnt.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.countDistinct("pri").cast("bigint").alias("m"),
+    )
+    q = (
+        cnt.groupBy("pri")
+        .agg(F.sum("n").cast("bigint").alias("n_p"))
+        .join(F.broadcast(tot), F.lit(True))
+        .select("pri", F.expr("CAST(n_p * 1000000 div n_tot AS BIGINT)").alias("q_ppm"), "m")
+    )
+    grid = (
+        grp.join(F.broadcast(pris))
+        .join(cnt, ["seg", "nat", "pri"], "left")
+        .select("seg", "nat", "n_g", "pri", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("seg", "nat")
+        .orderBy("pri")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.join(F.broadcast(q), "pri").withColumn(
+        "cumdiff",
+        F.sum(
+            F.expr("CAST(n * 1000000 div n_g AS BIGINT)") - F.col("q_ppm")
+        ).over(w),
+    )
+    return (
+        cum.groupBy("seg", "nat")
+        .agg(
+            F.max("n_g").cast("bigint").alias("n_orders"),
+            F.expr(
+                "CAST(sum(abs(cumdiff)) div (max(m) - 1) AS BIGINT)"
+            ).alias("emd_ppm"),
+        )
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            F.col("nat").alias("c_nationkey"),
+            "n_orders",
+            "emd_ppm",
+            (F.col("emd_ppm") > _T_PPM).alias("t_violation"),
+        )
+        .orderBy("c_mktsegment", "c_nationkey")
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from formula_1_spark.operators.sampling import hash_uniform_sql
 from formula_1_spark.queries.registry import register
 from formula_1_spark.sources.tables import load_table
 
@@ -418,4 +419,169 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("roll_med").alias("max_rolling_median"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal coverage audit (round 10)
+# ---------------------------------------------------------------------------
+
+_CONF_SALT = "conf"
+# alpha = 0.1: the conformal quantile index is ceil(0.9 * (n_cal + 1)),
+# computed in exact integers as (9 * (n_cal + 1) + 9) // 10.
+
+
+@register(
+    "conformal_coverage_audit",
+    ops="EXT-conformal,A1,J1,W1 (split-conformal calibration)",
+    doc="Split-conformal prediction audit (Vovk et al.; Angelopoulos & "
+    "Bates 2023 tutorial form): orders hash-split 50/25/25 into "
+    "train/calibration/test on the engine-shared salted-md5 uniform "
+    "grid; the point predictor is the per-priority floor-mean of train "
+    "prices in exact cents; nonconformity = |price - prediction|; qhat "
+    "is the ceil(0.9(n+1))-th smallest calibration score (the "
+    "finite-sample-valid conformal quantile), found scale-safely as the "
+    "smallest score whose cumulative count reaches k over the "
+    "(priority, distinct-score)-grain relation — never a corpus-wide "
+    "sort. Reports per priority the empirical test coverage of the "
+    "interval prediction +- qhat, which conformal theory guarantees "
+    ">= 90% in expectation. All arithmetic exact integers.",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderpriority AS pri,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+         {hash_uniform_sql("o_orderkey", _CONF_SALT)} AS u
+  FROM orders
+),
+pred AS (
+  SELECT pri, CAST(SUM(cents) // COUNT(1) AS BIGINT) AS pred_cents,
+         CAST(COUNT(1) AS BIGINT) AS n_train
+  FROM base WHERE u < 0.5 GROUP BY pri
+),
+cal AS (
+  SELECT b.pri, ABS(b.cents - p.pred_cents) AS score
+  FROM base b JOIN pred p ON p.pri = b.pri
+  WHERE b.u >= 0.5 AND b.u < 0.75
+),
+calstat AS (
+  SELECT pri, CAST(COUNT(1) AS BIGINT) AS n_cal,
+         CAST((9 * (COUNT(1) + 1) + 9) // 10 AS BIGINT) AS k
+  FROM cal GROUP BY pri
+),
+cum AS (
+  SELECT pri, score,
+         SUM(c) OVER (PARTITION BY pri ORDER BY score
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (SELECT pri, score, COUNT(1) AS c FROM cal GROUP BY pri, score)
+),
+qhat AS (
+  SELECT c.pri, CAST(MIN(c.score) AS BIGINT) AS qhat_cents
+  FROM cum c JOIN calstat s ON s.pri = c.pri
+  WHERE c.cum >= s.k
+  GROUP BY c.pri
+),
+test AS (
+  SELECT b.pri,
+         CAST(COUNT(1) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN ABS(b.cents - p.pred_cents) <= q.qhat_cents
+                       THEN 1 ELSE 0 END) AS BIGINT) AS covered
+  FROM base b
+  JOIN pred p ON p.pri = b.pri
+  JOIN qhat q ON q.pri = b.pri
+  WHERE b.u >= 0.75
+  GROUP BY b.pri
+)
+SELECT p.pri AS o_orderpriority, p.n_train, p.pred_cents,
+       s.n_cal, s.k, q.qhat_cents, t.n_test, t.covered,
+       CAST(t.covered * 1000000 // t.n_test AS BIGINT) AS coverage_ppm
+FROM pred p
+JOIN calstat s ON s.pri = p.pri
+JOIN qhat q ON q.pri = p.pri
+JOIN test t ON t.pri = p.pri
+ORDER BY o_orderpriority
+""",
+)
+def conformal_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.sampling import hash_uniform
+    from formula_1_spark.sources.tables import fan_out
+
+    orders = fan_out(load_table(spark, sf_dir, "orders"))
+    base = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        hash_uniform(F.col("o_orderkey"), _CONF_SALT).alias("u"),
+    )
+    pred = (
+        base.filter(F.col("u") < 0.5)
+        .groupBy("pri")
+        .agg(
+            F.expr("CAST(sum(cents) div count(1) AS BIGINT)").alias(
+                "pred_cents"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+        )
+    )
+    cal = (
+        base.filter((F.col("u") >= 0.5) & (F.col("u") < 0.75))
+        .join(F.broadcast(pred), "pri")
+        .select("pri", F.abs(F.col("cents") - F.col("pred_cents")).alias("score"))
+    )
+    calstat = cal.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+        F.expr("CAST((9 * (count(1) + 1) + 9) div 10 AS BIGINT)").alias("k"),
+    )
+    # (priority, distinct-score) grain — the window walks value counts,
+    # not rows, so the exchange stays bounded by the score domain.
+    w = (
+        Window.partitionBy("pri")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        cal.groupBy("pri", "score")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cum", F.sum("c").over(w))
+    )
+    qhat = (
+        cum.join(F.broadcast(calstat), "pri")
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("pri")
+        .agg(F.min("score").cast("bigint").alias("qhat_cents"))
+    )
+    test = (
+        base.filter(F.col("u") >= 0.75)
+        .join(F.broadcast(pred), "pri")
+        .join(F.broadcast(qhat), "pri")
+        .groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("pred_cents"))
+                    <= F.col("qhat_cents"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    return (
+        pred.join(calstat, "pri")
+        .join(qhat, "pri")
+        .join(test, "pri")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "n_train",
+            "pred_cents",
+            "n_cal",
+            "k",
+            "qhat_cents",
+            "n_test",
+            "covered",
+            F.expr("CAST(covered * 1000000 div n_test AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+        .orderBy("o_orderpriority")
     )

@@ -113,6 +113,10 @@ BNLJ_OK = {
     #   domain-bounded lang x source cell matrix
     "kmeanspp_parallel_init",  # 1-row seed / total / candidate-array
     #   broadcasts per oversampling round — all candidate-grain
+    "doremi_domain_reweight",  # 1-row corpus-baseline broadcast onto the
+    #   source-grain aggregate (bounded at #sources rows)
+    "tcloseness_audit",  # priority-domain cross join (<= 5 rows) + 1-row
+    #   corpus-totals broadcast onto the bounded QI-group grid
 }
 
 

@@ -1,0 +1,133 @@
+"""Round-10 semantic tests: invariants of the new operators beyond the
+oracle-parity gate — LPA partition/community structure, DoReMi weight
+monotonicity, t-closeness EMD bounds, Lloyd-step accounting, JL
+distortion centering, interval-overlap legality, conformal coverage."""
+
+from __future__ import annotations
+
+import pytest
+
+from formula_1_spark.queries.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_lpa_operator_validates_iters(spark):
+    from formula_1_spark.operators.graph import hits_quantized, label_propagation
+
+    nodes = spark.range(3).withColumnRenamed("id", "node")
+    edges = spark.createDataFrame([(0, 1, 2)], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="iters"):
+        label_propagation(nodes, edges, iters=0)
+    with pytest.raises(ValueError, match="iters"):
+        hits_quantized(nodes, edges, iters=0, weight_col="w")
+
+
+def test_lpa_operator_two_cliques(spark):
+    """Two triangles joined by one weak edge must resolve to two
+    communities labeled by each clique's min node."""
+    from formula_1_spark.operators.graph import label_propagation
+
+    und = [(0, 1, 5), (1, 2, 5), (0, 2, 5), (3, 4, 5), (4, 5, 5), (3, 5, 5),
+           (2, 3, 1)]
+    edges = spark.createDataFrame(
+        [(a, b, w) for a, b, w in und] + [(b, a, w) for a, b, w in und],
+        "src long, dst long, w long",
+    )
+    nodes = spark.range(6).withColumnRenamed("id", "node")
+    got = {
+        r["node"]: r["lbl"]
+        for r in label_propagation(nodes, edges, iters=3).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+def test_lpa_communities_partition_nations(spark, sf_dir):
+    rows = REGISTRY["label_propagation_communities"].fn(spark, sf_dir).collect()
+    nodes = [r["node"] for r in rows]
+    assert sorted(nodes) == sorted(set(nodes))  # each nation exactly once
+    # community labels are member node ids; sizes account for all nodes
+    by_comm: dict[int, list] = {}
+    for r in rows:
+        by_comm.setdefault(r["community"], []).append(r)
+    assert sum(len(v) for v in by_comm.values()) == len(rows)
+    for comm, members in by_comm.items():
+        assert all(m["comm_size"] == len(members) for m in members)
+
+
+def test_doremi_weight_monotone_in_excess(spark, sf_dir):
+    rows = REGISTRY["doremi_domain_reweight"].fn(spark, sf_dir).collect()
+    assert rows, "no domains"
+    total = sum(r["w_final_ppm"] for r in rows)
+    # floor losses only: the simplex sum stays within a few ppm per domain
+    assert 1_000_000 - 3 * len(rows) <= total <= 1_000_000 + len(rows)
+    ordered = sorted(rows, key=lambda r: r["excess_ppm"])
+    for lo, hi in zip(ordered, ordered[1:]):
+        if hi["excess_ppm"] > lo["excess_ppm"]:
+            assert hi["w_final_ppm"] >= lo["w_final_ppm"]
+
+
+def test_tcloseness_emd_bounds(spark, sf_dir):
+    rows = REGISTRY["tcloseness_audit"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["emd_ppm"] <= 1_000_000
+        assert r["t_violation"] == (r["emd_ppm"] > 150_000)
+    from formula_1_spark.sources.tables import load_table
+
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+
+
+def test_kmeans_lloyd_accounting(spark, sf_dir):
+    from formula_1_spark.sources.tables import load_table
+
+    rows = REGISTRY["kmeans_lloyd_iteration"].fn(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = [r["vec_id"] for r in emb.orderBy("vec_id").limit(8).collect()]
+    assert sorted(r["cluster_id"] for r in rows) == sorted(seeds)
+    assert sum(r["n_members"] for r in rows) == emb.count()
+    assert all(r["inertia"] >= 0 and r["shift_sq"] >= 0 for r in rows)
+
+
+def test_jl_distortion_centered(spark, sf_dir):
+    rows = REGISTRY["random_projection_jl_audit"].fn(spark, sf_dir).collect()
+    assert rows
+    mean = sum(r["distortion_ppm"] for r in rows) / len(rows)
+    # 16-dim +-1 sketch: unbiased estimator of the squared distance, so
+    # the mean distortion sits near 1e6 (loose band for sampling noise)
+    assert 600_000 <= mean <= 1_500_000
+    assert all(r["orig_sq"] > 0 and r["est_sq"] >= 0 for r in rows)
+
+
+def test_interval_overlap_pairs_legal(spark):
+    # sf0.001 has no overlapping purchase intervals; use sf0.01 where the
+    # event stream is dense enough to produce pairs worth asserting on.
+    rows = (
+        REGISTRY["interval_overlap_join"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert rows, "expected overlapping purchase intervals at sf0.01"
+    seen = set()
+    for r in rows:
+        assert r["event_a"] < r["event_b"]
+        assert r["user_a"] != r["user_b"]
+        # duration is 60 + value % 240 in [60, 300); strict overlap
+        assert 1 <= r["overlap_s"] < 300
+        key = (r["event_a"], r["event_b"])
+        assert key not in seen, "bucket dedupe failed"
+        seen.add(key)
+
+
+def test_conformal_coverage_guarantee(spark, sf_dir):
+    rows = REGISTRY["conformal_coverage_audit"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # split-conformal guarantees >= 90% coverage in expectation; the
+        # finite-sample band at sf0.001 calibration sizes is wide, so
+        # assert a loose floor plus the exact quantile-index arithmetic.
+        assert r["coverage_ppm"] >= 800_000, r
+        assert r["k"] == (9 * (r["n_cal"] + 1) + 9) // 10
+        assert r["qhat_cents"] >= 0
+        assert r["covered"] <= r["n_test"]
