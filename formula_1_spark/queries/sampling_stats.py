@@ -391,3 +391,77 @@ def doc_rarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         rare_ppm.alias("rare_ppm"),
         (rare_ppm >= 500000).alias("flag_suspect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pass@k estimator (round 10)
+# ---------------------------------------------------------------------------
+
+_PAK_K = 5
+
+
+def _pak_fold_sql(n: str, c: str, k: int) -> str:
+    """The unbiased pass@k complement C(n-c,k)/C(n,k) as an unrolled
+    integer fold: r_{i+1} = r_i * max(n-c-i, 0) // (n-i), r_0 = 1e6.
+    Each step floors on the ppm grid, so the value deviates from the
+    exact rational by < k ppm — but DETERMINISTICALLY, the identical op
+    sequence in both engines, and without the ~n^k intermediate product
+    that would overflow int64 for large attempt counts."""
+    expr = "1000000"
+    for i in range(k):
+        expr = f"(({expr}) * GREATEST({n} - {c} - {i}, 0)) // ({n} - {i})"
+    return expr
+
+
+@register(
+    "pass_at_k_estimator",
+    ops="EXT-eval-passk,A1,P7 (combinatorial eval metric)",
+    doc=f"pass@{_PAK_K} estimator (Chen et al. 2021, HumanEval): per user, "
+    "attempts n = click+purchase events, successes c = purchases; "
+    "pass@k = 1 - C(n-c,k)/C(n,k), the probability that k samples drawn "
+    "without replacement contain a success. The complement ratio is "
+    "computed as an unrolled per-factor integer fold on the ppm grid "
+    "(each step multiplies by (n-c-i) and floor-divides by (n-i)), "
+    "which both engines replay bit-for-bit and which never forms the "
+    "n^k product that overflows int64 at large attempt counts (< k ppm "
+    "from the exact rational, documented). Users with fewer than k "
+    "attempts are excluded (the estimator is undefined). Per-user "
+    "grain: one corpus aggregate, then pure per-row arithmetic.",
+    oracle=f"""
+WITH att AS (
+  SELECT user_id,
+         CAST(COUNT(1) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY user_id
+)
+SELECT user_id, n, c,
+       CAST(1000000 - ({_pak_fold_sql("n", "c", _PAK_K)}) AS BIGINT)
+         AS pass_at_k_ppm
+FROM att
+WHERE n >= {_PAK_K}
+ORDER BY user_id
+""",
+)
+def pass_at_k_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    att = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("c"),
+        )
+        .filter(F.col("n") >= _PAK_K)
+    )
+    fold = _pak_fold_sql("n", "c", _PAK_K).replace("//", "div")
+    return att.select(
+        "user_id",
+        "n",
+        "c",
+        F.expr(f"CAST(1000000 - ({fold}) AS BIGINT)").alias("pass_at_k_ppm"),
+    ).orderBy("user_id")

@@ -131,3 +131,20 @@ def test_conformal_coverage_guarantee(spark, sf_dir):
         assert r["k"] == (9 * (r["n_cal"] + 1) + 9) // 10
         assert r["qhat_cents"] >= 0
         assert r["covered"] <= r["n_test"]
+
+
+def test_pass_at_k_bounds_and_exactness(spark, sf_dir):
+    from math import comb
+
+    rows = REGISTRY["pass_at_k_estimator"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n"] >= 5 and 0 <= r["c"] <= r["n"]
+        assert 0 <= r["pass_at_k_ppm"] <= 1_000_000
+        if r["c"] == 0:
+            assert r["pass_at_k_ppm"] == 0
+        if r["n"] - r["c"] < 5:
+            assert r["pass_at_k_ppm"] == 1_000_000
+        # the per-factor fold deviates from the exact rational by < k ppm
+        exact = 1_000_000 * (1 - comb(r["n"] - r["c"], 5) / comb(r["n"], 5))
+        assert abs(r["pass_at_k_ppm"] - exact) < 6, r
