@@ -76,6 +76,7 @@ def main() -> None:
         "bucketed_colocated_join",
         "orc_roundtrip_summary",
         "jsonl_roundtrip_events",
+        "xml_roundtrip_customers",
         "orders_compaction_roundtrip",
         "user_erasure_audit",
         "schema_evolution_scan",

@@ -141,3 +141,81 @@ def jsonl_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("first_us"),
         F.max("ts_us").alias("last_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# XML round-trip (round 10) — Spark 4's built-in XML source
+# ---------------------------------------------------------------------------
+
+
+def _xml_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Customers serialized as XML (one <customer> element per row;
+    account balance as integer cents — XML is text, exact integers
+    round-trip; the raw double would re-parse through a decimal
+    formatter)."""
+    root = fixture_root("xml_customer_v1", sf_dir, "customer")
+    if os.path.exists(os.path.join(root, "_SUCCESS")):
+        return root
+    building = building_dir(root)
+    (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        )
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "customers")
+        .option("rowTag", "customer")
+        .save(building)
+    )
+    publish(building, root)
+    return root
+
+
+@register(
+    "xml_roundtrip_customers",
+    ops="S2-alt,S5-alt,A1 (built-in XML sink+source round-trip)",
+    doc="XML round-trip over Spark 4's BUILT-IN XML source (StaxXML — "
+    "the spark-xml package folded into core): customers serialized as "
+    "<customer> row elements with balances as integer cents (XML is "
+    "text; exact integers survive the round-trip where raw doubles "
+    "would re-parse through a formatter), read back with an explicit "
+    "schema (no inference pass in a pipeline path), aggregated per "
+    "(nation, segment). The oracle aggregates the original parquet, so "
+    "a dropped element, tag mis-nesting, or numeric coercion reds the "
+    "row. Same fingerprint-keyed atomic fixture contract as the "
+    "ORC/JSONL round-trips.",
+    oracle="""
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(1) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS bal_cents_sum,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_custkey
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+""",
+)
+def xml_roundtrip_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _xml_fixture(spark, sf_dir)
+    xml = (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .schema(
+            "c_custkey BIGINT, c_nationkey BIGINT, c_mktsegment STRING,"
+            " bal_cents BIGINT"
+        )
+        .load(path)
+    )
+    return (
+        xml.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("bal_cents").cast("bigint").alias("bal_cents_sum"),
+            F.max("c_custkey").cast("bigint").alias("max_custkey"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

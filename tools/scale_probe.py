@@ -220,6 +220,7 @@ def main() -> None:
     from formula_1_spark.queries.format_roundtrip import (
         _jsonl_fixture,
         _orc_fixture,
+        _xml_fixture,
     )
 
     from formula_1_spark.queries.lake_maintenance import (
@@ -233,6 +234,7 @@ def main() -> None:
         _pages_fixture(spark, d)
         _orc_fixture(spark, d)
         _jsonl_fixture(spark, d)
+        _xml_fixture(spark, d)
         compacted_orders_lake(spark, d)
         erased_events_lake(spark, d)
         evolved_orders_lake(spark, d)
