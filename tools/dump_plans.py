@@ -66,6 +66,9 @@ SLATE = {
     "parquet_rowgroup_skipping_audit": "footer harvest is a MapInPandas over the file-path relation; everything after is row-group-grain",
     "kmeanspp_parallel_init": "per-round corpus scan with map-only HOF folds over sorted broadcast candidate arrays; no corpus x candidate shuffle",
     "orders_checksum_reconcile": "two bucket-grain manifests (count + dual hash sums) full-outer-joined; rows never cross the exchange",
+    "interval_overlap_join": "non-equi interval pairs via bucket blocking: explode to <=2 buckets, equi-join on the bucket, exact overlap re-verify — no cartesian",
+    "kmeans_lloyd_iteration": "map-only argmin fold over the sorted broadcast centroid array; update is one posexplode aggregate at (k, dim) grain",
+    "label_propagation_communities": "LPA rounds: src-keyed join + map-side-combined (node,label) groupBy + node-partitioned argmax; one corpus aggregate total",
 }
 
 
