@@ -29,7 +29,7 @@ aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from formula_1_spark.functions.text import LANG_MARKERS, marker_count
@@ -531,3 +531,131 @@ def source_diversity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test (round 10)
+# ---------------------------------------------------------------------------
+
+_KS_BIN = 100  # doc-length bin width (chars): bounds the value domain
+_KS_CRIT2_PPM = 1_844_164  # c(0.05)^2 = 1.358^2, scaled 1e6
+
+
+@register(
+    "ks_drift_test",
+    ops="EXT-ks-test,A1,W1 (two-sample distribution drift)",
+    doc="Two-sample Kolmogorov-Smirnov drift test per source: each "
+    "source's doc-length distribution (100-char bins — the bin grid "
+    "bounds the value domain at any corpus scale) against its "
+    "complement (the rest of the corpus). The KS statistic is the "
+    "exact sup-norm of the cumulative-share difference on the ppm "
+    "integer grid, evaluated on the densified (source x bin) grid so "
+    "both CDFs are compared at every jump point; the alpha=0.05 "
+    "decision avoids the float sqrt in c(a)*sqrt((m+n)/mn) by "
+    "comparing SQUARES with a decimal(38,0) lift (ks^2*m*n vs "
+    "c^2*1e12*(m+n)) — exact at any corpus size. The sup-norm "
+    "complement to source_token_tv_drift's L1 distance. One corpus "
+    "aggregate; everything after is (sources x bins)-grain.",
+    oracle=f"""
+WITH binned AS (
+  SELECT source, CAST(n_chars // {_KS_BIN} AS BIGINT) AS bin,
+         CAST(COUNT(1) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+bins AS (SELECT DISTINCT bin FROM binned),
+per_src AS (SELECT source, CAST(SUM(c) AS BIGINT) AS m FROM binned GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM binned),
+gbin AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS g FROM binned GROUP BY 1),
+grid AS (
+  SELECT s.source, s.m, b.bin,
+         COALESCE(x.c, 0) AS c_src,
+         gb.g - COALESCE(x.c, 0) AS c_comp
+  FROM per_src s
+  CROSS JOIN bins b
+  JOIN gbin gb ON gb.bin = b.bin
+  LEFT JOIN binned x ON x.source = s.source AND x.bin = b.bin
+),
+cum AS (
+  SELECT source, m, bin,
+         SUM(c_src) OVER (PARTITION BY source ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cs,
+         SUM(c_comp) OVER (PARTITION BY source ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS cc
+  FROM grid
+),
+ks AS (
+  SELECT c.source, MAX(c.m) AS m,
+         (SELECT n_all FROM tot) - MAX(c.m) AS n_comp,
+         MAX(ABS(c.cs * 1000000 // c.m
+                 - c.cc * 1000000 // ((SELECT n_all FROM tot) - c.m)))
+           AS ks_ppm
+  FROM cum c GROUP BY c.source
+)
+SELECT source, CAST(m AS BIGINT) AS m, CAST(n_comp AS BIGINT) AS n_comp,
+       CAST(ks_ppm AS BIGINT) AS ks_ppm,
+       CAST(CAST(ks_ppm AS DECIMAL(38,0)) * ks_ppm * m * n_comp
+            > CAST({_KS_CRIT2_PPM} AS DECIMAL(38,0)) * 1000000 * 1000000
+              * (m + n_comp) AS BOOLEAN) AS drift_at_05
+FROM ks
+ORDER BY source
+""",
+)
+def ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    binned = (
+        docs.groupBy(
+            "source", F.expr(f"CAST(n_chars div {_KS_BIN} AS BIGINT)").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # (sources x bins)-grain, referenced by four downstream subtrees
+        .localCheckpoint(eager=False)
+    )
+    bins = binned.select("bin").distinct()
+    per_src = binned.groupBy("source").agg(F.sum("c").cast("bigint").alias("m"))
+    tot = binned.agg(F.sum("c").cast("bigint").alias("n_all"))
+    gbin = binned.groupBy("bin").agg(F.sum("c").cast("bigint").alias("g"))
+    grid = (
+        per_src.join(F.broadcast(bins))
+        .join(F.broadcast(gbin), "bin")
+        .join(binned.withColumnRenamed("c", "c_src"), ["source", "bin"], "left")
+        .select(
+            "source",
+            "m",
+            "bin",
+            F.coalesce("c_src", F.lit(0)).alias("c_src"),
+            (F.col("g") - F.coalesce("c_src", F.lit(0))).alias("c_comp"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn("cs", F.sum("c_src").over(w)).withColumn(
+        "cc", F.sum("c_comp").over(w)
+    )
+    ks = (
+        cum.join(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("m").alias("m"),
+            (F.max("n_all") - F.max("m")).alias("n_comp"),
+            F.max(
+                F.abs(
+                    F.expr("cs * 1000000 div m")
+                    - F.expr("cc * 1000000 div (n_all - m)")
+                )
+            ).alias("ks_ppm"),
+        )
+    )
+    return ks.select(
+        "source",
+        F.col("m").cast("bigint").alias("m"),
+        F.col("n_comp").cast("bigint").alias("n_comp"),
+        F.col("ks_ppm").cast("bigint").alias("ks_ppm"),
+        F.expr(
+            "CAST(CAST(ks_ppm AS DECIMAL(38,0)) * ks_ppm * m * n_comp"
+            f" > CAST({_KS_CRIT2_PPM} AS DECIMAL(38,0)) * 1000000 * 1000000"
+            " * (m + n_comp) AS BOOLEAN)"
+        ).alias("drift_at_05"),
+    ).orderBy("source")

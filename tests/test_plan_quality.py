@@ -117,6 +117,8 @@ BNLJ_OK = {
     #   source-grain aggregate (bounded at #sources rows)
     "tcloseness_audit",  # priority-domain cross join (<= 5 rows) + 1-row
     #   corpus-totals broadcast onto the bounded QI-group grid
+    "ks_drift_test",  # bin-domain cross join (100-char length bins,
+    #   domain-bounded) + 1-row corpus-total broadcast
 }
 
 

@@ -148,3 +148,16 @@ def test_pass_at_k_bounds_and_exactness(spark, sf_dir):
         # the per-factor fold deviates from the exact rational by < k ppm
         exact = 1_000_000 * (1 - comb(r["n"] - r["c"], 5) / comb(r["n"], 5))
         assert abs(r["pass_at_k_ppm"] - exact) < 6, r
+
+
+def test_ks_drift_statistic_bounds(spark, sf_dir):
+    rows = REGISTRY["ks_drift_test"].fn(spark, sf_dir).collect()
+    assert rows
+    total = rows[0]["m"] + rows[0]["n_comp"]
+    for r in rows:
+        assert 0 <= r["ks_ppm"] <= 1_000_000
+        assert r["m"] + r["n_comp"] == total  # complement accounting
+        # the decision replays c(0.05)^2 in exact integers
+        lhs = r["ks_ppm"] ** 2 * r["m"] * r["n_comp"]
+        rhs = 1_844_164 * 10**12 * (r["m"] + r["n_comp"])
+        assert r["drift_at_05"] == (lhs > rhs)
