@@ -120,3 +120,102 @@ def date_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek(d).alias("dow_sunday1"),
         F.quarter(d).alias("qtr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL-semantics battery (round 10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "null_semantics_battery",
+    ops="EXT-null-semantics,F-battery,W1 (cross-engine NULL parity)",
+    doc="NULL-semantics parity battery: synthesize NULLs into a segment "
+    "key (NULLIF) and a measure (1-in-7 rows), then exercise every "
+    "NULL rule a migration must preserve — COUNT(*) vs COUNT(col), "
+    "SUM ignoring NULLs (and returning NULL for all-NULL groups, kept "
+    "visible via COALESCE), null-safe equality (Spark <=> == DuckDB "
+    "IS NOT DISTINCT FROM), GROUP BY collecting NULL keys into one "
+    "group, and RANK with an EXPLICIT NULLS LAST (Spark ASC defaults "
+    "NULLS FIRST while DuckDB defaults NULLS LAST — the battery pins "
+    "the ordering so both engines agree; the rank window partitions on "
+    "(segment, nation), dim-bounded keys).",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey, c_nationkey,
+         NULLIF(c_mktsegment, 'MACHINERY') AS seg,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL
+              ELSE CAST(FLOOR(c_acctbal * 100) AS BIGINT) END AS bal_cents
+  FROM customer
+),
+ranked AS (
+  SELECT *, CAST(RANK() OVER (PARTITION BY seg, c_nationkey
+                 ORDER BY bal_cents ASC NULLS LAST, c_custkey ASC)
+                 AS BIGINT) AS rk
+  FROM base
+)
+SELECT COALESCE(seg, '<null-group>') AS seg_key,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(bal_cents) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(*) - COUNT(bal_cents) AS BIGINT) AS n_null,
+       CAST(COALESCE(SUM(bal_cents), 0) AS BIGINT) AS sum_cents,
+       CAST(SUM(CASE WHEN bal_cents IS NOT DISTINCT FROM NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS null_safe_nulls,
+       CAST(MAX(CASE WHEN bal_cents IS NULL THEN rk END) AS BIGINT)
+         AS max_null_rank,
+       CAST(MIN(rk) AS BIGINT) AS min_rank
+FROM ranked
+GROUP BY seg
+ORDER BY seg_key
+""",
+)
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("NULLIF(c_mktsegment, 'MACHINERY')").alias("seg"),
+        F.expr(
+            "CASE WHEN c_custkey % 7 = 0 THEN NULL"
+            " ELSE CAST(FLOOR(c_acctbal * 100) AS BIGINT) END"
+        ).alias("bal_cents"),
+    )
+    w = Window.partitionBy("seg", "c_nationkey").orderBy(
+        F.asc_nulls_last("bal_cents"), F.asc("c_custkey")
+    )
+    ranked = base.withColumn("rk", F.rank().over(w).cast("bigint"))
+    return (
+        ranked.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("bal_cents").cast("bigint").alias("n_nonnull"),
+            (F.count(F.lit(1)) - F.count("bal_cents"))
+            .cast("bigint")
+            .alias("n_null"),
+            F.coalesce(F.sum("bal_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_cents"),
+            F.sum(
+                F.when(F.expr("bal_cents <=> NULL"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("null_safe_nulls"),
+            F.max(F.when(F.col("bal_cents").isNull(), F.col("rk")))
+            .cast("bigint")
+            .alias("max_null_rank"),
+            F.min("rk").cast("bigint").alias("min_rank"),
+        )
+        .select(
+            F.coalesce("seg", F.lit("<null-group>")).alias("seg_key"),
+            "n_rows",
+            "n_nonnull",
+            "n_null",
+            "sum_cents",
+            "null_safe_nulls",
+            "max_null_rank",
+            "min_rank",
+        )
+        .orderBy("seg_key")
+    )
