@@ -251,3 +251,63 @@ def audio_frame_energy(
     return media.select("media_id", "payload").mapInPandas(
         kernel, schema=FRAME_ENERGY_SCHEMA
     )
+
+
+NIBBLE_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("nibble", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
+
+def byte_nibble_histogram_arrow(media: DataFrame) -> DataFrame:
+    """Per-media-type histogram of payload HIGH NIBBLES (byte >> 4, 16
+    bins) via ``mapInArrow`` — the zero-copy Arrow record-batch kernel
+    surface (no pandas materialization; the batch's binary buffer feeds
+    numpy directly). The byte-content profiling pass a media pipeline
+    runs to sanity-check codecs/encodings before decode.
+
+    Each batch is PRE-AGGREGATED inside the kernel (emits at most
+    types x 16 rows per batch), so the exchange after the kernel moves
+    O(batches * 48) rows regardless of payload volume — the map-side
+    combine pattern, done in Python because the bytes are opaque to
+    Catalyst. Callers finish with a groupBy sum.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            types = batch.column("media_type").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            acc: dict[str, "np.ndarray"] = {}
+            for mt, payload in zip(types, payloads):
+                counts = np.bincount(
+                    np.frombuffer(payload, dtype=np.uint8) >> 4, minlength=16
+                )
+                prev = acc.get(mt)
+                acc[mt] = counts if prev is None else prev + counts
+            out_t, out_nib, out_n = [], [], []
+            for mt, counts in acc.items():
+                for nib in range(16):
+                    if counts[nib]:
+                        out_t.append(mt)
+                        out_nib.append(nib)
+                        out_n.append(int(counts[nib]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_t, type=pa.string()),
+                    pa.array(out_nib, type=pa.int64()),
+                    pa.array(out_n, type=pa.int64()),
+                ],
+                names=["media_type", "nibble", "n"],
+            )
+
+    return (
+        media.select("media_type", "payload")
+        .mapInArrow(kernel, schema=NIBBLE_HIST_SCHEMA)
+        .groupBy("media_type", "nibble")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )

@@ -17,7 +17,7 @@ from formula_1_spark.operators.multimodal import (
     frame_sample_plan,
 )
 from formula_1_spark.queries.registry import register
-from formula_1_spark.sources.tables import load_table
+from formula_1_spark.sources.tables import fan_out, load_table
 
 _MEDIA_CTE = """
 media AS (
@@ -395,4 +395,66 @@ def media_audio_energy_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "media_id", "n_frames", "active_frames", "active_ppm", "peak_energy",
         F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Byte-nibble histogram via mapInArrow (round 10)
+# ---------------------------------------------------------------------------
+
+_HEX_CHARS = "0123456789ABCDEF"
+
+
+@register(
+    "media_byte_histogram",
+    ops="EXT-multimodal-bytes,UDF-arrow (mapInArrow record-batch kernel)",
+    doc="Per-media-type histogram of payload high nibbles (byte >> 4, 16 "
+    "bins) through the mapInArrow record-batch kernel — the zero-copy "
+    "Arrow surface (vs mapInPandas' pandas materialization), "
+    "pre-aggregated inside the kernel so the post-kernel exchange moves "
+    "O(batches x 48) rows however large the payloads. The oracle "
+    "replays the byte math WITHOUT explosion: the high nibble of byte i "
+    "is the hex digit at odd position of hex(payload), so "
+    "regexp_replace('(.).' -> first-of-pair) keeps exactly the high "
+    "nibbles and 16 length-difference counts finish the histogram. "
+    "Shares in ppm of each type's byte volume.",
+    oracle=f"""
+WITH {{media_cte}},
+hx AS (
+  SELECT media_type,
+         regexp_replace(hex(encode(payload_text)), '(.).', '\\1', 'g') AS h
+  FROM media
+),
+counts AS (
+  SELECT media_type, u.nib AS nibble,
+         CAST(SUM(len(h) - len(replace(h, substr('{_HEX_CHARS}',
+              u.nib::INT + 1, 1), ''))) AS BIGINT) AS n
+  FROM hx, unnest(range(0, 16)) AS u(nib)
+  GROUP BY 1, 2
+)
+SELECT media_type, CAST(nibble AS BIGINT) AS nibble, n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY media_type) AS BIGINT)
+         AS share_ppm
+FROM counts
+WHERE n > 0
+ORDER BY media_type, nibble
+""".format(media_cte=_MEDIA_CTE),
+)
+def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.multimodal import byte_nibble_histogram_arrow
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    media = documents_as_media(docs)
+    hist = byte_nibble_histogram_arrow(media)
+    return (
+        hist.withColumn(
+            "share_ppm",
+            F.expr("CAST(n * 1000000 div SUM(n) OVER"
+                   " (PARTITION BY media_type) AS BIGINT)"),
+        )
+        .select(
+            "media_type", F.col("nibble").cast("bigint").alias("nibble"),
+            "n", "share_ppm",
+        )
+        .orderBy("media_type", "nibble")
     )

@@ -91,3 +91,64 @@ def array_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         doubled[0].alias("d0_doubled"),
         doubled[1].alias("d1_doubled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-function battery (round 10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_functions_battery",
+    ops="EXT-window-ranks,W1,A1 (rank-family breadth on a bounded grain)",
+    doc="The full rank-function family — rank, dense_rank, percent_rank, "
+    "cume_dist, ntile(4), row_number — exercised per return-flag over "
+    "the (flag, status, ship-month) ROLLUP relation, not raw rows: the "
+    "windows run on a DOMAIN-BOUNDED aggregate (flags x statuses x "
+    "months), so no partition ever scales with the data. Ties are made "
+    "total by (month total, status, month) so every rank is "
+    "deterministic; percent_rank/cume_dist divide small exact integers, "
+    "so the doubles agree bit-for-bit cross-engine.",
+    oracle="""
+WITH cells AS (
+  SELECT l_returnflag AS flag, l_linestatus AS status,
+         CAST(date_trunc('month', l_shipdate) AS DATE)::VARCHAR AS ship_month,
+         CAST(SUM(l_quantity) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2, 3
+)
+SELECT flag, status, ship_month, qty,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist() OVER w AS cdist,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       CAST(row_number() OVER w AS BIGINT) AS rn
+FROM cells
+WINDOW w AS (PARTITION BY flag ORDER BY qty DESC, status ASC, ship_month ASC)
+ORDER BY flag, rn
+""",
+)
+def window_rank_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_linestatus").alias("status"),
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias(
+            "ship_month"
+        ),
+    ).agg(F.sum("l_quantity").cast("bigint").alias("qty"))
+    w = Window.partitionBy("flag").orderBy(
+        F.desc("qty"), F.asc("status"), F.asc("ship_month")
+    )
+    return cells.select(
+        "flag",
+        "status",
+        "ship_month",
+        "qty",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    ).orderBy("flag", "rn")

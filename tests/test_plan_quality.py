@@ -26,6 +26,8 @@ PANDAS_OK = {
     #   pyarrow footer reads over a FILE-PATH relation (O(KB)/footer)
     "media_audio_energy_vad",  # declared Arrow frame-energy kernel (the
     #   sanctioned multimodal mapInPandas surface)
+    "media_byte_histogram",  # declared mapInArrow record-batch kernel
+    #   (zero-copy Arrow surface; pre-aggregated inside the kernel)
 }
 # Broadcast nested-loop is the intended strategy for the brute-force
 # similarity baseline, the IVF centroid assignment (tiny broadcast
@@ -207,6 +209,7 @@ def test_no_slow_path_in_plan(spark, name):
             "MapInPandas" not in plan
             and "ArrowEvalPython" not in plan
             and "InPandas" not in plan  # cogroup/grouped-map variants
+            and "MapInArrow" not in plan  # record-batch kernels
         ), f"{name}: unexpected Python stage"
     if name not in BNLJ_OK:
         assert "BroadcastNestedLoopJoin" not in plan, (

@@ -161,3 +161,25 @@ def test_ks_drift_statistic_bounds(spark, sf_dir):
         lhs = r["ks_ppm"] ** 2 * r["m"] * r["n_comp"]
         rhs = 1_844_164 * 10**12 * (r["m"] + r["n_comp"])
         assert r["drift_at_05"] == (lhs > rhs)
+
+
+def test_byte_histogram_accounts_for_all_bytes(spark, sf_dir):
+    from formula_1_spark.sources.tables import load_table
+
+    rows = REGISTRY["media_byte_histogram"].fn(spark, sf_dir).collect()
+    assert rows
+    total_bytes = sum(r["n"] for r in rows)
+    expected = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("sum(octet_length(encode(text, 'UTF-8')))")
+        .first()[0]
+    )
+    assert total_bytes == expected  # every payload byte lands in a bin
+    for r in rows:
+        assert 0 <= r["nibble"] <= 15 and r["n"] > 0
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["media_type"], 0)
+        by_type[r["media_type"]] += r["share_ppm"]
+    for t, s in by_type.items():
+        assert 1_000_000 - 16 <= s <= 1_000_000, (t, s)  # floor losses only
