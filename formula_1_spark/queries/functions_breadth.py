@@ -219,3 +219,106 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# try_* ANSI-safety battery (round 10)
+# ---------------------------------------------------------------------------
+
+_I64_MAX = 9_223_372_036_854_775_807
+
+
+@register(
+    "try_functions_battery",
+    ops="EXT-try-functions,F-battery (ANSI-safe arithmetic parity)",
+    doc="ANSI-safety battery for the try_* family: try_cast over a "
+    "mixed-quality string column (1/3 valid integer cents, 1/3 garbage, "
+    "1/3 empty — strings built from exact integers so the round-trip "
+    "never depends on float formatting), try_divide with a cycling "
+    "divisor that hits zero, and try_add driven to bigint overflow on a "
+    "near-MAX operand. Spark's try_* return NULL where strict ANSI "
+    "would raise; the oracle replays each as TRY_CAST / explicit CASE "
+    "guards (DuckDB ERRORS on bigint overflow rather than NULLing, so "
+    "the guard is the semantics being pinned). Per-priority counts of "
+    "each NULL class plus the exact surviving sum.",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderpriority AS pri,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+              WHEN o_orderkey % 3 = 1 THEN 'not-a-number'
+              ELSE '' END AS str_val,
+         CAST(o_orderkey % 10 AS BIGINT) AS div_q,
+         CAST({_I64_MAX} - (o_orderkey % 1000) AS BIGINT) AS near_max,
+         CAST(o_orderkey % 7 AS BIGINT) AS inc
+  FROM orders
+),
+evaled AS (
+  SELECT pri,
+         TRY_CAST(str_val AS BIGINT) AS cast_cents,
+         CASE WHEN div_q = 0 THEN NULL
+              ELSE CAST(100 AS DOUBLE) / div_q END AS div_val,
+         CASE WHEN inc > (o.mx - near_max) THEN NULL
+              ELSE near_max + inc END AS add_val
+  FROM base, (SELECT CAST({_I64_MAX} AS BIGINT) AS mx) o
+)
+SELECT pri AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(cast_cents) AS BIGINT) AS n_cast_null,
+       CAST(COALESCE(SUM(cast_cents), 0) AS BIGINT) AS sum_cast_cents,
+       CAST(COUNT(*) - COUNT(div_val) AS BIGINT) AS n_div_null,
+       CAST(COUNT(*) - COUNT(add_val) AS BIGINT) AS n_add_overflow
+FROM evaled
+GROUP BY pri
+ORDER BY o_orderpriority
+""",
+)
+def try_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.expr(
+            "CASE WHEN o_orderkey % 3 = 0"
+            " THEN CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS STRING)"
+            " WHEN o_orderkey % 3 = 1 THEN 'not-a-number'"
+            " ELSE '' END"
+        ).alias("str_val"),
+        (F.col("o_orderkey") % 10).cast("bigint").alias("div_q"),
+        F.expr(f"CAST({_I64_MAX} - (o_orderkey % 1000) AS BIGINT)").alias(
+            "near_max"
+        ),
+        (F.col("o_orderkey") % 7).cast("bigint").alias("inc"),
+    )
+    evaled = base.select(
+        "pri",
+        F.expr("try_cast(str_val AS BIGINT)").alias("cast_cents"),
+        F.expr("try_divide(CAST(100 AS DOUBLE), div_q)").alias("div_val"),
+        F.expr("try_add(near_max, inc)").alias("add_val"),
+    )
+    return (
+        evaled.groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("cast_cents"))
+            .cast("bigint")
+            .alias("n_cast_null"),
+            F.coalesce(F.sum("cast_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_cast_cents"),
+            (F.count(F.lit(1)) - F.count("div_val"))
+            .cast("bigint")
+            .alias("n_div_null"),
+            (F.count(F.lit(1)) - F.count("add_val"))
+            .cast("bigint")
+            .alias("n_add_overflow"),
+        )
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "n_rows",
+            "n_cast_null",
+            "sum_cast_cents",
+            "n_div_null",
+            "n_add_overflow",
+        )
+        .orderBy("o_orderpriority")
+    )

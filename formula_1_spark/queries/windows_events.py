@@ -1339,3 +1339,60 @@ def watermark_late_counts(
         )
         .orderBy("delay_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows (round 10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dynamic_session_window",
+    ops="STREAM-session-dynamic,A1 (per-row gap expression)",
+    doc="DYNAMIC-gap sessionization — F.session_window with a per-row gap "
+    "EXPRESSION (purchases hold the session open 30 minutes, everything "
+    "else 10): each event proposes [ts, ts + gap(event)) and overlapping "
+    "proposals merge, so one purchase can bridge several short-gap "
+    "clicks that a fixed 10-minute gap would split. The oracle replays "
+    "the merge with a strictly-preceding running MAX of interval ends "
+    "(a lag-based flag is WRONG here — a long gap's reach can cover "
+    "events beyond its immediate successor). Same transform runs on a "
+    "readStream via the session-window state store; this entry "
+    "oracle-checks the batch semantics.",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, ts, value,
+         ts + CASE WHEN event_type = 'purchase' THEN INTERVAL '30 minutes'
+                   ELSE INTERVAL '10 minutes' END AS fin
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value, fin,
+         CASE WHEN MAX(fin) OVER (
+                PARTITION BY user_id ORDER BY ts, fin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR ts >= MAX(fin) OVER (
+                PARTITION BY user_id ORDER BY ts, fin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_session
+  FROM iv
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, fin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT epoch_us(MIN(ts)) AS session_start_us,
+       user_id,
+       COUNT(1) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def events_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.streaming.windows import dynamic_session_window_agg
+
+    return dynamic_session_window_agg(load_table(spark, sf_dir, "events"))

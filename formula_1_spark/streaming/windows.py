@@ -136,3 +136,42 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dynamic_session_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap_expr: str = (
+        "CASE WHEN event_type = 'purchase' THEN '30 minutes'"
+        " ELSE '10 minutes' END"
+    ),
+    keys: Sequence[str] = ("user_id",),
+    watermark: str | None = None,
+) -> DataFrame:
+    """DYNAMIC-gap sessions: each event proposes the interval
+    [ts, ts + gap(event)); overlapping proposals within a key merge into
+    one session (Spark's dynamic ``session_window`` semantics — the gap
+    is a per-row EXPRESSION, e.g. purchases hold a session open longer
+    than clicks; Spark requires the gap column as interval STRINGS —
+    CalendarIntervalType — not ANSI day-time interval literals). Same
+    batch/streaming duality as the fixed-gap variant;
+    the session-window state store handles interval merging when run on
+    a stream."""
+    df = events
+    if watermark is not None and events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), F.expr(gap_expr)).alias("w"), *keys
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_value_sum("value", "total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+    )

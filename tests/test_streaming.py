@@ -152,3 +152,20 @@ def test_watermark_late_counts_match_streaming_metric(spark, sf_dir, tmp_path):
         for r in watermark_late_counts(ev, _WM_TRIGGER_S, (delay_s,)).collect()
     }
     assert dropped == replay[delay_s] > 0, (dropped, replay)
+
+
+def test_dynamic_session_stream_equals_batch(spark, events_dir):
+    """The dynamic-gap (per-row expression) session window must merge
+    identically on the streaming path — the session state store handles
+    variable-width interval merging."""
+    from formula_1_spark.streaming.windows import dynamic_session_window_agg
+
+    batch_events = spark.read.parquet(events_dir)
+    expected = _rows_set(dynamic_session_window_agg(batch_events))
+
+    stream = stream_from_parquet_dir(spark, events_dir, batch_events.schema)
+    result = dynamic_session_window_agg(stream, watermark="2 hours")
+    q = run_stream_to_memory(result, "dyn_session_mem", mode="complete")
+    q.awaitTermination(120)
+    got = _rows_set(spark.sql("SELECT * FROM dyn_session_mem"))
+    assert got == expected
