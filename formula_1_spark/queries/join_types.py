@@ -164,3 +164,56 @@ def customer_yoy_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("retained"))
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NOT IN null-trap battery (round 10)
+# ---------------------------------------------------------------------------
+
+_NIN_SQL = """
+WITH keys AS (
+  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+  FROM orders WHERE year(o_orderdate) = 1998
+),
+ne AS (
+  SELECT c_mktsegment, COUNT(*) AS n FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM keys x WHERE x.k = c.c_custkey)
+  GROUP BY c_mktsegment
+),
+ni AS (
+  SELECT c_mktsegment, COUNT(*) AS n FROM customer
+  WHERE c_custkey NOT IN (SELECT k FROM keys)
+  GROUP BY c_mktsegment
+),
+base AS (SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment)
+SELECT b.c_mktsegment,
+       CAST(b.n AS BIGINT) AS n_customers,
+       CAST(COALESCE(ne.n, 0) AS BIGINT) AS n_not_exists,
+       CAST(COALESCE(ni.n, 0) AS BIGINT) AS n_not_in,
+       COALESCE(ni.n, 0) = 0 AS not_in_null_trap
+FROM base b
+LEFT JOIN ne ON ne.c_mktsegment = b.c_mktsegment
+LEFT JOIN ni ON ni.c_mktsegment = b.c_mktsegment
+ORDER BY b.c_mktsegment
+"""
+
+
+@register(
+    "anti_join_null_semantics",
+    ops="J-anti,J-null-aware (NOT IN vs NOT EXISTS with NULLs)",
+    doc="The NOT IN null trap, pinned: the subquery key list carries "
+    "injected NULLs (1 in 97 orders), so ANSI three-valued logic makes "
+    "`x NOT IN (list-with-NULL)` UNKNOWN for every row — NOT IN returns "
+    "ZERO customers while NOT EXISTS (and Spark's left-anti join) "
+    "returns the real dormant set. Spark plans the NOT IN as a "
+    "null-aware anti join (NAAJ); the battery reports both counts per "
+    "segment plus the trap flag, so a migration that 'simplifies' "
+    "NOT EXISTS into NOT IN reds immediately. Identical SQL text runs "
+    "on both engines.",
+    oracle=_NIN_SQL,
+)
+def anti_join_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir, ["orders", "customer"], register=True)
+    return spark.sql(_NIN_SQL)

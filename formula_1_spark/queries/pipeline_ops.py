@@ -413,3 +413,113 @@ def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_users",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) shard assignment (round 10)
+# ---------------------------------------------------------------------------
+
+_HRW_SHARDS = 8
+
+
+def _hrw_hash_sql(key: str, shard: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({key} AS VARCHAR) || ':' ||"
+        f" CAST({shard} AS VARCHAR)), 1, 15))::BIGINT"
+    )
+
+
+@register(
+    "rendezvous_shard_assignment",
+    ops="EXT-sharding-hrw,A1,J1 (highest-random-weight placement)",
+    doc=f"Rendezvous / highest-random-weight sharding (Thaler & Ravishankar "
+    f"1998): each doc lands on argmax over {_HRW_SHARDS} shards of "
+    "md5(doc:shard) — the placement scheme whose rebalance cost when a "
+    "shard is ADDED is 1/(n+1) (only docs whose new shard wins the "
+    "argmax move), vs ~n/(n+1) for mod-hashing. The query measures both "
+    "properties on the corpus: per-shard occupancy (ppm of uniform) and "
+    "the ppm of docs that would move when shard 8 joins — expected "
+    "~111,111 (1/9). One bounded x9 explode + a per-doc arg_max "
+    "aggregate (map-side combinable); no shuffle wider than doc grain.",
+    oracle=f"""
+WITH ex AS (
+  SELECT doc_id, u.s AS s, {_hrw_hash_sql("doc_id", "u.s")} AS h
+  FROM documents, unnest(range(0, {_HRW_SHARDS + 1})) AS u(s)
+),
+assigned AS (
+  SELECT doc_id,
+         arg_max(CASE WHEN s < {_HRW_SHARDS} THEN s END,
+                 CASE WHEN s < {_HRW_SHARDS} THEN h END) AS shard8,
+         arg_max(s, h) AS shard9
+  FROM ex GROUP BY doc_id
+),
+tot AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_docs FROM assigned)
+SELECT CAST(shard8 AS BIGINT) AS shard,
+       CAST(COUNT(1) AS BIGINT) AS n_docs,
+       CAST(COUNT(1) * 1000000 // (SELECT n_docs FROM tot) AS BIGINT)
+         AS share_ppm,
+       CAST(SUM(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS moved_on_expand,
+       CAST(SUM(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(1) AS BIGINT) AS moved_ppm
+FROM assigned
+GROUP BY shard8
+ORDER BY shard
+""",
+)
+def rendezvous_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id")
+    ex = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_HRW_SHARDS))).alias("s"),
+    ).withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("doc_id").cast("string"),
+                        F.col("s").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    assigned = ex.groupBy("doc_id").agg(
+        F.expr(
+            f"max_by(CASE WHEN s < {_HRW_SHARDS} THEN s END,"
+            f" CASE WHEN s < {_HRW_SHARDS} THEN h END)"
+        ).alias("shard8"),
+        F.expr("max_by(s, h)").alias("shard9"),
+    )
+    tot = assigned.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        assigned.join(F.broadcast(tot))
+        .groupBy("shard8")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("CAST(count(1) * 1000000 div max(n_total) AS BIGINT)")
+            .alias("share_ppm"),
+            F.sum(F.when(F.col("shard9") != F.col("shard8"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("moved_on_expand"),
+            F.expr(
+                "CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END)"
+                " * 1000000 div count(1) AS BIGINT)"
+            ).alias("moved_ppm"),
+        )
+        .select(
+            F.col("shard8").cast("bigint").alias("shard"),
+            "n_docs",
+            "share_ppm",
+            "moved_on_expand",
+            "moved_ppm",
+        )
+        .orderBy("shard")
+    )

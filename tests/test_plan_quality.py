@@ -121,6 +121,8 @@ BNLJ_OK = {
     #   corpus-totals broadcast onto the bounded QI-group grid
     "ks_drift_test",  # bin-domain cross join (100-char length bins,
     #   domain-bounded) + 1-row corpus-total broadcast
+    "rendezvous_shard_assignment",  # 1-row doc-total broadcast onto the
+    #   shard-grain aggregate
 }
 
 

@@ -183,3 +183,24 @@ def test_byte_histogram_accounts_for_all_bytes(spark, sf_dir):
         by_type[r["media_type"]] += r["share_ppm"]
     for t, s in by_type.items():
         assert 1_000_000 - 16 <= s <= 1_000_000, (t, s)  # floor losses only
+
+
+def test_not_in_null_trap(spark, sf_dir):
+    rows = REGISTRY["anti_join_null_semantics"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the key list always contains a NULL (1-in-97 orders at every sf)
+        assert r["not_in_null_trap"] and r["n_not_in"] == 0
+        assert 0 < r["n_not_exists"] <= r["n_customers"]
+
+
+def test_rendezvous_balance_and_rebalance(spark, sf_dir):
+    rows = REGISTRY["rendezvous_shard_assignment"].fn(spark, sf_dir).collect()
+    assert sorted(r["shard"] for r in rows) == list(range(8))
+    total = sum(r["n_docs"] for r in rows)
+    moved = sum(r["moved_on_expand"] for r in rows)
+    # HRW guarantee: adding shard 9 moves ~1/9 of docs (loose band)
+    assert 0.04 * total <= moved <= 0.22 * total, (moved, total)
+    for r in rows:
+        # occupancy within 2x of uniform on the 500-doc fixture
+        assert 60_000 <= r["share_ppm"] <= 260_000, r
