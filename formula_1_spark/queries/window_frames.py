@@ -152,3 +152,75 @@ def window_rank_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame
         F.ntile(4).over(w).cast("int").alias("quartile"),
         F.row_number().over(w).cast("bigint").alias("rn"),
     ).orderBy("flag", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Value-function battery with IGNORE NULLS (round 10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_value_functions_battery",
+    ops="EXT-window-values,W1 (first/last/nth_value IGNORE NULLS)",
+    doc="The window VALUE-function family — first_value, last_value, "
+    "nth_value(2), each in RESPECT and IGNORE NULLS forms — over the "
+    "domain-bounded (flag, status, ship-month) rollup with a NULL "
+    "injected into every third month's qty. last_value runs on the "
+    "full-partition frame (the default running frame makes last_value "
+    "== current row, the classic gotcha, pinned here explicitly). "
+    "Windows never scale with data; ordering is total.",
+    oracle="""
+WITH cells AS (
+  SELECT l_returnflag AS flag, l_linestatus AS status,
+         CAST(date_trunc('month', l_shipdate) AS DATE)::VARCHAR AS ship_month,
+         CASE WHEN month(l_shipdate) % 3 = 0 THEN NULL
+              ELSE CAST(SUM(l_quantity) AS BIGINT) END AS qty
+  FROM lineitem
+  GROUP BY 1, 2, date_trunc('month', l_shipdate), month(l_shipdate)
+)
+SELECT flag, status, ship_month, qty,
+       first_value(qty) OVER w AS first_respect,
+       first_value(qty IGNORE NULLS) OVER w AS first_ignore,
+       last_value(qty) OVER w AS last_respect,
+       last_value(qty IGNORE NULLS) OVER w AS last_ignore,
+       nth_value(qty, 2) OVER w AS nth2_respect,
+       nth_value(qty, 2 IGNORE NULLS) OVER w AS nth2_ignore
+FROM cells
+WINDOW w AS (PARTITION BY flag, status ORDER BY ship_month ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY flag, status, ship_month
+""",
+)
+def window_value_functions_battery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_linestatus").alias("status"),
+        F.month("l_shipdate").alias("mo"),
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias(
+            "ship_month"
+        ),
+    ).agg(
+        F.when(
+            F.col("mo") % 3 != 0, F.sum("l_quantity").cast("bigint")
+        ).alias("qty")
+    )
+    w = (
+        Window.partitionBy("flag", "status")
+        .orderBy(F.asc("ship_month"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return cells.select(
+        "flag",
+        "status",
+        "ship_month",
+        "qty",
+        F.first("qty", ignorenulls=False).over(w).alias("first_respect"),
+        F.first("qty", ignorenulls=True).over(w).alias("first_ignore"),
+        F.last("qty", ignorenulls=False).over(w).alias("last_respect"),
+        F.last("qty", ignorenulls=True).over(w).alias("last_ignore"),
+        F.nth_value("qty", 2, ignoreNulls=False).over(w).alias("nth2_respect"),
+        F.nth_value("qty", 2, ignoreNulls=True).over(w).alias("nth2_ignore"),
+    ).orderBy("flag", "status", "ship_month")
