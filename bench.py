@@ -81,6 +81,7 @@ def main() -> None:
         "user_erasure_audit",
         "schema_evolution_scan",
         "stateful_user_totals_stream",
+        "dedup_signature_store_probe",
     ):
         spec = registry.get(warm_name)
         if spec is None:

@@ -509,3 +509,140 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-n-gram linear quality classifier (fastText-style, VERDICT r9 6b)
+# ---------------------------------------------------------------------------
+
+# Feature space: ALL unigram + bigram occurrences (not distinct — token
+# frequency is signal), hashed into _CLS_BUCKETS weight slots (the hashing
+# trick: the model is a fixed B-dim vector regardless of vocabulary, grams
+# colliding into a slot share its weight — exactly fastText's input layer).
+# Weights here are a deterministic md5-derived stand-in for trained values
+# (integers in [-1000, 1000]), so both engines replay the dot product in
+# exact integer arithmetic; a trained model would broadcast its weight
+# table instead, same plan shape. The logistic link is monotonic, so the
+# keep/drop decision "sigmoid(mean_w) > 0.5" is exactly "score_sum > 0" —
+# no cross-engine-unstable exp() anywhere.
+_CLS_BUCKETS = 4096
+
+
+def _cls_weight_hex() -> str:
+    """The B-dim weight vector: weight of bucket b = first 32 md5 bits of
+    str(b), mod 2001, shifted to [-1000, 1000]. Computed DRIVER-SIDE and
+    embedded as ONE hex-packed string literal (3 hex digits per bucket,
+    value + 1000); the per-row lookup is substring + conv on the 12 KB
+    constant. Two rejected alternatives, both measured: evaluating the
+    md5 chain per ROW hits an interpreted non-codegen path in Spark
+    (nested md5-of-computed-string, 12 us/row -> 29 s for 5M grams), and
+    a 4096-element array literal costs 3.4 s of DRIVER-side plan
+    construction per invocation (4096 Column objects). The packed string
+    is also the honest model shape — a trained fastText layer ships as a
+    fixed weight table broadcast with the plan, not a hash formula."""
+    import hashlib
+
+    return "".join(
+        f"{(int(hashlib.md5(str(b).encode()).hexdigest()[:8], 16) % 2001):03x}"
+        for b in range(_CLS_BUCKETS)
+    )
+
+
+@register(
+    "quality_classifier_hashed_ngram",
+    ops="EXT-quality-classifier,F1,A5 (hashing-trick linear text scorer)",
+    doc="fastText-style hashed-n-gram quality classifier as pure Column "
+    "math: every unigram+bigram OCCURRENCE hashes (md5/32-bit) into 4096 "
+    "weight buckets; per-doc score is the exact-integer sum of bucket "
+    "weights; keep/drop = sign of the score (== sigmoid(mean)>0.5, the "
+    "logistic link being monotonic). One explode + one hash-aggregate — "
+    "map-side combinable, no Python, no vocabulary state; scoring cost "
+    "is O(tokens) regardless of corpus size. mean_w_ppm is the "
+    "length-normalized margin both engines floor identically.",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         t || list_transform(range(0, greatest(len(t) - 1, 0)),
+               i -> array_to_string(list_slice(t, i + 1, i + 2), ' ')) AS g
+  FROM toks
+),
+gr AS (
+  SELECT doc_id, source, len(g) AS n_grams, unnest(g) AS gram FROM grams
+),
+wv AS (
+  SELECT doc_id, source, n_grams,
+         ((('0x' || substr(md5(CAST(
+              ('0x' || substr(md5(gram), 1, 8))::BIGINT % {_CLS_BUCKETS}
+            AS VARCHAR)), 1, 8))::BIGINT % 2001) - 1000) AS w
+  FROM gr
+),
+agg AS (
+  SELECT doc_id, source, n_grams, SUM(w) AS score_sum
+  FROM wv GROUP BY doc_id, source, n_grams
+)
+SELECT doc_id, source,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(score_sum AS BIGINT) AS score_sum,
+       CAST(FLOOR(score_sum * 1000000.0 / n_grams) AS BIGINT) AS mean_w_ppm,
+       CASE WHEN score_sum > 0 THEN 'keep' ELSE 'drop' END AS label
+FROM agg
+""",
+)
+def quality_classifier_hashed_ngram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from formula_1_spark.operators.dedup import md5_int32
+    from formula_1_spark.queries.dedup import _shared_relations
+
+    # Token arrays come from the session-memoized dedup family relation
+    # (ONE persisted copy per (app, sf_dir) — a per-call persist() here
+    # accumulated cache entries across invocations until storage
+    # thrashed, measured 16 -> 54 s run-to-run at sf0.1). The persist
+    # barrier also stops CollapseProject re-inlining the regex split
+    # once per gram (operators/dedup.shingles_from_tokens pitfall).
+    tok = _shared_relations(spark, sf_dir)["tok"].withColumnRenamed("toks", "t")
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: F.concat_ws(" ", F.slice("t", i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # n_grams is pure token arithmetic (len + max(len-1, 0)) — sizing the
+    # concatenated gram array instead would build every bigram twice
+    # (once for size, once for the explode).
+    gr = tok.select(
+        "doc_id",
+        (F.size("t") + F.greatest(F.size("t") - 1, F.lit(0))).alias("n_grams"),
+        F.explode(F.concat(F.col("t"), bigrams)).alias("gram"),
+    )
+    bucket = (md5_int32(F.col("gram")) % _CLS_BUCKETS).cast("int")
+    w = (
+        F.conv(F.substring(F.lit(_cls_weight_hex()), bucket * 3 + 1, 3), 16, 10)
+        .cast("bigint")
+        - 1000
+    )
+    agg = (
+        gr.withColumn("w", w)
+        .groupBy("doc_id", "n_grams")
+        .agg(F.sum("w").alias("score_sum"))
+    )
+    # source re-attaches at doc grain AFTER the gram aggregate — the
+    # exploded stream never carries the string column.
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return agg.join(src, "doc_id").select(
+        "doc_id",
+        "source",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        "score_sum",
+        F.floor(F.col("score_sum") * 1000000.0 / F.col("n_grams"))
+        .cast("bigint")
+        .alias("mean_w_ppm"),
+        F.when(F.col("score_sum") > 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    )

@@ -62,7 +62,7 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 # Names absent from REGISTRY are skipped; registered names absent from
 # this list keep registration order after it.
 #
-# ROUND-11 ROTATION TODO: pin the 18 round-10 additions first (registered
+# ROUND-11 ROTATION TODO: pin the round-10 additions first (registered
 # behind this window, driver-never-checked; all locally bit-exact vs
 # DuckDB at sf0.001 AND sf0.01): label_propagation_communities,
 # doremi_domain_reweight, tcloseness_audit, kmeans_lloyd_iteration,
@@ -71,12 +71,13 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 # ks_drift_test, null_semantics_battery, window_rank_functions_battery,
 # media_byte_histogram, events_dynamic_session_window,
 # try_functions_battery, anti_join_null_semantics,
-# rendezvous_shard_assignment, window_value_functions_battery (18
-# total).
-# Then the 32 remaining r05-cohort stale greens in r05 order starting at
-# tpch_q10_returned_items (see CORRECTNESS_r05.json — the first 18,
-# through tpch_q8_market_share, are re-checked this round) — 18 + 32 =
-# 50, the window is full.
+# rendezvous_shard_assignment, window_value_functions_battery,
+# dedup_signature_store_probe, quality_classifier_hashed_ngram
+# (20 so far — extend with any later round-10 registrations).
+# Then fill the window with the remaining r05-cohort stale greens in r05
+# order starting at tpch_q10_returned_items (see CORRECTNESS_r05.json —
+# the first 18, through tpch_q8_market_share, are re-checked this
+# round).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never driver-checked (all 19 round-9 additions; judge-green r09) ---
     "semdedup_prune_report",
@@ -188,6 +189,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.suffix_doubling",
         "formula_1_spark.queries.dedup_tuning",
         "formula_1_spark.queries.footer_stats",
+        "formula_1_spark.queries.signature_store",
     ):
         try:
             __import__(mod)

@@ -1,0 +1,209 @@
+"""Persisted MinHash signature store + incremental new-batch probe.
+
+The operational shape of dedup at 100 TB is NOT "re-pair the corpus every
+crawl" — it is an append-only LSH band index materialized on disk
+(partitioned by band_id, at real scale additionally bucketed by band_key)
+plus the per-doc shingle sets needed for exact verification. Each incoming
+batch computes its own signatures, joins its band rows against the frozen
+index, and exact-verifies only the candidates — O(batch x bucket) work,
+independent of corpus size, with the store growing by plain parquet
+appends after each admitted batch.
+
+``dedup_incremental_minhash`` (queries/dedup.py) proves the asymmetric
+band-join math with both sides computed inline; this module materializes
+the frozen side to a fingerprint-keyed parquet fixture
+(``sources/fixtures.py``) and runs the probe against the ON-DISK store, so
+the driver's green hash covers the store round-trip (schema, partition
+layout, band-key encoding) end-to-end. The DuckDB oracle recomputes the
+identical math from ``documents`` directly — a store written or read
+wrongly (dropped partition, re-typed band_id, truncated band_key)
+hash-mismatches.
+
+Reference scope: the reference (uwe-uffuchs/formula-1) has no dedup at
+all; this is engine-native extension surface (SURVEY.md §7.1(7)),
+round-10 VERDICT "next round" item 6a.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from formula_1_spark.operators.dedup import (
+    MINHASH_P,
+    lsh_band_rows,
+    minhash_signatures,
+)
+from formula_1_spark.queries.dedup import (
+    _MINHASH_MINS,
+    _SHINGLES_CTE,
+    _SIG_ARRAY,
+    _shared_relations,
+)
+from formula_1_spark.queries.registry import register
+from formula_1_spark.sources.fixtures import building_dir, fixture_root, publish
+
+_K, _BANDS, _R = 32, 8, 4
+_THRESHOLD = 0.5
+# Frozen corpus = 80% of doc_ids; the incoming "crawl" is the rest. The
+# split is a pure doc_id function so the oracle replays it exactly.
+_FROZEN_MOD, _FROZEN_LT = 10, 8
+
+
+def _store_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per testdata fingerprint) the frozen-corpus signature
+    store: band rows partitioned by band_id + exact-verify shingle sets.
+
+    At 100 TB both relations are append-only lake tables: a batch that
+    passes admission appends its band rows (into the same band_id
+    partitions) and shingle sets; nothing is ever rewritten. Partitioning
+    by band_id keeps any single probe's shuffle bounded to the bands it
+    actually touches and lets a band-at-a-time compaction job run without
+    touching the rest of the index."""
+    root = fixture_root("minhash_store_v1", sf_dir, "documents")
+    if not os.path.isdir(root):
+        scratch = building_dir(root)
+        frozen_sh = _shared_relations(spark, sf_dir)["sh"].filter(
+            F.col("doc_id") % _FROZEN_MOD < _FROZEN_LT
+        )
+        sigs = minhash_signatures(frozen_sh, k=_K)
+        bands = lsh_band_rows(sigs, bands=_BANDS, r=_K // _BANDS)
+        bands.write.mode("overwrite").partitionBy("band_id").parquet(
+            os.path.join(scratch, "bands")
+        )
+        frozen_sh.select("doc_id", "sh", F.size("sh").alias("n_sh")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(scratch, "shingles"))
+        publish(scratch, root)
+    return root
+
+
+@register(
+    "dedup_signature_store_probe",
+    ops="EXT-dedup-incremental,EXT-signature-store,S6,S7,J4,W1",
+    doc="Incremental cross-snapshot dedup against a PERSISTED MinHash "
+    "signature store: the frozen 80% of documents is materialized to a "
+    "parquet band index (partitioned by band_id) plus shingle sets; the "
+    "incoming 20% batch computes its own band rows in memory, joins them "
+    "against the on-disk index, exact-Jaccard-verifies candidates "
+    "(>= 0.5) against the stored shingle sets, and reports one "
+    "disposition row per duplicate-of-corpus batch doc (match count, "
+    "best frozen match by (jaccard DESC, doc_id)). Candidate work is "
+    "O(batch x bucket) — corpus-size independent; the oracle recomputes "
+    "everything from documents, so a store round-trip defect "
+    "hash-mismatches. Builds on operators/dedup.py "
+    "minhash_lsh_cross_pairs (VERDICT r9 item 6a).",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+base AS (
+  SELECT doc_id, shingle % {MINHASH_P} AS x
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM shf)
+),
+sigagg AS (
+  SELECT doc_id,
+{_MINHASH_MINS}
+  FROM base GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, {_SIG_ARRAY} AS sigs FROM sigagg),
+bands AS (
+  SELECT doc_id, j.j AS band_id,
+         array_to_string(list_slice(sigs, j.j * {_R} + 1, j.j * {_R} + {_R}), ',')
+           AS band_key
+  FROM sigs, (SELECT unnest(range(0, {_BANDS})) AS j) j
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x
+  JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+  WHERE x.doc_id % {_FROZEN_MOD} < {_FROZEN_LT}
+    AND y.doc_id % {_FROZEN_MOD} >= {_FROZEN_LT}
+),
+verified AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.sh, sb.sh))
+           / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN shf sa ON sa.doc_id = c.a
+  JOIN shf sb ON sb.doc_id = c.b
+),
+hits AS (SELECT a, b, jaccard FROM verified WHERE jaccard >= {_THRESHOLD}),
+sel AS (
+  SELECT b, a, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY b ORDER BY jaccard DESC, a) AS rn,
+         COUNT(1) OVER (PARTITION BY b) AS n,
+         MAX(jaccard) OVER (PARTITION BY b) AS mx
+  FROM hits
+)
+SELECT b AS new_doc_id,
+       CAST(n AS BIGINT) AS n_base_matches,
+       a AS best_base_id,
+       CAST(FLOOR(mx * 1000000) AS BIGINT) AS best_jaccard_ppm
+FROM sel WHERE rn = 1
+""",
+)
+def dedup_signature_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _store_fixture(spark, sf_dir)
+    store_bands = spark.read.parquet(os.path.join(root, "bands")).select(
+        F.col("doc_id").alias("a"), "band_id", "band_key"
+    )
+    store_sh = spark.read.parquet(os.path.join(root, "shingles"))
+
+    batch_sh = _shared_relations(spark, sf_dir)["sh"].filter(
+        F.col("doc_id") % _FROZEN_MOD >= _FROZEN_LT
+    )
+    batch_bands = lsh_band_rows(
+        minhash_signatures(batch_sh, k=_K), bands=_BANDS, r=_K // _BANDS
+    ).select(F.col("doc_id").alias("b"), "band_id", "band_key")
+
+    # Candidate join: batch band rows against the on-disk index. The
+    # batch side is tiny relative to the store, so broadcast it — the
+    # store-side scan never shuffles (at 100 TB this is the whole point:
+    # per-probe cost is a store scan of the touched band partitions, or a
+    # bucket-pruned lookup once the store is bucketed by band_key).
+    cand = (
+        store_bands.join(F.broadcast(batch_bands), ["band_id", "band_key"])
+        .select("a", "b")
+        .distinct()
+    )
+
+    # Exact verify against the STORED shingle sets (frozen side) and the
+    # batch's in-memory sets. Candidates are band-bounded, both array
+    # relations are doc-grain; broadcast them so the pair stream stays
+    # put (swap to the posting-count formulation past broadcast scale —
+    # see operators/dedup._verify_jaccard).
+    a_side = store_sh.select(
+        F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")
+    )
+    b_side = batch_sh.select(
+        F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"), F.size("sh").alias("nb")
+    )
+    hits = (
+        cand.join(F.broadcast(a_side), "a")
+        .join(F.broadcast(b_side), "b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+        )
+        .filter(F.col("jaccard") >= _THRESHOLD)
+        .select("a", "b", "jaccard")
+    )
+
+    # Disposition: one row per duplicate batch doc, best frozen match by
+    # (jaccard DESC, doc_id ASC). The window partitions on the batch doc
+    # — per-partition width is the candidate fan-in, band-bounded.
+    w = Window.partitionBy("b")
+    sel = (
+        hits.withColumn(
+            "rn", F.row_number().over(w.orderBy(F.desc("jaccard"), F.asc("a")))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("mx", F.max("jaccard").over(w))
+    )
+    return sel.filter(F.col("rn") == 1).select(
+        F.col("b").alias("new_doc_id"),
+        F.col("n").alias("n_base_matches"),
+        F.col("a").alias("best_base_id"),
+        F.floor(F.col("mx") * 1000000).cast("bigint").alias("best_jaccard_ppm"),
+    )

@@ -204,3 +204,83 @@ def test_rendezvous_balance_and_rebalance(spark, sf_dir):
     for r in rows:
         # occupancy within 2x of uniform on the 500-doc fixture
         assert 60_000 <= r["share_ppm"] <= 260_000, r
+
+
+def test_signature_store_matches_inline_cross_pairs(spark, sf_dir):
+    """The on-disk store path must reproduce the inline asymmetric
+    band-join exactly: same duplicate batch docs, same best matches."""
+    from pyspark.sql import functions as F
+
+    from formula_1_spark.operators.dedup import minhash_lsh_cross_pairs
+    from formula_1_spark.queries.dedup import _shared_relations
+    from formula_1_spark.queries.signature_store import (
+        _FROZEN_LT,
+        _FROZEN_MOD,
+        dedup_signature_store_probe,
+    )
+
+    got = {
+        r["new_doc_id"]: (r["n_base_matches"], r["best_base_id"])
+        for r in dedup_signature_store_probe(spark, sf_dir).collect()
+    }
+    inline = minhash_lsh_cross_pairs(
+        _shared_relations(spark, sf_dir)["sh"],
+        base_pred=F.col("doc_id") % _FROZEN_MOD < _FROZEN_LT,
+        threshold=0.5,
+    ).collect()
+    # inline pairs are (doc_id_1=base, doc_id_2=new)
+    from collections import defaultdict
+
+    by_new = defaultdict(list)
+    for r in inline:
+        by_new[r["doc_id_2"]].append((r["jaccard"], r["doc_id_1"]))
+    assert set(got) == set(by_new)
+    for new_id, matches in by_new.items():
+        n, best = got[new_id]
+        assert n == len(matches)
+        best_j = max(j for j, _ in matches)
+        assert best == min(b for j, b in matches if j == best_j)
+
+
+def test_signature_store_sides_disjoint(spark, sf_dir):
+    """Every reported pair crosses the frozen/batch boundary."""
+    from formula_1_spark.queries.signature_store import (
+        _FROZEN_LT,
+        _FROZEN_MOD,
+        dedup_signature_store_probe,
+    )
+
+    for r in dedup_signature_store_probe(spark, sf_dir).collect():
+        assert r["new_doc_id"] % _FROZEN_MOD >= _FROZEN_LT
+        assert r["best_base_id"] % _FROZEN_MOD < _FROZEN_LT
+        assert 500000 <= r["best_jaccard_ppm"] <= 1000000
+        assert r["n_base_matches"] >= 1
+
+
+def test_quality_classifier_decision_and_gram_accounting(spark, sf_dir):
+    """label == sign(score_sum); n_grams == 2*len(tokens)-1 for docs with
+    >= 2 tokens (all unigrams + all bigrams, occurrences not distinct)."""
+    from pyspark.sql import functions as F
+
+    from formula_1_spark.queries.quality_ops import (
+        quality_classifier_hashed_ngram,
+    )
+    from formula_1_spark.sources.tables import load_table
+
+    res = quality_classifier_hashed_ngram(spark, sf_dir)
+    rows = res.collect()
+    assert len(rows) == load_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert r["label"] == ("keep" if r["score_sum"] > 0 else "drop")
+        # mean margin bounded by the weight range
+        assert -1000_000000 <= r["mean_w_ppm"] * 1 <= 1000 * 1000000
+    tok_n = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        n = tok_n[r["doc_id"]]
+        expect = n + max(n - 1, 0)
+        assert r["n_grams"] == expect
