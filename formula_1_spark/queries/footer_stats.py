@@ -174,3 +174,76 @@ def parquet_rowgroup_skipping_audit(
         )
         .orderBy("file_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Parquet aggregate pushdown (DSv2 footer-served aggregates, round 10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parquet_agg_pushdown_scan",
+    ops="EXT-agg-pushdown,S6,A5 (scan-level COUNT/MIN/MAX from footers)",
+    doc="Parquet AGGREGATE pushdown: COUNT(*)/MIN/MAX answered by the "
+    "DSv2 ParquetScan from row-group footer statistics — zero data pages "
+    "read, the cheapest possible full-table profile at 100 TB (cost = "
+    "footer count, not bytes). The fn flips the session to the V2 "
+    "parquet path + aggregatePushdown for exactly this plan, ASSERTS "
+    "'PushedAggregation' in the executed plan of each scan (a "
+    "non-pushed plan raises, so driver green IS the pushdown proof), "
+    "materializes the one aggregate row per fact table while the confs "
+    "are active, and restores the session confs. Oracle recomputes the "
+    "same profile from rows — a footer-stat lie (stale min/max, wrong "
+    "row count) hash-mismatches.",
+    oracle="""
+SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+UNION ALL
+SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+       CAST(MIN(l_orderkey) AS BIGINT), CAST(MAX(l_orderkey) AS BIGINT)
+FROM lineitem
+ORDER BY tbl
+""",
+)
+def parquet_agg_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    conf = spark.conf
+    old_v1 = conf.get("spark.sql.sources.useV1SourceList", None)
+    old_pd = conf.get("spark.sql.parquet.aggregatePushdown", None)
+    rows = []
+    try:
+        conf.set("spark.sql.sources.useV1SourceList", "")
+        conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+            df = spark.read.parquet(
+                _os.path.join(sf_dir, f"{tbl}.parquet")
+            ).selectExpr(
+                "count(*) AS n_rows",
+                f"min({key}) AS min_key",
+                f"max({key}) AS max_key",
+            )
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if "PushedAggregation: [COUNT" not in plan:
+                raise RuntimeError(
+                    f"aggregate pushdown did not reach the {tbl} scan:\n{plan}"
+                )
+            r = df.collect()[0]
+            rows.append((tbl, r["n_rows"], r["min_key"], r["max_key"]))
+    finally:
+        # Restore BEFORE returning: leaving parquet on the V2 path would
+        # silently re-plan every later query in this shared session.
+        if old_v1 is None:
+            conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            conf.set("spark.sql.sources.useV1SourceList", old_v1)
+        if old_pd is None:
+            conf.unset("spark.sql.parquet.aggregatePushdown")
+        else:
+            conf.set("spark.sql.parquet.aggregatePushdown", old_pd)
+    out = spark.createDataFrame(
+        rows, "tbl string, n_rows bigint, min_key bigint, max_key bigint"
+    )
+    return out.orderBy("tbl")

@@ -322,3 +322,89 @@ def try_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation: listagg / string_agg parity (round 10)
+# ---------------------------------------------------------------------------
+
+# Spark 4 `listagg(expr, sep) WITHIN GROUP (ORDER BY ...)` vs DuckDB
+# `string_agg(expr, sep ORDER BY ...)` — same ANSI semantics, different
+# spelling, so the battery pins them value-for-value: multi-key ordered
+# concat, DISTINCT + WITHIN GROUP (order expr must equal the aggregated
+# expr), and NULL skipping (both engines drop NULL elements without
+# leaving separators). Aggregation grains are bounded — priority (5) x month
+# (12) cells and a ~1/10000 keyed sample — so no group's string grows
+# with the corpus (unbounded per-group concat is the anti-pattern this
+# battery deliberately avoids at 100 TB).
+_LISTAGG_SAMPLE_MOD = 9973
+
+
+@register(
+    "listagg_ordered_battery",
+    ops="EXT-listagg,A5,F-battery (ordered string aggregation parity)",
+    doc="Ordered string-aggregation battery: listagg/string_agg with "
+    "multi-key ORDER BY (months by volume DESC, month ASC), DISTINCT "
+    "WITHIN GROUP (status roster), and NULL-skipping (a ~1/10k keyed "
+    "sample of order keys concatenated; NULL non-samples must vanish "
+    "without separators). All grains domain-bounded: 5 priorities x 12 "
+    "months; per-group strings never scale with the data.",
+    oracle=f"""
+WITH cells AS (
+  SELECT o_orderpriority AS priority, month(o_orderdate) AS mo,
+         CAST(COUNT(1) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+st AS (
+  SELECT o_orderpriority AS priority,
+         string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+           AS statuses,
+         string_agg(CASE WHEN o_orderkey % {_LISTAGG_SAMPLE_MOD} = 0
+                         THEN CAST(o_orderkey AS VARCHAR) END,
+                    '|' ORDER BY o_orderkey) AS sampled_keys
+  FROM orders GROUP BY 1
+),
+mo AS (
+  SELECT priority,
+         string_agg(CAST(mo AS VARCHAR), ',' ORDER BY n DESC, mo)
+           AS months_by_volume,
+         CAST(SUM(n) AS BIGINT) AS n_orders
+  FROM cells GROUP BY priority
+)
+SELECT st.priority, st.statuses, st.sampled_keys,
+       mo.months_by_volume, mo.n_orders
+FROM st JOIN mo ON st.priority = mo.priority
+ORDER BY st.priority
+""",
+)
+def listagg_ordered_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir, ["orders"], register=True)
+    return spark.sql(f"""
+WITH cells AS (
+  SELECT o_orderpriority AS priority, month(o_orderdate) AS mo,
+         CAST(COUNT(1) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+st AS (
+  SELECT o_orderpriority AS priority,
+         listagg(DISTINCT o_orderstatus, ',')
+           WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+         listagg(CASE WHEN o_orderkey % {_LISTAGG_SAMPLE_MOD} = 0
+                      THEN CAST(o_orderkey AS STRING) END, '|')
+           WITHIN GROUP (ORDER BY o_orderkey) AS sampled_keys
+  FROM orders GROUP BY 1
+),
+mo AS (
+  SELECT priority,
+         listagg(CAST(mo AS STRING), ',')
+           WITHIN GROUP (ORDER BY n DESC, mo) AS months_by_volume,
+         CAST(SUM(n) AS BIGINT) AS n_orders
+  FROM cells GROUP BY priority
+)
+SELECT st.priority, st.statuses, st.sampled_keys,
+       mo.months_by_volume, mo.n_orders
+FROM st JOIN mo ON st.priority = mo.priority
+ORDER BY st.priority
+""")

@@ -284,3 +284,39 @@ def test_quality_classifier_decision_and_gram_accounting(spark, sf_dir):
         n = tok_n[r["doc_id"]]
         expect = n + max(n - 1, 0)
         assert r["n_grams"] == expect
+
+
+def test_agg_pushdown_restores_session_confs(spark, sf_dir):
+    """The pushdown query flips the session to the V2 parquet path; a
+    leaked conf would silently re-plan every later query."""
+    conf = spark.conf
+    def snap():
+        out = {}
+        for k in ("spark.sql.sources.useV1SourceList",
+                  "spark.sql.parquet.aggregatePushdown"):
+            try:
+                out[k] = conf.get(k)
+            except Exception:
+                out[k] = None
+        return out
+    before = snap()
+    res = REGISTRY["parquet_agg_pushdown_scan"].fn(spark, sf_dir).collect()
+    assert snap() == before
+    assert [r["tbl"] for r in res] == ["lineitem", "orders"]
+    assert all(r["n_rows"] > 0 and r["min_key"] <= r["max_key"] for r in res)
+
+
+def test_listagg_sample_and_ordering(spark, sf_dir):
+    from formula_1_spark.queries.functions_breadth import _LISTAGG_SAMPLE_MOD
+
+    rows = REGISTRY["listagg_ordered_battery"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        statuses = r["statuses"].split(",")
+        assert statuses == sorted(statuses)
+        if r["sampled_keys"] is not None:
+            keys = [int(k) for k in r["sampled_keys"].split("|")]
+            assert keys == sorted(keys)
+            assert all(k % _LISTAGG_SAMPLE_MOD == 0 for k in keys)
+        months = r["months_by_volume"].split(",")
+        assert 1 <= len(months) <= 12 and len(set(months)) == len(months)
