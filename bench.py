@@ -82,6 +82,7 @@ def main() -> None:
         "schema_evolution_scan",
         "stateful_user_totals_stream",
         "dedup_signature_store_probe",
+        "dedup_signature_store_append_probe",
     ):
         spec = registry.get(warm_name)
         if spec is None:

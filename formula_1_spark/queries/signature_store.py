@@ -207,3 +207,188 @@ def dedup_signature_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("best_base_id"),
         F.floor(F.col("mx") * 1000000).cast("bigint").alias("best_jaccard_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Store APPEND lifecycle: admit batch1, grow the index, probe with batch2
+# ---------------------------------------------------------------------------
+
+_B1, _B2 = 8, 9  # doc_id % 10 cohorts: frozen < 8, batch1 == 8, batch2 == 9
+
+
+def _batch_bands(sh: DataFrame) -> DataFrame:
+    return lsh_band_rows(
+        minhash_signatures(sh, k=_K), bands=_BANDS, r=_K // _BANDS
+    )
+
+
+def _store_hits(store_root: str, spark: SparkSession, batch_sh: DataFrame) -> DataFrame:
+    """(a = store doc, b = batch doc, jaccard) pairs >= threshold of a
+    batch against an on-disk store — the shared probe core."""
+    store_bands = spark.read.parquet(os.path.join(store_root, "bands")).select(
+        F.col("doc_id").alias("a"), "band_id", "band_key"
+    )
+    store_sh = spark.read.parquet(os.path.join(store_root, "shingles"))
+    batch_bands = _batch_bands(batch_sh).select(
+        F.col("doc_id").alias("b"), "band_id", "band_key"
+    )
+    cand = (
+        store_bands.join(F.broadcast(batch_bands), ["band_id", "band_key"])
+        .select("a", "b")
+        .distinct()
+    )
+    a_side = store_sh.select(
+        F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")
+    )
+    b_side = batch_sh.select(
+        F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"), F.size("sh").alias("nb")
+    )
+    return (
+        cand.join(F.broadcast(a_side), "a")
+        .join(F.broadcast(b_side), "b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+        )
+        .filter(F.col("jaccard") >= _THRESHOLD)
+        .select("a", "b", "jaccard")
+    )
+
+
+def _grown_store_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Base store + batch1's ADMITTED docs physically APPENDED: parquet
+    `mode("append")` into the same band_id partition layout — the store
+    only ever grows by appends, exactly the 100 TB operational contract
+    (no rewrite, no compaction required for correctness; a band-at-a-time
+    compactor can bin-pack small files later without changing content)."""
+    import shutil
+
+    root = fixture_root("minhash_store_grown_v1", sf_dir, "documents")
+    if not os.path.isdir(root):
+        base = _store_fixture(spark, sf_dir)
+        scratch = building_dir(root)
+        shutil.copytree(base, scratch)
+        b1_sh = _shared_relations(spark, sf_dir)["sh"].filter(
+            F.col("doc_id") % _FROZEN_MOD == _B1
+        )
+        caught = _store_hits(base, spark, b1_sh).select("b").distinct()
+        admitted_sh = b1_sh.join(
+            caught, b1_sh["doc_id"] == caught["b"], "left_anti"
+        )
+        _batch_bands(admitted_sh).write.mode("append").partitionBy(
+            "band_id"
+        ).parquet(os.path.join(scratch, "bands"))
+        admitted_sh.select("doc_id", "sh", F.size("sh").alias("n_sh")).write.mode(
+            "append"
+        ).parquet(os.path.join(scratch, "shingles"))
+        publish(scratch, root)
+    return root
+
+
+@register(
+    "dedup_signature_store_append_probe",
+    ops="EXT-dedup-incremental,EXT-signature-store,S6,S7,J4,W1 (append lifecycle)",
+    doc="Signature-store APPEND lifecycle: batch1 (doc_id%10==8) probes "
+    "the frozen store, its non-duplicate docs are ADMITTED and their "
+    "band rows / shingle sets physically appended (parquet mode-append "
+    "into the same band_id partitions — the store only grows); batch2 "
+    "(doc_id%10==9) then probes the GROWN store, and each duplicate's "
+    "disposition says whether its best match is an original frozen doc "
+    "or a batch1 admission — the cross-SNAPSHOT catch an append-only "
+    "index exists to provide. Oracle recomputes the full two-stage "
+    "admission from documents, so a wrong append (lost partition, "
+    "duplicated rows, missed admission) hash-mismatches.",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+base AS (
+  SELECT doc_id, shingle % {MINHASH_P} AS x
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM shf)
+),
+sigagg AS (
+  SELECT doc_id,
+{_MINHASH_MINS}
+  FROM base GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, {_SIG_ARRAY} AS sigs FROM sigagg),
+bands AS (
+  SELECT doc_id, j.j AS band_id,
+         array_to_string(list_slice(sigs, j.j * {_R} + 1, j.j * {_R} + {_R}), ',')
+           AS band_key
+  FROM sigs, (SELECT unnest(range(0, {_BANDS})) AS j) j
+),
+froz_hit AS (
+  SELECT DISTINCT y.doc_id
+  FROM bands x
+  JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+  JOIN shf sa ON sa.doc_id = x.doc_id
+  JOIN shf sb ON sb.doc_id = y.doc_id
+  WHERE x.doc_id % {_FROZEN_MOD} < {_FROZEN_LT}
+    AND y.doc_id % {_FROZEN_MOD} = {_B1}
+    AND len(list_intersect(sa.sh, sb.sh))
+        / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh)))
+        >= {_THRESHOLD}
+),
+store_docs AS (
+  SELECT doc_id FROM shf WHERE doc_id % {_FROZEN_MOD} < {_FROZEN_LT}
+  UNION ALL
+  SELECT doc_id FROM shf
+  WHERE doc_id % {_FROZEN_MOD} = {_B1}
+    AND doc_id NOT IN (SELECT doc_id FROM froz_hit)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x
+  JOIN store_docs s ON s.doc_id = x.doc_id
+  JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+  WHERE y.doc_id % {_FROZEN_MOD} = {_B2}
+),
+verified AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.sh, sb.sh))
+           / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN shf sa ON sa.doc_id = c.a
+  JOIN shf sb ON sb.doc_id = c.b
+),
+hits AS (SELECT a, b, jaccard FROM verified WHERE jaccard >= {_THRESHOLD}),
+sel AS (
+  SELECT b, a, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY b ORDER BY jaccard DESC, a) AS rn,
+         COUNT(1) OVER (PARTITION BY b) AS n,
+         MAX(jaccard) OVER (PARTITION BY b) AS mx
+  FROM hits
+)
+SELECT b AS new_doc_id,
+       CAST(n AS BIGINT) AS n_store_matches,
+       a AS best_store_id,
+       CASE WHEN a % {_FROZEN_MOD} = {_B1} THEN 'batch1' ELSE 'frozen' END
+         AS best_cohort,
+       CAST(FLOOR(mx * 1000000) AS BIGINT) AS best_jaccard_ppm
+FROM sel WHERE rn = 1
+""",
+)
+def dedup_signature_store_append_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    root = _grown_store_fixture(spark, sf_dir)
+    b2_sh = _shared_relations(spark, sf_dir)["sh"].filter(
+        F.col("doc_id") % _FROZEN_MOD == _B2
+    )
+    hits = _store_hits(root, spark, b2_sh)
+    w = Window.partitionBy("b")
+    sel = (
+        hits.withColumn(
+            "rn", F.row_number().over(w.orderBy(F.desc("jaccard"), F.asc("a")))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("mx", F.max("jaccard").over(w))
+    )
+    return sel.filter(F.col("rn") == 1).select(
+        F.col("b").alias("new_doc_id"),
+        F.col("n").alias("n_store_matches"),
+        F.col("a").alias("best_store_id"),
+        F.when(F.col("a") % _FROZEN_MOD == _B1, F.lit("batch1"))
+        .otherwise(F.lit("frozen"))
+        .alias("best_cohort"),
+        F.floor(F.col("mx") * 1000000).cast("bigint").alias("best_jaccard_ppm"),
+    )

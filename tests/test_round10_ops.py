@@ -320,3 +320,55 @@ def test_listagg_sample_and_ordering(spark, sf_dir):
             assert all(k % _LISTAGG_SAMPLE_MOD == 0 for k in keys)
         months = r["months_by_volume"].split(",")
         assert 1 <= len(months) <= 12 and len(set(months)) == len(months)
+
+
+def test_signature_store_append_grows_store_exactly_by_admissions(spark, sf_dir):
+    """The grown store must contain exactly base + admitted-batch1 docs,
+    and every batch2 disposition must point at a store doc."""
+    from pyspark.sql import functions as F
+
+    from formula_1_spark.queries.signature_store import (
+        _B1,
+        _B2,
+        _FROZEN_LT,
+        _FROZEN_MOD,
+        _grown_store_fixture,
+        _store_fixture,
+        _store_hits,
+        dedup_signature_store_append_probe,
+    )
+    from formula_1_spark.queries.dedup import _shared_relations
+    import os
+
+    base = _store_fixture(spark, sf_dir)
+    grown = _grown_store_fixture(spark, sf_dir)
+    base_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(base, "shingles"))
+        .select("doc_id").collect()
+    }
+    grown_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(grown, "shingles"))
+        .select("doc_id").collect()
+    }
+    b1_sh = _shared_relations(spark, sf_dir)["sh"].filter(
+        F.col("doc_id") % _FROZEN_MOD == _B1
+    )
+    caught = {
+        r["b"] for r in _store_hits(base, spark, b1_sh).select("b").collect()
+    }
+    b1_ids = {r["doc_id"] for r in b1_sh.select("doc_id").collect()}
+    assert grown_ids == base_ids | (b1_ids - caught)
+    # band rows and shingle rows stay 1:1 with docs (appends added no dups)
+    n_band_docs = (
+        spark.read.parquet(os.path.join(grown, "bands"))
+        .select("doc_id").distinct().count()
+    )
+    assert n_band_docs == len(grown_ids)
+    for r in dedup_signature_store_append_probe(spark, sf_dir).collect():
+        assert r["new_doc_id"] % _FROZEN_MOD == _B2
+        assert r["best_store_id"] in grown_ids
+        assert (r["best_cohort"] == "batch1") == (
+            r["best_store_id"] % _FROZEN_MOD == _B1
+        )

@@ -69,6 +69,8 @@ SLATE = {
     "interval_overlap_join": "non-equi interval pairs via bucket blocking: explode to <=2 buckets, equi-join on the bucket, exact overlap re-verify — no cartesian",
     "kmeans_lloyd_iteration": "map-only argmin fold over the sorted broadcast centroid array; update is one posexplode aggregate at (k, dim) grain",
     "label_propagation_communities": "LPA rounds: src-keyed join + map-side-combined (node,label) groupBy + node-partitioned argmax; one corpus aggregate total",
+    "dedup_signature_store_probe": "batch band rows broadcast onto the on-disk band index scan; store side never shuffles; verify joins are doc-grain broadcasts",
+    "quality_classifier_hashed_ngram": "one explode over cached token arrays; weight lookup = substring+conv on a 12 KB plan literal inside codegen; map-side-combined doc-grain sum",
 }
 
 
