@@ -208,8 +208,6 @@ ORDER BY tbl
 """,
 )
 def parquet_agg_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
-
     conf = spark.conf
     old_v1 = conf.get("spark.sql.sources.useV1SourceList", None)
     old_pd = conf.get("spark.sql.parquet.aggregatePushdown", None)
@@ -219,7 +217,7 @@ def parquet_agg_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         conf.set("spark.sql.parquet.aggregatePushdown", "true")
         for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
             df = spark.read.parquet(
-                _os.path.join(sf_dir, f"{tbl}.parquet")
+                os.path.join(sf_dir, f"{tbl}.parquet")
             ).selectExpr(
                 "count(*) AS n_rows",
                 f"min({key}) AS min_key",

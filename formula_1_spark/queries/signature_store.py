@@ -68,9 +68,7 @@ def _store_fixture(spark: SparkSession, sf_dir: str) -> str:
         frozen_sh = _shared_relations(spark, sf_dir)["sh"].filter(
             F.col("doc_id") % _FROZEN_MOD < _FROZEN_LT
         )
-        sigs = minhash_signatures(frozen_sh, k=_K)
-        bands = lsh_band_rows(sigs, bands=_BANDS, r=_K // _BANDS)
-        bands.write.mode("overwrite").partitionBy("band_id").parquet(
+        _batch_bands(frozen_sh).write.mode("overwrite").partitionBy("band_id").parquet(
             os.path.join(scratch, "bands")
         )
         frozen_sh.select("doc_id", "sh", F.size("sh").alias("n_sh")).write.mode(
@@ -145,63 +143,11 @@ FROM sel WHERE rn = 1
 )
 def dedup_signature_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _store_fixture(spark, sf_dir)
-    store_bands = spark.read.parquet(os.path.join(root, "bands")).select(
-        F.col("doc_id").alias("a"), "band_id", "band_key"
-    )
-    store_sh = spark.read.parquet(os.path.join(root, "shingles"))
-
     batch_sh = _shared_relations(spark, sf_dir)["sh"].filter(
         F.col("doc_id") % _FROZEN_MOD >= _FROZEN_LT
     )
-    batch_bands = lsh_band_rows(
-        minhash_signatures(batch_sh, k=_K), bands=_BANDS, r=_K // _BANDS
-    ).select(F.col("doc_id").alias("b"), "band_id", "band_key")
-
-    # Candidate join: batch band rows against the on-disk index. The
-    # batch side is tiny relative to the store, so broadcast it — the
-    # store-side scan never shuffles (at 100 TB this is the whole point:
-    # per-probe cost is a store scan of the touched band partitions, or a
-    # bucket-pruned lookup once the store is bucketed by band_key).
-    cand = (
-        store_bands.join(F.broadcast(batch_bands), ["band_id", "band_key"])
-        .select("a", "b")
-        .distinct()
-    )
-
-    # Exact verify against the STORED shingle sets (frozen side) and the
-    # batch's in-memory sets. Candidates are band-bounded, both array
-    # relations are doc-grain; broadcast them so the pair stream stays
-    # put (swap to the posting-count formulation past broadcast scale —
-    # see operators/dedup._verify_jaccard).
-    a_side = store_sh.select(
-        F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")
-    )
-    b_side = batch_sh.select(
-        F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"), F.size("sh").alias("nb")
-    )
-    hits = (
-        cand.join(F.broadcast(a_side), "a")
-        .join(F.broadcast(b_side), "b")
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-        )
-        .filter(F.col("jaccard") >= _THRESHOLD)
-        .select("a", "b", "jaccard")
-    )
-
-    # Disposition: one row per duplicate batch doc, best frozen match by
-    # (jaccard DESC, doc_id ASC). The window partitions on the batch doc
-    # — per-partition width is the candidate fan-in, band-bounded.
-    w = Window.partitionBy("b")
-    sel = (
-        hits.withColumn(
-            "rn", F.row_number().over(w.orderBy(F.desc("jaccard"), F.asc("a")))
-        )
-        .withColumn("n", F.count(F.lit(1)).over(w))
-        .withColumn("mx", F.max("jaccard").over(w))
-    )
-    return sel.filter(F.col("rn") == 1).select(
+    best = _best_store_match(_store_hits(root, spark, batch_sh))
+    return best.select(
         F.col("b").alias("new_doc_id"),
         F.col("n").alias("n_base_matches"),
         F.col("a").alias("best_base_id"),
@@ -224,7 +170,18 @@ def _batch_bands(sh: DataFrame) -> DataFrame:
 
 def _store_hits(store_root: str, spark: SparkSession, batch_sh: DataFrame) -> DataFrame:
     """(a = store doc, b = batch doc, jaccard) pairs >= threshold of a
-    batch against an on-disk store — the shared probe core."""
+    batch against an on-disk store — the shared probe core.
+
+    Join strategy: the batch's band rows are tiny relative to the store,
+    so THEY broadcast and the store-side scan never shuffles (at 100 TB
+    that's the whole point: per-probe cost is a scan of the touched
+    band partitions, or a bucket-pruned lookup once the store is
+    additionally bucketed by band_key). The verify joins the candidate
+    pairs back to the shingle sets: the BATCH arrays broadcast, but the
+    STORE arrays are corpus-sized, so that side carries no hint — at
+    fixture scale AQE broadcasts it, at store scale it becomes a shuffle
+    join on the band-bounded candidate keys (or swap to the
+    posting-count formulation — see operators/dedup._verify_jaccard)."""
     store_bands = spark.read.parquet(os.path.join(store_root, "bands")).select(
         F.col("doc_id").alias("a"), "band_id", "band_key"
     )
@@ -244,7 +201,7 @@ def _store_hits(store_root: str, spark: SparkSession, batch_sh: DataFrame) -> Da
         F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"), F.size("sh").alias("nb")
     )
     return (
-        cand.join(F.broadcast(a_side), "a")
+        cand.join(a_side, "a")
         .join(F.broadcast(b_side), "b")
         .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
@@ -253,6 +210,22 @@ def _store_hits(store_root: str, spark: SparkSession, batch_sh: DataFrame) -> Da
         .filter(F.col("jaccard") >= _THRESHOLD)
         .select("a", "b", "jaccard")
     )
+
+
+def _best_store_match(hits: DataFrame) -> DataFrame:
+    """One row per duplicate batch doc: (b, a=best match, n, mx) with the
+    best store match by (jaccard DESC, doc_id ASC). The window partitions
+    on the batch doc — per-partition width is the candidate fan-in,
+    band-bounded."""
+    w = Window.partitionBy("b")
+    sel = (
+        hits.withColumn(
+            "rn", F.row_number().over(w.orderBy(F.desc("jaccard"), F.asc("a")))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("mx", F.max("jaccard").over(w))
+    )
+    return sel.filter(F.col("rn") == 1)
 
 
 def _grown_store_fixture(spark: SparkSession, sf_dir: str) -> str:
@@ -374,16 +347,8 @@ def dedup_signature_store_append_probe(
     b2_sh = _shared_relations(spark, sf_dir)["sh"].filter(
         F.col("doc_id") % _FROZEN_MOD == _B2
     )
-    hits = _store_hits(root, spark, b2_sh)
-    w = Window.partitionBy("b")
-    sel = (
-        hits.withColumn(
-            "rn", F.row_number().over(w.orderBy(F.desc("jaccard"), F.asc("a")))
-        )
-        .withColumn("n", F.count(F.lit(1)).over(w))
-        .withColumn("mx", F.max("jaccard").over(w))
-    )
-    return sel.filter(F.col("rn") == 1).select(
+    best = _best_store_match(_store_hits(root, spark, b2_sh))
+    return best.select(
         F.col("b").alias("new_doc_id"),
         F.col("n").alias("n_store_matches"),
         F.col("a").alias("best_store_id"),

@@ -330,7 +330,6 @@ def test_signature_store_append_grows_store_exactly_by_admissions(spark, sf_dir)
     from formula_1_spark.queries.signature_store import (
         _B1,
         _B2,
-        _FROZEN_LT,
         _FROZEN_MOD,
         _grown_store_fixture,
         _store_fixture,
