@@ -890,3 +890,80 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in out_rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("merge_round")
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram Gini diversity (round 10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "char_trigram_gini_diversity",
+    ops="EXT-text-diversity,F1,A5 (log-free repetition/gibberish signal)",
+    doc="Character-trigram Gini diversity per document: 1 - sum(p_i^2) "
+    "over the doc's trigram distribution, computed as the exact integer "
+    "ratio (n^2 - sum(c^2)) / n^2 in ppm — a Simpson-style diversity "
+    "index that flags repetitive/templated text (low Gini) and keyboard "
+    "gibberish (suspiciously high Gini vs natural language) WITHOUT the "
+    "cross-engine-unstable log() an entropy formulation would need. "
+    "Also emits the top-trigram share. One explode + two hash "
+    "aggregates, all map-side combinable; docs under 3 chars have no "
+    "trigrams and drop out of both engines identically.",
+    oracle="""
+WITH tris AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest(length(text) - 2, 0)),
+                        i -> substr(text, CAST(i + 1 AS INT), 3)) AS g
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, gram, CAST(COUNT(1) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(g) AS gram FROM tris) u
+  GROUP BY doc_id, gram
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * c) AS BIGINT) AS ssq,
+         CAST(COUNT(1) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS mx
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n AS n_tris, n_distinct AS n_distinct_tris,
+       CAST((n * n - ssq) * 1000000 // (n * n) AS BIGINT) AS gini_ppm,
+       CAST(mx * 1000000 // n AS BIGINT) AS top_share_ppm
+FROM agg
+""",
+)
+def char_trigram_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    g = F.when(
+        F.length("text") >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.length("text") - 3),
+            lambda i: F.substring(F.col("text"), i + 1, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cnt = (
+        docs.select("doc_id", F.explode(g).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("mx"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_tris"),
+        F.col("n_distinct").alias("n_distinct_tris"),
+        F.expr("CAST((n * n - ssq) * 1000000 div (n * n) AS BIGINT)").alias(
+            "gini_ppm"
+        ),
+        F.expr("CAST(mx * 1000000 div n AS BIGINT)").alias("top_share_ppm"),
+    )
