@@ -408,3 +408,51 @@ SELECT st.priority, st.statuses, st.sampled_keys,
 FROM st JOIN mo ON st.priority = mo.priority
 ORDER BY st.priority
 """)
+
+
+# ---------------------------------------------------------------------------
+# CUBE + grouping() disambiguation battery (round 10)
+# ---------------------------------------------------------------------------
+
+# orders_grouping_sets deliberately sidesteps grouping_id() with sentinel
+# keys; this battery pins the OTHER half of the surface: CUBE expansion
+# plus per-column grouping() flags over a grain key that CONTAINS real
+# NULLs (NULLIF(l_linestatus,'O')), where a NULL cell is ambiguous —
+# grouping()=0 means "the real NULL group", grouping()=1 means "subtotal
+# over all statuses". Per-column grouping() is engine-portable (0/1 in
+# both); grouping_id()'s bit order is not, so it stays out of the result.
+
+
+@register(
+    "cube_grouping_battery",
+    ops="EXT-cube-grouping,A5 (CUBE + grouping() vs real NULL keys)",
+    doc="CUBE(flag, nullable-status) with per-column grouping() flags: "
+    "the derived status key holds REAL NULLs (NULLIF of the majority "
+    "value), so every NULL cell in the output is ambiguous until the "
+    "grouping() flag splits 'the real NULL group' (0) from 'subtotal "
+    "over all' (1) — the classic rollup-report correctness trap. One "
+    "Expand+Aggregate pass, domain-bounded output (4 grains x few "
+    "values); quantities summed as exact BIGINTs.",
+    oracle="""
+SELECT l_returnflag AS flag, NULLIF(l_linestatus, 'O') AS status_n,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(NULLIF(l_linestatus, 'O')) AS INT) AS g_status,
+       CAST(COUNT(1) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, NULLIF(l_linestatus, 'O'))
+""",
+)
+def cube_grouping_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir, ["lineitem"], register=True)
+    return spark.sql("""
+SELECT l_returnflag AS flag, NULLIF(l_linestatus, 'O') AS status_n,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(NULLIF(l_linestatus, 'O')) AS INT) AS g_status,
+       CAST(COUNT(1) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, NULLIF(l_linestatus, 'O'))
+""")
