@@ -456,3 +456,43 @@ SELECT l_returnflag AS flag, NULLIF(l_linestatus, 'O') AS status_n,
 FROM lineitem
 GROUP BY CUBE(l_returnflag, NULLIF(l_linestatus, 'O'))
 """)
+
+
+@register(
+    "rollup_distinct_count_battery",
+    ops="EXT-rollup-distinct,A5 (non-reaggregable DISTINCT under ROLLUP)",
+    doc="COUNT(DISTINCT custkey) at every ROLLUP(priority, year) grain "
+    "in one statement — the trap this pins is that distinct counts are "
+    "NOT reaggregable (summing per-year distinct customers overcounts "
+    "the priority total), so the engine must Expand the input once per "
+    "grain and run true distinct aggregation per grain; any shortcut "
+    "that rolls the finer grain up hash-mismatches. grouping() flags "
+    "disambiguate subtotal rows. Output is grain-bounded (priorities x "
+    "years + margins).",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+       CAST(GROUPING(year(o_orderdate)) AS INT) AS g_yr,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(1) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, year(o_orderdate))
+""",
+)
+def rollup_distinct_count_battery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from formula_1_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir, ["orders"], register=True)
+    return spark.sql("""
+SELECT o_orderpriority AS priority,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+       CAST(GROUPING(year(o_orderdate)) AS INT) AS g_yr,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(1) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, year(o_orderdate))
+""")

@@ -75,8 +75,8 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 # dedup_signature_store_probe, quality_classifier_hashed_ngram,
 # listagg_ordered_battery, parquet_agg_pushdown_scan,
 # dedup_signature_store_append_probe, char_trigram_gini_diversity,
-# cube_grouping_battery
-# (25 so far — extend with any later round-10 registrations).
+# cube_grouping_battery, rollup_distinct_count_battery
+# (26 so far — extend with any later round-10 registrations).
 # Then fill the window with the remaining r05-cohort stale greens in r05
 # order starting at tpch_q10_returned_items (see CORRECTNESS_r05.json —
 # the first 18, through tpch_q8_market_share, are re-checked this
