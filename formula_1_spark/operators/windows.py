@@ -83,9 +83,17 @@ def _default_range_parts(df: DataFrame) -> int:
     → 1.0 s for token_budget_selection at sf0.1). At cluster scale the
     input is thousands of scan splits and the conf term is what caps it —
     the sizing contract in session.py still applies.
+
+    The input width comes from the METADATA-ONLY probe in
+    ``sources/tables.py`` (file-index listing + FilePartition-split
+    replay) — the old ``df.rdd.getNumPartitions()`` here forced a full
+    plan-to-RDD conversion per two-phase call, the exact per-query driver
+    cost that probe exists to eliminate.
     """
+    from formula_1_spark.sources.tables import probe_partitions
+
     conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    return max(1, min(int(conf or 32), df.rdd.getNumPartitions()))
+    return max(1, min(int(conf or 32), probe_partitions(df)))
 
 
 def _ranged_enumerate(

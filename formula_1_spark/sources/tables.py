@@ -82,32 +82,40 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     a full plan conversion per call — cheap locally, an avoidable
     per-query driver cost at cluster scale.
     """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if probe_partitions(df) >= target:
+        return df
+    return df.repartition(target)
+
+
+def probe_partitions(df: DataFrame) -> int:
+    """Estimate a plan's scan partition count from METADATA ONLY.
+
+    Reads the plan's leaf file listing (``df.inputFiles()`` — served from
+    the already-built file index, no plan-to-RDD conversion) and replays
+    Spark's FilePartition split math on the file sizes. Spark bin-packs
+    small files into shared FilePartitions, so a raw ``len(files)``
+    shortcut over-counts (many tiny files can collapse into far fewer scan
+    partitions); always replay the packing. Spark sizes splits from
+    spark.sql.files.minPartitionNum (default: leaf-node default
+    parallelism == defaultParallelism locally) — NOT from any caller
+    target — so that is what the replay uses. Non-file-backed plans
+    (in-memory relation, stream) fall back to the exact-but-costly
+    ``df.rdd.getNumPartitions()`` probe rather than guessing — rare here;
+    every registry caller wraps a parquet scan.
+    """
     spark = df.sparkSession
-    target = min_partitions or spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
         files = []
     if not files:
-        # Non-file-backed plan (in-memory relation, stream): rare here —
-        # every registry caller wraps a parquet scan. Fall back to the
-        # exact-but-costly probe rather than guessing.
-        if df.rdd.getNumPartitions() >= target:
-            return df
-        return df.repartition(target)
-    # Spark bin-packs small files into shared FilePartitions, so a raw
-    # ``len(files) >= target`` shortcut over-counts (many tiny files can
-    # collapse into far fewer scan partitions); always replay the packing.
-    # Spark sizes splits from spark.sql.files.minPartitionNum (default:
-    # leaf-node default parallelism == defaultParallelism locally) — NOT
-    # from this call's ``target`` — so that is what the replay must use.
+        return df.rdd.getNumPartitions()
     packing_parallelism = int(
         _conf_bytes(spark, "spark.sql.files.minPartitionNum", 0)
         or spark.sparkContext.defaultParallelism
     )
-    if _estimated_scan_partitions(spark, files, packing_parallelism) >= target:
-        return df
-    return df.repartition(target)
+    return _estimated_scan_partitions(spark, files, packing_parallelism)
 
 
 def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
