@@ -51,6 +51,14 @@ _THRESHOLD = 0.5
 # split is a pure doc_id function so the oracle replays it exactly.
 _FROZEN_MOD, _FROZEN_LT = 10, 8
 
+# Fixture kind folds every algorithm parameter in so that editing any of
+# them self-invalidates the on-disk index instead of silently serving a
+# stale store built under the old parameters.
+_STORE_KIND = (
+    f"minhash_store_k{_K}b{_BANDS}t{int(_THRESHOLD * 100)}"
+    f"f{_FROZEN_MOD}-{_FROZEN_LT}_v1"
+)
+
 
 def _store_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per testdata fingerprint) the frozen-corpus signature
@@ -62,7 +70,7 @@ def _store_fixture(spark: SparkSession, sf_dir: str) -> str:
     by band_id keeps any single probe's shuffle bounded to the bands it
     actually touches and lets a band-at-a-time compaction job run without
     touching the rest of the index."""
-    root = fixture_root("minhash_store_v1", sf_dir, "documents")
+    root = fixture_root(_STORE_KIND, sf_dir, "documents")
     if not os.path.isdir(root):
         scratch = building_dir(root)
         frozen_sh = _shared_relations(spark, sf_dir)["sh"].filter(

@@ -929,7 +929,8 @@ agg AS (
   FROM cnt GROUP BY doc_id
 )
 SELECT doc_id, n AS n_tris, n_distinct AS n_distinct_tris,
-       CAST((n * n - ssq) * 1000000 // (n * n) AS BIGINT) AS gini_ppm,
+       CAST((CAST(n AS HUGEINT) * n - ssq) * 1000000
+            // (CAST(n AS HUGEINT) * n) AS BIGINT) AS gini_ppm,
        CAST(mx * 1000000 // n AS BIGINT) AS top_share_ppm
 FROM agg
 """,
@@ -962,8 +963,217 @@ def char_trigram_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n").alias("n_tris"),
         F.col("n_distinct").alias("n_distinct_tris"),
-        F.expr("CAST((n * n - ssq) * 1000000 div (n * n) AS BIGINT)").alias(
-            "gini_ppm"
-        ),
+        # DECIMAL(38,0) numerator/denominator: (n^2 - ssq) * 1e6 overflows
+        # BIGINT past ~3M trigrams per doc; decimal `div` (IntegralDivide)
+        # is exact floor like DuckDB's HUGEINT `//`, so per-doc size is
+        # unbounded to ~1e15 trigrams (38-digit headroom) on both engines.
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * n - ssq) * 1000000"
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("gini_ppm"),
         F.expr("CAST(mx * 1000000 div n AS BIGINT)").alias("top_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition excision (Gopher-style, round 11)
+# ---------------------------------------------------------------------------
+
+# Gopher (Rae et al. 2021, Table A1) repetition-filter thresholds, in ppm:
+# duplicate-unit character fraction > 0.20, top word-2-gram character
+# fraction > 0.18, duplicate word-5-gram character fraction > 0.15. First
+# matching rule wins (most specific signal last).
+_REP_DUP_UNIT_PPM = 200_000
+_REP_TOP2_PPM = 180_000
+_REP_DUP5_PPM = 150_000
+
+
+def repetition_signals(
+    docs: DataFrame, unit_sep: str = r"\s+"
+) -> DataFrame:
+    """Per-document intra-doc repetition profile + excision verdict
+    (Gopher/Rae-style within-doc dedup, complementing the cross-doc
+    families in queries/dedup.py).
+
+    Signals, each as an exact-integer ppm of the doc's character count
+    (no floats, so thresholds are bit-stable across engines):
+
+    * ``dupunit_ppm`` — characters inside repeated dedup UNITS (units =
+      ``unit_sep`` splits: lines/paragraphs on real corpora, words on the
+      single-line testdata) — the "duplicate line fraction" signal;
+    * ``top2_gram``/``top2_ppm`` — the most frequent word 2-gram (count
+      DESC, gram ASC tie-break) and its character mass — the templated-
+      text signal;
+    * ``dup5_ppm`` — characters inside word 5-grams occurring >= 2 times
+      (overlapping occurrences each count, per Gopher, so the raw value
+      can exceed 1e6; thresholds compare the raw value).
+
+    ONE scan + one (doc_id, grain, gram)-keyed shuffle for all three
+    grains: units, 2-grams and 5-grams ride a single tagged explode, and
+    the top-2-gram argmax folds into the same per-doc aggregate via the
+    min-of-(-count, gram) struct trick — no window, no second scan, no
+    per-grain join. Numerators are bounded by 5x doc chars, so BIGINT
+    ppm math holds to ~1.8e12 chars per document.
+    """
+    w = F.split(F.trim(F.col("text")), unit_sep)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    empty = F.array().cast("array<struct<grain:string,gram:string>>")
+
+    def grams(arr, n: int, tag: str):
+        mk = lambda i: F.concat_ws(
+            " ", *[F.get(arr, i + j) for j in range(n)]
+        )
+        return F.when(
+            F.size(arr) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - n),
+                lambda i: F.struct(
+                    F.lit(tag).alias("grain"), mk(i).alias("gram")
+                ),
+            ),
+        ).otherwise(empty)
+
+    tagged = F.concat(
+        F.transform(
+            w,
+            lambda u: F.struct(F.lit("u").alias("grain"), u.alias("gram")),
+        ),
+        grams(words, 2, "2"),
+        grams(words, 5, "5"),
+    )
+    cnt = (
+        docs.select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_chars"),
+            F.explode(tagged).alias("x"),
+        )
+        .groupBy("doc_id", "n_chars", "x.grain", "x.gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    is_u, is_2, is_5 = (F.col("grain") == g for g in ("u", "2", "5"))
+    gram_chars = F.col("c") * F.length("gram").cast("bigint")
+    per = cnt.groupBy("doc_id", "n_chars").agg(
+        F.sum(F.when(is_u, F.col("c")).otherwise(F.lit(0))).alias("n_units"),
+        F.sum(
+            F.when(is_u & (F.col("c") >= 2), gram_chars).otherwise(F.lit(0))
+        ).alias("dup_chars"),
+        F.min(
+            F.when(is_2, F.struct((-F.col("c")).alias("nc"), F.col("gram")))
+        ).alias("t2"),
+        F.sum(
+            F.when(is_5 & (F.col("c") >= 2), gram_chars).otherwise(F.lit(0))
+        ).alias("dup5_chars"),
+    )
+    return per.select(
+        "doc_id",
+        "n_units",
+        F.expr("CAST(dup_chars * 1000000 div n_chars AS BIGINT)").alias(
+            "dupunit_ppm"
+        ),
+        F.coalesce(F.col("t2.gram"), F.lit("")).alias("top2_gram"),
+        F.expr(
+            "CAST(coalesce(-t2.nc * CAST(length(t2.gram) AS BIGINT), 0)"
+            " * 1000000 div n_chars AS BIGINT)"
+        ).alias("top2_ppm"),
+        F.expr("CAST(dup5_chars * 1000000 div n_chars AS BIGINT)").alias(
+            "dup5_ppm"
+        ),
+    ).withColumn(
+        "action",
+        F.when(F.col("dupunit_ppm") > _REP_DUP_UNIT_PPM, "drop_dup_unit")
+        .when(F.col("top2_ppm") > _REP_TOP2_PPM, "drop_top_bigram")
+        .when(F.col("dup5_ppm") > _REP_DUP5_PPM, "drop_dup_5gram")
+        .otherwise("keep"),
+    )
+
+
+@register(
+    "doc_repetition_excision",
+    ops="EXT-text-repetition,F1,A3,A5 (Gopher within-doc dedup signals)",
+    doc="Intra-document repetition removal plan (Gopher/Rae-style "
+    "within-doc dedup): per doc, exact-integer ppm of characters inside "
+    "repeated dedup units (lines on real corpora; words on this "
+    "single-line testdata), inside the single most frequent word 2-gram "
+    "(count DESC, gram ASC tie-break), and inside duplicated word "
+    "5-grams (overlapping occurrences each count, per the paper), plus "
+    "a first-matching-rule excision verdict at the Gopher thresholds "
+    "(0.20 / 0.18 / 0.15). One scan + one gram-keyed shuffle for all "
+    "three grains (tagged explode; the top-bigram argmax folds into the "
+    "per-doc aggregate via a min-of-(-count, gram) struct, no window). "
+    "Complements cross-doc dedup and char_trigram_gini_diversity.",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+),
+ucnt AS (
+  SELECT doc_id, u, CAST(COUNT(1) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(w) AS u FROM base)
+  GROUP BY doc_id, u
+),
+udup AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_units,
+         CAST(SUM(CASE WHEN c >= 2 THEN c * length(u) ELSE 0 END)
+              AS BIGINT) AS dup_chars
+  FROM ucnt GROUP BY doc_id
+),
+g2cnt AS (
+  SELECT doc_id, g, CAST(COUNT(1) AS BIGINT) AS c
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
+                      i -> w[CAST(i + 1 AS INT)] || ' ' || w[CAST(i + 2 AS INT)])) AS g
+        FROM base)
+  GROUP BY doc_id, g
+),
+top2 AS (
+  SELECT doc_id, g AS top2_gram,
+         c * CAST(length(g) AS BIGINT) AS top2_chars
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY c DESC, g ASC) AS r
+        FROM g2cnt) WHERE r = 1
+),
+g5cnt AS (
+  SELECT doc_id, g, CAST(COUNT(1) AS BIGINT) AS c
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(0, greatest(len(w) - 4, 0)),
+                      i -> w[CAST(i + 1 AS INT)] || ' ' || w[CAST(i + 2 AS INT)] || ' ' ||
+                           w[CAST(i + 3 AS INT)] || ' ' || w[CAST(i + 4 AS INT)] || ' ' ||
+                           w[CAST(i + 5 AS INT)])) AS g
+        FROM base)
+  GROUP BY doc_id, g
+),
+g5dup AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)
+              AS BIGINT) AS dup5_chars
+  FROM g5cnt GROUP BY doc_id
+),
+j AS (
+  SELECT b.doc_id, u.n_units,
+         CAST(u.dup_chars * 1000000 // b.n_chars AS BIGINT) AS dupunit_ppm,
+         COALESCE(t.top2_gram, '') AS top2_gram,
+         CAST(COALESCE(t.top2_chars, 0) * 1000000 // b.n_chars AS BIGINT)
+           AS top2_ppm,
+         CAST(COALESCE(f.dup5_chars, 0) * 1000000 // b.n_chars AS BIGINT)
+           AS dup5_ppm
+  FROM base b
+  JOIN udup u USING (doc_id)
+  LEFT JOIN top2 t ON t.doc_id = b.doc_id
+  LEFT JOIN g5dup f ON f.doc_id = b.doc_id
+)
+SELECT doc_id, n_units, dupunit_ppm, top2_gram, top2_ppm, dup5_ppm,
+       CASE WHEN dupunit_ppm > {_REP_DUP_UNIT_PPM} THEN 'drop_dup_unit'
+            WHEN top2_ppm > {_REP_TOP2_PPM} THEN 'drop_top_bigram'
+            WHEN dup5_ppm > {_REP_DUP5_PPM} THEN 'drop_dup_5gram'
+            ELSE 'keep' END AS action
+FROM j
+""",
+)
+def doc_repetition_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    return repetition_signals(docs)
