@@ -49,94 +49,84 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 
 
 # The correctness driver snapshots the FIRST 50 registry entries in
-# iteration order each round. Round 10 pins the 19 round-9 additions first —
-# the only queries never driver-checked (registered behind the round-9
-# window per the growth protocol; all judge-verified green in VERDICT r09
-# and locally bit-exact via tests/test_oracle_parity.py at sf0.001 AND
-# sf0.01). A green r10 keeps cumulative driver coverage total: every
-# registered pre-r10 query driver-certified at least once. The remaining
-# 31 slots re-check the STALEST greens: the 13 r04-cohort names whose
-# last driver check was CORRECTNESS_r04 and that never fit a later
-# window, then the first 18 r05-cohort names (last green CORRECTNESS_r05)
-# in r05 order. New round-10+ queries register BEHIND this pinned window.
-# Names absent from REGISTRY are skipped; registered names absent from
-# this list keep registration order after it.
+# iteration order each round. Round 11 pins the 26 round-10 additions
+# first — the only queries never driver-checked (registered behind the
+# round-10 window per the growth protocol; all judge-verified green in
+# VERDICT r10's full oracle-parity pytest run and locally bit-exact vs
+# DuckDB at sf0.001 AND sf0.01). A green r11 closes cumulative driver
+# coverage: every pre-r11 registered query driver-certified at least once.
+# The remaining 24 slots re-check the STALEST greens: the r05 cohort (last
+# driver green CORRECTNESS_r05) in r05 order starting at
+# tpch_q10_returned_items — the first 18 of that cohort were re-checked in
+# r10; this window takes the next 24, leaving 8 (dedup_embedding_cosine
+# through media_feature_extract in r05 order) for the round-12 window.
+# New round-11+ queries register BEHIND this pinned window. Names absent
+# from REGISTRY are skipped; registered names absent from this list keep
+# registration order after it.
 #
-# ROUND-11 ROTATION TODO: pin the round-10 additions first (registered
-# behind this window, driver-never-checked; all locally bit-exact vs
-# DuckDB at sf0.001 AND sf0.01): label_propagation_communities,
-# doremi_domain_reweight, tcloseness_audit, kmeans_lloyd_iteration,
-# random_projection_jl_audit, interval_overlap_join,
-# conformal_coverage_audit, pass_at_k_estimator, xml_roundtrip_customers,
-# ks_drift_test, null_semantics_battery, window_rank_functions_battery,
-# media_byte_histogram, events_dynamic_session_window,
-# try_functions_battery, anti_join_null_semantics,
-# rendezvous_shard_assignment, window_value_functions_battery,
-# dedup_signature_store_probe, quality_classifier_hashed_ngram,
-# listagg_ordered_battery, parquet_agg_pushdown_scan,
-# dedup_signature_store_append_probe, char_trigram_gini_diversity,
-# cube_grouping_battery, rollup_distinct_count_battery
-# (26 so far — extend with any later round-10 registrations).
-# Then fill the window with the remaining r05-cohort stale greens in r05
-# order starting at tpch_q10_returned_items (see CORRECTNESS_r05.json —
-# the first 18, through tpch_q8_market_share, are re-checked this
-# round).
+# ROUND-12 ROTATION TODO: pin any round-11 additions first (registered
+# behind this window, driver-never-checked), then the 8 remaining
+# r05-stale greens: dedup_embedding_cosine, similarity_topk_bruteforce,
+# similarity_ann_lsh, similarity_ann_ivf, text_quality_profile,
+# text_lang_report, text_bpe_tokens, media_feature_extract. Fill the rest
+# with the stalest r06 cohort in r06 order (see CORRECTNESS_r06.json,
+# starting at ivf_incremental_assign).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (all 19 round-9 additions; judge-green r09) ---
-    "semdedup_prune_report",
-    "unimax_budget_allocation",
-    "lsh_band_planning",
-    "simhash_hamming_roc",
-    "soft_dedup_weights",
-    "trade_hits_hubs_authorities",
-    "supplier_peak_concurrency",
-    "event_sequence_ngrams",
-    "watermark_late_audit",
-    "curriculum_phase_assignment",
-    "source_diversity_index",
-    "parquet_rowgroup_skipping_audit",
-    "matryoshka_truncation_audit",
-    "media_audio_energy_vad",
-    "kmeanspp_parallel_init",
-    "context_truncation_waste",
-    "orders_checksum_reconcile",
-    "ipf_raking_weights",
-    "join_cardinality_estimate_audit",
-    # --- stalest r04-cohort greens (last green CORRECTNESS_r04; the 13
-    # that never fit the r09 window) ---
-    "map_functions_battery",
-    "embedding_dim_stats",
-    "benford_price_audit",
-    "events_anomaly_mad",
-    "order_value_regression",
-    "countmin_error_audit",
-    "token_length_deciles",
-    "bpe_pair_merge_stats",
-    "top_terms_per_source",
-    "quality_vs_duplication",
-    "vocab_growth_heaps",
-    "orders_seasonality_profile",
-    "part_revenue_pareto",
-    # --- stalest r05-cohort greens (last green CORRECTNESS_r05; first 18
-    # in r05 order — the remaining 32 are queued for round 11) ---
-    "lang_id_confusion_matrix",
-    "source_mix_drift",
-    "customer_rfm_segments",
-    "shingle_df_profile",
-    "embedding_cosine_histogram",
-    "events_hour_of_day_profile",
-    "customer_order_gap_stats",
-    "orders_mom_change",
-    "dedup_semantic_clusters_scaled",
-    "f1_gold_driver_standings",
-    "ctas_priority_summary",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q4_priority_exists",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
+    # --- never driver-checked (all 26 round-10 additions; judge-green
+    # r10 via the full oracle-parity suite) ---
+    "label_propagation_communities",
+    "doremi_domain_reweight",
+    "tcloseness_audit",
+    "kmeans_lloyd_iteration",
+    "random_projection_jl_audit",
+    "interval_overlap_join",
+    "conformal_coverage_audit",
+    "pass_at_k_estimator",
+    "xml_roundtrip_customers",
+    "ks_drift_test",
+    "null_semantics_battery",
+    "window_rank_functions_battery",
+    "media_byte_histogram",
+    "events_dynamic_session_window",
+    "try_functions_battery",
+    "anti_join_null_semantics",
+    "rendezvous_shard_assignment",
+    "window_value_functions_battery",
+    "dedup_signature_store_probe",
+    "quality_classifier_hashed_ngram",
+    "listagg_ordered_battery",
+    "parquet_agg_pushdown_scan",
+    "dedup_signature_store_append_probe",
+    "char_trigram_gini_diversity",
+    "cube_grouping_battery",
+    "rollup_distinct_count_battery",
+    # --- stalest r05-cohort greens (last green CORRECTNESS_r05; next 24
+    # in r05 order after the 18 re-checked in r10 — the remaining 8 are
+    # queued for round 12) ---
+    "tpch_q10_returned_items",
+    "tpch_q13_order_histogram",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q22_global_sales_opportunity",
+    "customers_left_join_orders",
+    "race_results_denorm",
+    "driver_standings",
+    "constructor_standings",
+    "adjusted_points_report",
+    "dominant_customers_topk",
+    "events_json_extract",
+    "scalar_functions",
+    "filter_scan_project",
+    "customer_retention_setops",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "events_stream_stream_join",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
 )
 
 
@@ -193,6 +183,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.dedup_tuning",
         "formula_1_spark.queries.footer_stats",
         "formula_1_spark.queries.signature_store",
+        "formula_1_spark.queries.ann_store",
     ):
         try:
             __import__(mod)
