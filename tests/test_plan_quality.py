@@ -96,6 +96,7 @@ BNLJ_OK = {
     "kmv_source_overlap",  # source-pair grid (non-equi a<b) x <=64-row
     #   KMV sketches — both sides bounded by the SOURCE domain, never data
     "similarity_ann_ivfpq",  # same k-row coarse-centroid broadcast as IVF
+    "similarity_ann_store_probe",  # same coarse-centroid broadcast, on-disk index
     "neyman_allocation_plan",  # 1-row weight-total + extras broadcasts
     #   (same shape as proportional_allocation_plan)
     "events_conversion_survival",  # 1-row max-ts / subject-total / KM-array
