@@ -1,0 +1,119 @@
+"""Round-11 operator unit tests: intra-doc repetition excision (line
+grain — the real-corpus shape the single-line testdata can't express) and
+the persisted ANN index store layout."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from formula_1_spark.queries.text_analysis import repetition_signals
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_repetition_line_grain_duplicate_lines(spark):
+    # 5 lines, "dup line" appears 3x: dup chars = 3*8 = 24 of 42 total
+    # chars (incl. newlines) -> 571428 ppm > 200000 -> excised.
+    text = "dup line\ndup line\ndup line\nuniq one\nuniq2"
+    out = repetition_signals(
+        _docs(spark, [(1, text)]), unit_sep="\n"
+    ).collect()[0]
+    assert out["dupunit_ppm"] == 3 * len("dup line") * 1_000_000 // len(text)
+    assert out["action"] == "drop_dup_unit"
+
+
+def test_repetition_line_grain_clean_doc_keeps(spark):
+    # Long enough that the (singleton) top bigram stays under 18% of the
+    # doc's characters — on real-length docs a count-1 bigram never trips.
+    text = (
+        "alpha beta gamma delta epsilon\n"
+        "zeta eta theta iota kappa\n"
+        "lambda mu nu xi omicron pi rho sigma"
+    )
+    out = repetition_signals(
+        _docs(spark, [(1, text)]), unit_sep="\n"
+    ).collect()[0]
+    assert out["n_units"] == 3  # units are LINES in line grain
+    assert out["dupunit_ppm"] == 0
+    assert out["dup5_ppm"] == 0
+    assert out["action"] == "keep"
+
+
+def test_repetition_top_bigram_tiebreak_and_mass(spark):
+    # "b c" and "a b" both occur twice; tie-break is gram ASC -> "a b".
+    text = "a b c a b c x y z x2 y2 z2 q r s t u v w"
+    out = repetition_signals(
+        _docs(spark, [(1, text)]), unit_sep="\n"
+    ).collect()[0]
+    assert out["top2_gram"] == "a b"
+    assert out["top2_ppm"] == 2 * 3 * 1_000_000 // len(text)
+
+
+def test_repetition_dup_5gram_overlap_counts_each_occurrence(spark):
+    # The 5-gram "a b a b a" repeats (overlapping) in an alternating doc;
+    # every occurrence of every duplicated 5-gram contributes its chars.
+    text = " ".join(["a b"] * 12)  # 24 words alternating a/b
+    out = repetition_signals(
+        _docs(spark, [(1, text)]), unit_sep="\n"
+    ).collect()[0]
+    # 20 five-gram positions, only 2 distinct grams, each count 10 >= 2:
+    # dup5 chars = 20 * 9 = 180 over 47 chars — raw ppm exceeds 1e6 by
+    # design (overlapping occurrences each count, per Gopher).
+    assert out["dup5_ppm"] == 20 * 9 * 1_000_000 // len(text)
+    # Line grain: the doc is ONE line (no dup units); the repeated "a b"
+    # bigram fires first in rule order.
+    assert out["n_units"] == 1
+    assert out["action"] == "drop_top_bigram"
+
+
+def test_repetition_short_doc_no_grams(spark):
+    out = repetition_signals(
+        _docs(spark, [(1, "solo"), (2, "two words")]), unit_sep="\n"
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["top2_gram"] == "" and rows[1]["top2_ppm"] == 0
+    assert rows[1]["dup5_ppm"] == 0 and rows[1]["action"] == "keep"
+    assert rows[2]["top2_gram"] == "two words"
+
+
+def test_ann_store_layout_cell_partitioned(spark):
+    from formula_1_spark.queries.ann_store import (
+        _N_CELLS,
+        _ann_store_fixture,
+    )
+
+    root = _ann_store_fixture(spark, SF)
+    for rel in ("coded", "vectors"):
+        parts = [
+            d
+            for d in os.listdir(os.path.join(root, rel))
+            if d.startswith("cell_id=")
+        ]
+        assert 1 <= len(parts) <= _N_CELLS, (rel, parts)
+    coarse = spark.read.parquet(os.path.join(root, "coarse"))
+    assert coarse.count() <= _N_CELLS
+    books = spark.read.parquet(os.path.join(root, "codebooks"))
+    assert set(books.columns) == {"s", "code", "cent"}
+
+
+def test_ann_store_probe_matches_inline_ivfpq_shape(spark):
+    """The store probe must produce exactly k ranked rows per query with
+    ranks 1..k and monotone non-increasing cosine within each query."""
+    from formula_1_spark.queries.ann_store import _K, similarity_ann_store_probe
+
+    rows = similarity_ann_store_probe(spark, SF).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q, "no probe queries produced"
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, _K + 1)), q
+        cs = [r["cos"] for r in rs]
+        assert all(a >= b for a, b in zip(cs, cs[1:])), q
