@@ -51,6 +51,9 @@ _CAND, _K = 20, 10
 # k-means seeds); the probing "new batch" is the %10==9 decile. Pure
 # vec_id functions so the oracle replays the split exactly.
 _FROZEN_MOD, _FROZEN_LT, _BATCH_RES = 10, 8, 9
+# The appended batch for the grown-index lifecycle (encoded with the
+# frozen quantizers, appended into the same cell partitions).
+_APPEND_RES = 8
 
 # Fixture kind folds every algorithm parameter in so that editing any of
 # them self-invalidates the on-disk index instead of silently serving a
@@ -105,59 +108,97 @@ def _ann_store_fixture(spark: SparkSession, sf_dir: str) -> str:
         ).localCheckpoint(eager=False)
         coarse.write.mode("overwrite").parquet(os.path.join(scratch, "coarse"))
 
-        cells = _cell_assign(
-            frozen.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
-            coarse,
-            "neighbor_id",
-            1,
-        )
-
-        corpus_long, books, _sub_structs, w_assign = pq_subspace_model(
+        _long, books, _sub_structs, _w = pq_subspace_model(
             frozen, m=_M, n_codes=_CODES, learn_iters=_ITERS, dims=_DIMS
         )
-        books.select(
-            "s", F.col("cell_id").alias("code"), "cent"
-        ).write.mode("overwrite").parquet(os.path.join(scratch, "codebooks"))
+        books = books.select("s", F.col("cell_id").alias("code"), "cent")
+        books.write.mode("overwrite").parquet(os.path.join(scratch, "codebooks"))
 
-        codes_wide = (
-            corpus_long.join(F.broadcast(books), "s")
-            .withColumn("cell_cos", cosine(F.col("embedding"), F.col("cent")))
-            .withColumn("r", F.row_number().over(w_assign))
-            .filter(F.col("r") == 1)
-            .groupBy(F.col("vec_id").alias("neighbor_id"))
-            .agg(
-                *[
-                    F.max(F.when(F.col("s") == s, F.col("cell_id")))
-                    .cast("int")
-                    .alias(f"code_{s}")
-                    for s in range(_M)
-                ]
-            )
+        coded, vectors = _encode(
+            frozen.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            coarse,
+            books,
         )
-        codes_wide.join(cells, "neighbor_id").write.mode("overwrite").partitionBy(
-            "cell_id"
-        ).parquet(os.path.join(scratch, "coded"))
-
-        frozen.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("c_vec"),
-        ).join(cells, "neighbor_id").write.mode("overwrite").partitionBy(
-            "cell_id"
-        ).parquet(os.path.join(scratch, "vectors"))
+        coded.write.mode("overwrite").partitionBy("cell_id").parquet(
+            os.path.join(scratch, "coded")
+        )
+        vectors.write.mode("overwrite").partitionBy("cell_id").parquet(
+            os.path.join(scratch, "vectors")
+        )
         publish(scratch, root)
     return root
 
 
-def _store_oracle() -> str:
+def _sub_split(vec_col: str):
+    return F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(vec_col, s * _SUB + 1, _SUB).alias("sub_emb"),
+            )
+            for s in range(_M)
+        ]
+    )
+
+
+def _encode(
+    batch: DataFrame, coarse: DataFrame, books: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Encode ``(neighbor_id, embedding)`` rows with EXISTING quantizers
+    (no retraining — how a persisted index admits new vectors): top-1 IVF
+    cell by cosine, one PQ code per subspace (code_cos DESC, code ASC
+    tie-break — identical to training-time assignment). Returns
+    ``(coded, vectors)``, both carrying cell_id for the partition write.
+    Encoding the training corpus with its own final codebooks equals the
+    final training assignment, so the build path shares this helper."""
+    cells = _cell_assign(batch, coarse, "neighbor_id", 1)
+    w = Window.partitionBy("s", "neighbor_id").orderBy(
+        F.desc("code_cos"), F.asc("code")
+    )
+    codes_wide = (
+        batch.select("neighbor_id", F.explode(_sub_split("embedding")).alias("x"))
+        .select("neighbor_id", "x.s", F.col("x.sub_emb").alias("sub_emb"))
+        .join(F.broadcast(books), "s")
+        .withColumn("code_cos", cosine(F.col("sub_emb"), F.col("cent")))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .groupBy("neighbor_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("s") == s, F.col("code")))
+                .cast("int")
+                .alias(f"code_{s}")
+                for s in range(_M)
+            ]
+        )
+    )
+    coded = codes_wide.join(cells, "neighbor_id")
+    vectors = batch.select(
+        "neighbor_id", F.col("embedding").alias("c_vec")
+    ).join(cells, "neighbor_id")
+    return coded, vectors
+
+
+def _store_oracle(corpus_where: str | None = None, cohort: bool = False) -> str:
     """DuckDB replay of the full persisted-index pipeline from the raw
     ``embeddings`` table: frozen split, coarse k-means, per-subspace PQ
     codebook training + encoding, query cell probing, ADC over the
     cell-pruned pairs, exact re-rank — bit-for-bit (floor-quantized
-    means, fixed-order float sums, cell_id/neighbor_id tie-breaks)."""
+    means, fixed-order float sums, cell_id/neighbor_id tie-breaks).
+
+    ``corpus_where`` widens the ENCODED population beyond the training
+    corpus (the append lifecycle: new vectors coded with the FROZEN
+    quantizers — training CTEs always read ``frozen``); ``cohort`` adds
+    the frozen/batch1 provenance column the append probe reports."""
+    corpus_where = corpus_where or f"vec_id % {_FROZEN_MOD} < {_FROZEN_LT}"
     parts = [
         f"""frozen AS MATERIALIZED (
   SELECT vec_id, embedding FROM embeddings
   WHERE vec_id % {_FROZEN_MOD} < {_FROZEN_LT}
+)""",
+        f"""corpus AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE {corpus_where}
 )""",
         f"""qpanel AS MATERIALIZED (
   SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
@@ -170,7 +211,7 @@ def _store_oracle() -> str:
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
              ORDER BY {_COS.format(a="e.embedding", b="c.cent")} DESC,
                       c.cell_id ASC) AS r
-    FROM frozen e, cqcent c) WHERE r = 1
+    FROM corpus e, cqcent c) WHERE r = 1
 )""",
         f"""qc AS (
   SELECT query_id, cell_id FROM (
@@ -184,10 +225,14 @@ def _store_oracle() -> str:
     for s in range(_M):
         lo, hi = s * _SUB + 1, (s + 1) * _SUB
         parts.append(
-            f"sub{s} AS MATERIALIZED (SELECT vec_id, embedding[{lo}:{hi}]"
+            f"t{s}sub AS MATERIALIZED (SELECT vec_id, embedding[{lo}:{hi}]"
             f" AS embedding FROM frozen)"
         )
-        parts.append(_kmeans_ctes_src(f"s{s}", f"sub{s}", _CODES, _ITERS, _SUB))
+        parts.append(
+            f"sub{s} AS MATERIALIZED (SELECT vec_id, embedding[{lo}:{hi}]"
+            f" AS embedding FROM corpus)"
+        )
+        parts.append(_kmeans_ctes_src(f"s{s}", f"t{s}sub", _CODES, _ITERS, _SUB))
         cos = _COS.format(a="e.embedding", b="c.cent")
         parts.append(f"""s{s}code AS (
   SELECT vec_id, cell_id AS code_{s} FROM (
@@ -227,15 +272,22 @@ def _store_oracle() -> str:
     FROM approx) WHERE cr <= {_CAND}
 )""")
     final_cos = _COS.format(a="q.q_vec", b="x.embedding")
+    cohort_col = (
+        f""",
+       CASE WHEN neighbor_id % {_FROZEN_MOD} = {_APPEND_RES}
+            THEN 'batch1' ELSE 'frozen' END AS cohort"""
+        if cohort
+        else ""
+    )
     return (
         "WITH " + ",\n".join(parts) + f""",
 scored AS (
   SELECT c.query_id, c.neighbor_id, {final_cos} AS cos
   FROM cand c
   JOIN qpanel q USING (query_id)
-  JOIN frozen x ON x.vec_id = c.neighbor_id
+  JOIN corpus x ON x.vec_id = c.neighbor_id
 )
-SELECT query_id, neighbor_id, cos, CAST(r AS INT) AS rank
+SELECT query_id, neighbor_id, cos, CAST(r AS INT) AS rank{cohort_col}
 FROM (
   SELECT *, ROW_NUMBER() OVER (
     PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS r
@@ -264,7 +316,12 @@ FROM (
     oracle=_store_oracle(),
 )
 def similarity_ann_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    root = _ann_store_fixture(spark, sf_dir)
+    return _probe_store(spark, _ann_store_fixture(spark, sf_dir), sf_dir)
+
+
+def _probe_store(
+    spark: SparkSession, root: str, sf_dir: str, cohort: bool = False
+) -> DataFrame:
     coarse = spark.read.parquet(os.path.join(root, "coarse"))
     books = spark.read.parquet(os.path.join(root, "codebooks"))
     coded = spark.read.parquet(os.path.join(root, "coded"))
@@ -282,17 +339,8 @@ def similarity_ann_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _N_PROBE,
     )
 
-    sub_structs = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("s"),
-                F.slice("q_vec", s * _SUB + 1, _SUB).alias("sub_emb"),
-            )
-            for s in range(_M)
-        ]
-    )
     adc = (
-        qv.select("query_id", F.explode(sub_structs).alias("x"))
+        qv.select("query_id", F.explode(_sub_split("q_vec")).alias("x"))
         .select("query_id", "x.s", F.col("x.sub_emb").alias("q_sub"))
         .join(F.broadcast(books), "s")
         .select(
@@ -307,14 +355,14 @@ def similarity_ann_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lookup join per subspace (each table is |batch| x n_codes rows) —
     # the code table itself never shuffles and never reads vectors.
     pair = qcells.join(coded, "cell_id")
-    for s in range(_M):
-        adc_s = adc.filter(F.col("s") == s).select(
-            "query_id", F.col("code").alias(f"code_{s}"), F.col("d").alias(f"d_{s}")
+    for s_ in range(_M):
+        adc_s = adc.filter(F.col("s") == s_).select(
+            "query_id", F.col("code").alias(f"code_{s_}"), F.col("d").alias(f"d_{s_}")
         )
-        pair = pair.join(F.broadcast(adc_s), ["query_id", f"code_{s}"])
+        pair = pair.join(F.broadcast(adc_s), ["query_id", f"code_{s_}"])
     approx = F.col("d_0")
-    for s in range(1, _M):
-        approx = approx + F.col(f"d_{s}")
+    for s_ in range(1, _M):
+        approx = approx + F.col(f"d_{s_}")
     wc = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
     cand = (
         pair.select("query_id", "neighbor_id", approx.alias("approx"))
@@ -322,6 +370,355 @@ def similarity_ann_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cr") <= _CAND)
         .select("query_id", "neighbor_id")
     )
-    return rerank_exact_topk(
-        cand, qv, vectors.select("neighbor_id", "c_vec"), _K
+    out = rerank_exact_topk(cand, qv, vectors.select("neighbor_id", "c_vec"), _K)
+    if cohort:
+        out = out.withColumn(
+            "cohort",
+            F.when(
+                F.col("neighbor_id") % _FROZEN_MOD == _APPEND_RES, "batch1"
+            ).otherwise("frozen"),
+        )
+    return out
+
+
+def _grown_ann_store_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Base index + the %10==8 batch physically APPENDED: each new vector
+    is encoded with the FROZEN quantizers (centroids/codebooks untouched —
+    retraining would invalidate every stored code) and its code/vector
+    rows land via parquet ``mode("append")`` in the same cell_id
+    partition layout. The store only ever grows by appends — the 100 TB
+    operational contract (a cell-at-a-time compactor can bin-pack small
+    files later without changing content)."""
+    import shutil
+
+    root = fixture_root(_STORE_KIND.replace("_v1", "_grown_v1"), sf_dir, "embeddings")
+    if not os.path.isdir(root):
+        base = _ann_store_fixture(spark, sf_dir)
+        scratch = building_dir(root)
+        shutil.copytree(base, scratch)
+        batch1 = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % _FROZEN_MOD == _APPEND_RES)
+            .select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        )
+        coarse = spark.read.parquet(os.path.join(base, "coarse"))
+        books = spark.read.parquet(os.path.join(base, "codebooks"))
+        coded, vectors = _encode(batch1, coarse, books)
+        coded.write.mode("append").partitionBy("cell_id").parquet(
+            os.path.join(scratch, "coded")
+        )
+        vectors.write.mode("append").partitionBy("cell_id").parquet(
+            os.path.join(scratch, "vectors")
+        )
+        publish(scratch, root)
+    return root
+
+
+@register(
+    "similarity_ann_store_append_probe",
+    ops="EXT-sim-ivfpq,EXT-ann-store,S6,S7,J4,W1 (append lifecycle)",
+    doc="ANN index-store APPEND lifecycle: the %10==8 batch is encoded "
+    "with the FROZEN quantizers (no retraining — retraining would "
+    "invalidate every stored code) and its code/vector rows are "
+    "physically appended (parquet mode-append) into the same cell_id "
+    "partitions; the %10==9 batch then probes the GROWN index and each "
+    "hit is labeled with its cohort (original frozen doc vs batch1 "
+    "admission) — the cross-snapshot recall an append-only index exists "
+    "to provide. Oracle re-trains on frozen only, re-encodes the grown "
+    "corpus and replays the probe, so a wrong append (lost partition, "
+    "duplicated rows, codes from retrained books) hash-mismatches.",
+    oracle=_store_oracle(
+        corpus_where=f"vec_id % {_FROZEN_MOD} <= {_FROZEN_LT}", cohort=True
+    ),
+)
+def similarity_ann_store_append_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _probe_store(
+        spark, _grown_ann_store_fixture(spark, sf_dir), sf_dir, cohort=True
     )
+
+
+def _drift_oracle() -> str:
+    """Recompute both populations' cell assignments from ``embeddings``
+    (training on frozen only) and aggregate per-cell occupancy before /
+    after the append — the split/compaction planning signal."""
+    parts = [
+        f"""frozen AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {_FROZEN_MOD} < {_FROZEN_LT}
+)""",
+        f"""corpus AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {_FROZEN_MOD} <= {_FROZEN_LT}
+)""",
+        _kmeans_ctes_src("cq", "frozen", _N_CELLS, _ITERS, _DIMS),
+        f"""assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_COS.format(a="e.embedding", b="c.cent")} DESC,
+                      c.cell_id ASC) AS r
+    FROM corpus e, cqcent c) WHERE r = 1
+)""",
+        f"""occ AS (
+  SELECT cell_id,
+         CAST(COUNT(CASE WHEN vec_id % {_FROZEN_MOD} < {_FROZEN_LT}
+                         THEN 1 END) AS BIGINT) AS n_frozen,
+         CAST(COUNT(1) AS BIGINT) AS n_after
+  FROM assign GROUP BY cell_id
+)""",
+        f"""tot AS (
+  SELECT CAST(((SUM(n_after) + {_N_CELLS} - 1) // {_N_CELLS}) * 3 // 2
+              AS BIGINT) AS target
+  FROM occ
+)""",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT o.cell_id, o.n_frozen, o.n_after,
+       CASE WHEN o.n_frozen = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((o.n_after - o.n_frozen) * 1000000 // o.n_frozen
+                      AS BIGINT) END AS growth_ppm,
+       CAST(CASE WHEN o.n_after > t.target THEN 1 ELSE 0 END AS INT)
+         AS over_target
+FROM occ o, tot t
+ORDER BY o.cell_id
+"""
+    )
+
+
+@register(
+    "ann_store_cell_drift",
+    ops="EXT-ann-store,EXT-lake-maintenance,A1,A3 (index maintenance signal)",
+    doc="Persisted-index MAINTENANCE audit: per-IVF-cell occupancy of the "
+    "on-disk code table before vs after the append batch, growth in ppm, "
+    "and an over-target flag at 1.5x the balanced share (ceil division, "
+    "exact integers) — the signal that schedules cell splits and "
+    "small-file compaction on a 100 TB index. Reads ONLY the partition "
+    "column of both stores (count per cell_id — no codes, no vectors "
+    "deserialized). Oracle recomputes both populations' assignments from "
+    "embeddings, so a lost/duplicated append partition mismatches.",
+    oracle=_drift_oracle(),
+)
+def ann_store_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = spark.read.parquet(
+        os.path.join(_ann_store_fixture(spark, sf_dir), "coded")
+    )
+    grown = spark.read.parquet(
+        os.path.join(_grown_ann_store_fixture(spark, sf_dir), "coded")
+    )
+    # LEFT join from the grown side: a cell can gain its FIRST members
+    # from the append batch (frozen-trained centroid, no frozen member),
+    # so n_frozen coalesces to 0 and growth_ppm is NULL there.
+    occ = grown.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_after")).join(
+        base.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_frozen")),
+        "cell_id",
+        "left",
+    ).select(
+        "cell_id",
+        F.coalesce("n_frozen", F.lit(0)).alias("n_frozen"),
+        "n_after",
+    )
+    tot = occ.agg(
+        F.expr(
+            f"CAST((sum(n_after) + {_N_CELLS} - 1) div {_N_CELLS} * 3 div 2"
+            " AS BIGINT)"
+        ).alias("target")
+    )
+    return (
+        occ.join(F.broadcast(tot))
+        .select(
+            "cell_id",
+            "n_frozen",
+            "n_after",
+            F.expr(
+                "CASE WHEN n_frozen = 0 THEN CAST(NULL AS BIGINT)"
+                " ELSE CAST((n_after - n_frozen) * 1000000 div n_frozen"
+                " AS BIGINT) END"
+            ).alias("growth_ppm"),
+            (F.col("n_after") > F.col("target")).cast("int").alias("over_target"),
+        )
+        .orderBy("cell_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cell split planning (index maintenance: drift -> split plan)
+# ---------------------------------------------------------------------------
+
+_SPLIT_TOP = 2  # plan splits for the 2 most-occupied cells
+_SPLIT_K = 2  # binary split
+
+
+def _split_oracle() -> str:
+    """Within-cell grouped 2-means replay: pick the two most-occupied
+    cells of the GROWN index (occupancy DESC, cell_id ASC), init each
+    cell's sub-centroids from its two smallest vec_ids, run the same
+    floor-quantized deterministic iterations as every k-means here, and
+    report the member split — the plan a 100 TB index maintainer executes
+    as a one-cell rewrite."""
+    cos = _COS.format(a="e.embedding", b="c.cent")
+    parts = [
+        f"""frozen AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {_FROZEN_MOD} < {_FROZEN_LT}
+)""",
+        f"""corpus AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {_FROZEN_MOD} <= {_FROZEN_LT}
+)""",
+        _kmeans_ctes_src("cq", "frozen", _N_CELLS, _ITERS, _DIMS),
+        f"""assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_COS.format(a="e.embedding", b="c.cent")} DESC,
+                      c.cell_id ASC) AS r
+    FROM corpus e, cqcent c) WHERE r = 1
+)""",
+        f"""hot AS (
+  SELECT cell_id FROM (
+    SELECT cell_id, COUNT(1) AS n FROM assign GROUP BY cell_id)
+  ORDER BY n DESC, cell_id ASC LIMIT {_SPLIT_TOP}
+)""",
+        """members AS MATERIALIZED (
+  SELECT a.cell_id, e.vec_id, e.embedding
+  FROM assign a JOIN corpus e USING (vec_id) JOIN hot USING (cell_id)
+)""",
+        f"""g0 AS (
+  SELECT cell_id, CAST(rn - 1 AS BIGINT) AS sub_cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cell_id
+                    ORDER BY vec_id) AS rn FROM members)
+  WHERE rn <= {_SPLIT_K}
+)""",
+    ]
+    for t in range(1, _ITERS + 1):
+        parts.append(f"""ga{t} AS (
+  SELECT cell_id, vec_id, embedding, sub_cell FROM (
+    SELECT e.cell_id, e.vec_id, e.embedding, c.sub_cell,
+           ROW_NUMBER() OVER (PARTITION BY e.cell_id, e.vec_id
+             ORDER BY {cos} DESC, c.sub_cell ASC) AS r
+    FROM members e JOIN g{t - 1} c USING (cell_id)) WHERE r = 1
+)""")
+        parts.append(f"""gm{t} AS (
+  SELECT cell_id, sub_cell, d.dim AS dim,
+         CAST(SUM(CAST(FLOOR(CAST(a.embedding[d.dim + 1] AS DOUBLE)
+                             * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / (1000000.0 * COUNT(*)) AS comp
+  FROM ga{t} a, (SELECT unnest(range(0, {_DIMS})) AS dim) d
+  GROUP BY cell_id, sub_cell, d.dim
+)""")
+        parts.append(
+            f"g{t} AS (SELECT cell_id, sub_cell, list(comp ORDER BY dim)"
+            f" AS cent FROM gm{t} GROUP BY cell_id, sub_cell)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+sub AS (
+  SELECT cell_id, sub_cell, CAST(COUNT(1) AS BIGINT) AS n_members
+  FROM ga{_ITERS} GROUP BY cell_id, sub_cell
+)
+SELECT cell_id, sub_cell, n_members,
+       CAST(n_members * 1000000 //
+            SUM(n_members) OVER (PARTITION BY cell_id) AS BIGINT)
+         AS share_ppm
+FROM sub
+ORDER BY cell_id, sub_cell
+"""
+    )
+
+
+@register(
+    "ann_store_split_plan",
+    ops="EXT-ann-store,EXT-lake-maintenance,A1,W1 (cell split planning)",
+    doc="Index-maintenance SPLIT PLAN for the persisted IVF store: take "
+    "the 2 most-occupied cells of the grown index (occupancy DESC, "
+    "cell_id tie-break), run a deterministic within-cell 2-means (init = "
+    "the cell's two smallest vec_ids, floor-quantized exact means — the "
+    "same reproducible k-means as every quantizer here, batched per cell "
+    "in ONE keyed DAG, sub-centroids broadcast each iteration), and "
+    "report each cell's member split with share_ppm — the plan a "
+    "maintainer executes as a one-cell rewrite (everything outside the "
+    "hot cells untouched, exactly like a band-at-a-time MinHash-store "
+    "compaction). Oracle replays assignment, hot-cell choice and the "
+    "grouped 2-means bit-for-bit.",
+    oracle=_split_oracle(),
+)
+def ann_store_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.similarity import KMEANS_SCALE
+
+    root = _grown_ann_store_fixture(spark, sf_dir)
+    vectors = spark.read.parquet(os.path.join(root, "vectors"))
+
+    occ = vectors.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
+    w_hot = Window.orderBy(F.desc("n"), F.asc("cell_id"))
+    # Window over the <= n_cells occupancy rows only — never data rows.
+    hot = (
+        occ.withColumn("r", F.row_number().over(w_hot))
+        .filter(F.col("r") <= _SPLIT_TOP)
+        .select("cell_id")
+    )
+    members = vectors.join(F.broadcast(hot), "cell_id").select(
+        "cell_id", F.col("neighbor_id").alias("vec_id"),
+        F.col("c_vec").alias("embedding"),
+    )
+
+    w_init = Window.partitionBy("cell_id").orderBy("vec_id")
+    cents = (
+        members.withColumn("rn", F.row_number().over(w_init))
+        .filter(F.col("rn") <= _SPLIT_K)
+        .select(
+            "cell_id",
+            (F.col("rn") - 1).cast("bigint").alias("sub_cell"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cent"),
+        )
+    )
+    w_assign = Window.partitionBy("cell_id", "vec_id").orderBy(
+        F.desc("sub_cos"), F.asc("sub_cell")
+    )
+    assign = None
+    for _ in range(_ITERS):
+        assign = (
+            members.join(F.broadcast(cents), "cell_id")
+            .withColumn("sub_cos", cosine(F.col("embedding"), F.col("cent")))
+            .withColumn("r", F.row_number().over(w_assign))
+            .filter(F.col("r") == 1)
+            .select("cell_id", "vec_id", "embedding", "sub_cell")
+        )
+        comp = (
+            assign.select(
+                "cell_id", "sub_cell",
+                F.posexplode("embedding").alias("dim", "val"),
+            )
+            .select(
+                "cell_id", "sub_cell", "dim",
+                F.floor(F.col("val").cast("double") * F.lit(KMEANS_SCALE)).alias("q"),
+            )
+            .groupBy("cell_id", "sub_cell", "dim")
+            .agg(
+                (
+                    F.sum("q").cast("double")
+                    / (F.lit(KMEANS_SCALE) * F.count(F.lit(1)))
+                ).alias("comp")
+            )
+        )
+        cents = comp.groupBy("cell_id", "sub_cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "comp"))),
+                lambda st: st["comp"],
+            ).alias("cent")
+        )
+    sub = assign.groupBy("cell_id", "sub_cell").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return sub.select(
+        "cell_id",
+        "sub_cell",
+        "n_members",
+        F.expr(
+            "CAST(n_members * 1000000 div "
+            "(sum(n_members) OVER (PARTITION BY cell_id)) AS BIGINT)"
+        ).alias("share_ppm"),
+    ).orderBy("cell_id", "sub_cell")

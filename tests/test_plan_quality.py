@@ -97,6 +97,8 @@ BNLJ_OK = {
     #   KMV sketches — both sides bounded by the SOURCE domain, never data
     "similarity_ann_ivfpq",  # same k-row coarse-centroid broadcast as IVF
     "similarity_ann_store_probe",  # same coarse-centroid broadcast, on-disk index
+    "similarity_ann_store_append_probe",  # same broadcast, grown on-disk index
+    "ann_store_cell_drift",  # 1-row occupancy-target broadcast
     "neyman_allocation_plan",  # 1-row weight-total + extras broadcasts
     #   (same shape as proportional_allocation_plan)
     "events_conversion_survival",  # 1-row max-ts / subject-total / KM-array
@@ -250,6 +252,9 @@ def test_filter_pushdown_reaches_scan(spark):
 # list with the bounding argument.
 UNPARTITIONED_WINDOW_OK = {
     "graph_rank.py": "nation graph: <=25 nodes by schema",
+    "ann_store.py": (
+        "hot-cell rank over the <= n_cells per-cell occupancy aggregate"
+    ),
     "analytics_extras.py": (
         "pareto cumsum over the <=100 two-phase survivors; "
         "month-over-month lag over month-grain rows"

@@ -117,3 +117,70 @@ def test_ann_store_probe_matches_inline_ivfpq_shape(spark):
         assert [r["rank"] for r in rs] == list(range(1, _K + 1)), q
         cs = [r["cos"] for r in rs]
         assert all(a >= b for a, b in zip(cs, cs[1:])), q
+
+
+def test_ann_store_append_only_grows_cells(spark):
+    """The grown store keeps every base file (append-only: no rewrite)
+    and every cell's occupancy is >= its base occupancy."""
+    from formula_1_spark.queries.ann_store import (
+        _ann_store_fixture,
+        _grown_ann_store_fixture,
+    )
+
+    base_root = _ann_store_fixture(spark, SF)
+    grown_root = _grown_ann_store_fixture(spark, SF)
+
+    def files(root):
+        out = set()
+        coded = os.path.join(root, "coded")
+        for d in os.listdir(coded):
+            if d.startswith("cell_id="):
+                for f in os.listdir(os.path.join(coded, d)):
+                    if f.endswith(".parquet"):
+                        out.add((d, f))
+        return out
+
+    assert files(base_root) <= files(grown_root)  # strict append
+    base = spark.read.parquet(os.path.join(base_root, "coded"))
+    grown = spark.read.parquet(os.path.join(grown_root, "coded"))
+    b = {r["cell_id"]: r["n"] for r in base.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    g = {r["cell_id"]: r["n"] for r in grown.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(b) <= set(g)
+    assert all(g[c] >= b[c] for c in b)
+    assert sum(g.values()) > sum(b.values())
+
+
+def test_ann_store_append_probe_reports_cohorts(spark):
+    from formula_1_spark.queries.ann_store import (
+        _FROZEN_MOD,
+        _APPEND_RES,
+        similarity_ann_store_append_probe,
+    )
+
+    rows = similarity_ann_store_append_probe(spark, SF).collect()
+    assert rows
+    for r in rows:
+        want = (
+            "batch1"
+            if r["neighbor_id"] % _FROZEN_MOD == _APPEND_RES
+            else "frozen"
+        )
+        assert r["cohort"] == want
+
+
+def test_ann_store_cell_drift_consistency(spark):
+    from formula_1_spark.queries.ann_store import ann_store_cell_drift
+
+    rows = ann_store_cell_drift(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_after"] >= r["n_frozen"]
+        if r["n_frozen"] == 0:
+            assert r["growth_ppm"] is None
+        else:
+            assert (
+                r["growth_ppm"]
+                == (r["n_after"] - r["n_frozen"]) * 1_000_000 // r["n_frozen"]
+            )
