@@ -64,13 +64,17 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 # from REGISTRY are skipped; registered names absent from this list keep
 # registration order after it.
 #
-# ROUND-12 ROTATION TODO: pin any round-11 additions first (registered
-# behind this window, driver-never-checked), then the 8 remaining
-# r05-stale greens: dedup_embedding_cosine, similarity_topk_bruteforce,
-# similarity_ann_lsh, similarity_ann_ivf, text_quality_profile,
-# text_lang_report, text_bpe_tokens, media_feature_extract. Fill the rest
-# with the stalest r06 cohort in r06 order (see CORRECTNESS_r06.json,
-# starting at ivf_incremental_assign).
+# ROUND-12 ROTATION TODO: pin the round-11 additions first (registered
+# behind this window, driver-never-checked; all locally bit-exact vs
+# DuckDB at sf0.001 AND sf0.01): similarity_ann_store_probe,
+# similarity_ann_store_append_probe, ann_store_cell_drift,
+# ann_store_split_plan, doc_repetition_excision (extend with any later
+# round-11 registrations). Then the 8 remaining r05-stale greens:
+# dedup_embedding_cosine, similarity_topk_bruteforce, similarity_ann_lsh,
+# similarity_ann_ivf, text_quality_profile, text_lang_report,
+# text_bpe_tokens, media_feature_extract. Fill the rest with the stalest
+# r06 cohort in r06 order (see CORRECTNESS_r06.json, starting at
+# ivf_incremental_assign).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never driver-checked (all 26 round-10 additions; judge-green
     # r10 via the full oracle-parity suite) ---
