@@ -722,3 +722,136 @@ def ann_store_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sum(n_members) OVER (PARTITION BY cell_id)) AS BIGINT)"
         ).alias("share_ppm"),
     ).orderBy("cell_id", "sub_cell")
+
+
+# ---------------------------------------------------------------------------
+# Index staleness audit (quantizer distortion by cohort -> retrain signal)
+# ---------------------------------------------------------------------------
+
+
+def _staleness_oracle() -> str:
+    """Replay encoding of the grown corpus with the frozen-trained
+    codebooks, reconstruct each vector from its codes (subspace centroid
+    concat), and aggregate 1 - cos(x, recon) per cohort on the 1e-9
+    integer grid (order-independent exact means)."""
+    parts = [
+        f"""frozen AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {_FROZEN_MOD} < {_FROZEN_LT}
+)""",
+        f"""corpus AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {_FROZEN_MOD} <= {_FROZEN_LT}
+)""",
+    ]
+    for s in range(_M):
+        lo, hi = s * _SUB + 1, (s + 1) * _SUB
+        parts.append(
+            f"t{s}sub AS MATERIALIZED (SELECT vec_id, embedding[{lo}:{hi}]"
+            f" AS embedding FROM frozen)"
+        )
+        parts.append(
+            f"sub{s} AS MATERIALIZED (SELECT vec_id, embedding[{lo}:{hi}]"
+            f" AS embedding FROM corpus)"
+        )
+        parts.append(_kmeans_ctes_src(f"s{s}", f"t{s}sub", _CODES, _ITERS, _SUB))
+        cos = _COS.format(a="e.embedding", b="c.cent")
+        parts.append(f"""s{s}pick AS (
+  SELECT vec_id, cent AS cent_{s} FROM (
+    SELECT e.vec_id, c.cent,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos} DESC, c.cell_id ASC) AS r
+    FROM sub{s} e, s{s}cent c) WHERE r = 1
+)""")
+    pick_join = "s0pick p0" + "".join(
+        f" JOIN s{s}pick p{s} USING (vec_id)" for s in range(1, _M)
+    )
+    recon = " || ".join(f"p{s}.cent_{s}" for s in range(_M))
+    cosr = _COS.format(a="e.embedding", b="r.recon")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+recon AS (
+  SELECT p0.vec_id, {recon} AS recon FROM {pick_join}
+),
+dist AS (
+  SELECT CASE WHEN e.vec_id % {_FROZEN_MOD} = {_APPEND_RES}
+              THEN 'batch1' ELSE 'frozen' END AS cohort,
+         CAST(FLOOR((1.0 - ({cosr})) * 1000000000.0) AS BIGINT) AS d9
+  FROM corpus e JOIN recon r ON r.vec_id = e.vec_id
+)
+SELECT cohort, CAST(COUNT(1) AS BIGINT) AS n_vectors,
+       CAST(CAST(SUM(d9) AS HUGEINT) // (COUNT(1) * 1000) AS BIGINT)
+         AS mean_distortion_ppm,
+       CAST(MAX(d9) // 1000 AS BIGINT) AS max_distortion_ppm
+FROM dist GROUP BY cohort
+ORDER BY cohort
+"""
+    )
+
+
+@register(
+    "ann_store_staleness_audit",
+    ops="EXT-ann-store,A1,A3 (quantizer staleness / retrain signal)",
+    doc="Index STALENESS audit: reconstruct every vector of the grown "
+    "store from its PQ codes (subspace-centroid concat — the codebooks "
+    "were trained on the FROZEN corpus only) and aggregate the "
+    "reconstruction distortion 1 - cos(x, recon) per cohort on the 1e-9 "
+    "integer grid (floor-quantized exact means + max). batch1 distorting "
+    "materially worse than frozen is THE retrain/re-index trigger for a "
+    "100 TB serving index — drift the append lifecycle creates and this "
+    "audit measures. One codes+vectors join per subspace (broadcast "
+    "codebooks), one corpus-grain aggregate.",
+    oracle=_staleness_oracle(),
+)
+def ann_store_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _grown_ann_store_fixture(spark, sf_dir)
+    books = spark.read.parquet(os.path.join(root, "codebooks"))
+    coded = spark.read.parquet(os.path.join(root, "coded"))
+    vectors = spark.read.parquet(os.path.join(root, "vectors"))
+
+    recon = coded.select("neighbor_id", *[f"code_{s}" for s in range(_M)])
+    for s in range(_M):
+        bk = books.filter(F.col("s") == s).select(
+            F.col("code").alias(f"code_{s}"), F.col("cent").alias(f"cent_{s}")
+        )
+        recon = recon.join(F.broadcast(bk), f"code_{s}")
+    recon = recon.select(
+        "neighbor_id",
+        F.concat(*[F.col(f"cent_{s}") for s in range(_M)]).alias("recon"),
+    )
+    dist = (
+        vectors.select("neighbor_id", "c_vec")
+        .join(recon, "neighbor_id")
+        .select(
+            F.when(
+                F.col("neighbor_id") % _FROZEN_MOD == _APPEND_RES, "batch1"
+            )
+            .otherwise("frozen")
+            .alias("cohort"),
+            F.floor(
+                (F.lit(1.0) - cosine(F.col("c_vec"), F.col("recon")))
+                * F.lit(1000000000.0)
+            )
+            .cast("bigint")
+            .alias("d9"),
+        )
+    )
+    return (
+        dist.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            # DECIMAL(38) sum: a BIGINT sum of the 1e-9 grid overflows
+            # past ~4.6e9 vectors per cohort; decimal `div` is exact floor
+            # like DuckDB's HUGEINT `//` (same fix as gini_ppm).
+            F.expr(
+                "CAST(sum(CAST(d9 AS DECIMAL(38,0)))"
+                " div (count(1) * 1000) AS BIGINT)"
+            ).alias("mean_distortion_ppm"),
+            F.expr("CAST(max(d9) div 1000 AS BIGINT)").alias(
+                "max_distortion_ppm"
+            ),
+        )
+        .orderBy("cohort")
+    )

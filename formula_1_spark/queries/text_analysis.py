@@ -988,12 +988,18 @@ _REP_TOP2_PPM = 180_000
 _REP_DUP5_PPM = 150_000
 
 
-def repetition_signals(
+def repetition_excision_signals(
     docs: DataFrame, unit_sep: str = r"\s+"
 ) -> DataFrame:
     """Per-document intra-doc repetition profile + excision verdict
     (Gopher/Rae-style within-doc dedup, complementing the cross-doc
-    families in queries/dedup.py).
+    families in queries/dedup.py). Differs from
+    ``queries/decontam.repetition_profile`` (token-fraction flags over
+    word n-grams only): this operator adds the dedup-UNIT grain (lines /
+    paragraphs via ``unit_sep`` — the "duplicate line fraction" Gopher
+    signal the flat token stream cannot express), reports CHARACTER-mass
+    ppm (what excision actually removes), names the offending top
+    bigram, and emits a first-matching-rule excision ACTION.
 
     Signals, each as an exact-integer ppm of the doc's character count
     (no floats, so thresholds are bit-stable across engines):
@@ -1176,4 +1182,4 @@ def doc_repetition_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text"
     )
-    return repetition_signals(docs)
+    return repetition_excision_signals(docs)

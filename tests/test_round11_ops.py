@@ -8,7 +8,7 @@ import os
 
 import pyspark.sql.functions as F
 
-from formula_1_spark.queries.text_analysis import repetition_signals
+from formula_1_spark.queries.text_analysis import repetition_excision_signals
 
 SF = "/root/testdata/sf0.001"
 
@@ -21,7 +21,7 @@ def test_repetition_line_grain_duplicate_lines(spark):
     # 5 lines, "dup line" appears 3x: dup chars = 3*8 = 24 of 42 total
     # chars (incl. newlines) -> 571428 ppm > 200000 -> excised.
     text = "dup line\ndup line\ndup line\nuniq one\nuniq2"
-    out = repetition_signals(
+    out = repetition_excision_signals(
         _docs(spark, [(1, text)]), unit_sep="\n"
     ).collect()[0]
     assert out["dupunit_ppm"] == 3 * len("dup line") * 1_000_000 // len(text)
@@ -36,7 +36,7 @@ def test_repetition_line_grain_clean_doc_keeps(spark):
         "zeta eta theta iota kappa\n"
         "lambda mu nu xi omicron pi rho sigma"
     )
-    out = repetition_signals(
+    out = repetition_excision_signals(
         _docs(spark, [(1, text)]), unit_sep="\n"
     ).collect()[0]
     assert out["n_units"] == 3  # units are LINES in line grain
@@ -48,7 +48,7 @@ def test_repetition_line_grain_clean_doc_keeps(spark):
 def test_repetition_top_bigram_tiebreak_and_mass(spark):
     # "b c" and "a b" both occur twice; tie-break is gram ASC -> "a b".
     text = "a b c a b c x y z x2 y2 z2 q r s t u v w"
-    out = repetition_signals(
+    out = repetition_excision_signals(
         _docs(spark, [(1, text)]), unit_sep="\n"
     ).collect()[0]
     assert out["top2_gram"] == "a b"
@@ -59,7 +59,7 @@ def test_repetition_dup_5gram_overlap_counts_each_occurrence(spark):
     # The 5-gram "a b a b a" repeats (overlapping) in an alternating doc;
     # every occurrence of every duplicated 5-gram contributes its chars.
     text = " ".join(["a b"] * 12)  # 24 words alternating a/b
-    out = repetition_signals(
+    out = repetition_excision_signals(
         _docs(spark, [(1, text)]), unit_sep="\n"
     ).collect()[0]
     # 20 five-gram positions, only 2 distinct grams, each count 10 >= 2:
@@ -73,7 +73,7 @@ def test_repetition_dup_5gram_overlap_counts_each_occurrence(spark):
 
 
 def test_repetition_short_doc_no_grams(spark):
-    out = repetition_signals(
+    out = repetition_excision_signals(
         _docs(spark, [(1, "solo"), (2, "two words")]), unit_sep="\n"
     )
     rows = {r["doc_id"]: r for r in out.collect()}

@@ -71,6 +71,10 @@ SLATE = {
     "label_propagation_communities": "LPA rounds: src-keyed join + map-side-combined (node,label) groupBy + node-partitioned argmax; one corpus aggregate total",
     "dedup_signature_store_probe": "batch band rows broadcast onto the on-disk band index scan; store side never shuffles; verify joins are doc-grain broadcasts",
     "quality_classifier_hashed_ngram": "one explode over cached token arrays; weight lookup = substring+conv on a 12 KB plan literal inside codegen; map-side-combined doc-grain sum",
+    "similarity_ann_store_probe": "probe against the ON-DISK IVF-PQ index: centroid/codebook scans broadcast; cell-pruned code join + 4 broadcast ADC lookups; vectors read only at re-rank",
+    "ann_store_split_plan": "hot-cell pick over the <=n_cells occupancy agg; within-cell 2-means batched per cell in one keyed DAG, sub-centroids broadcast each round",
+    "doc_repetition_excision": "one scan -> tagged explode (units/2-grams/5-grams) -> one gram-keyed shuffle -> per-doc aggregate with min-struct argmax; no window, no second scan",
+    "ann_store_staleness_audit": "4 broadcast codebook joins reconstruct vectors from on-disk codes; one corpus-grain distortion aggregate on the integer grid",
 }
 
 
