@@ -564,6 +564,7 @@ def ivf_topk(
     n_cells: int = 8,
     n_probe: int = 2,
     learn_iters: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
     vector to its nearest centroid cell; queries probe only the
@@ -576,9 +577,12 @@ def ivf_topk(
     id; per-cell skew is bounded by the quantizer balance, the classic
     IVF tradeoff.
     """
-    centroids = kmeans_centroids(
-        corpus, n_cells=n_cells, iters=learn_iters
-    ).localCheckpoint(eager=False)  # GC-freed, no CacheManager pin
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, n_cells=n_cells, iters=learn_iters
+        ).localCheckpoint(eager=False)  # GC-freed, no CacheManager pin
+    # else: caller passes an already-barriered trained quantizer (e.g. the
+    # session-memoized shared_centroids) — identical values, planned once.
     qv = _vec_base(queries, "query_id", "q_vec")
     cv = _vec_base(corpus, "neighbor_id", "c_vec")
 
@@ -701,6 +705,7 @@ def pq_subspace_model(
     n_codes: int = 8,
     learn_iters: int = 2,
     dims: int = 64,
+    cents: DataFrame | None = None,
 ):
     """Shared PQ training front end: split every vector into ``m``
     subspaces and learn one deterministic spherical-k-means codebook per
@@ -718,6 +723,7 @@ def pq_subspace_model(
     aggregation below is keyed by s.
     """
     sub = dims // m
+    pre_trained = cents
     sub_structs = F.array(
         *[
             F.struct(
@@ -733,15 +739,21 @@ def pq_subspace_model(
         .select("vec_id", "x.s", F.col("x.sub_emb").alias("embedding"))
     )
 
+    w_assign = Window.partitionBy("s", "vec_id").orderBy(
+        F.desc("cell_cos"), F.asc("cell_id")
+    )
+    if pre_trained is not None:
+        # Caller passes an already-barriered trained codebook relation
+        # (e.g. the session-memoized shared_pq_cents) — identical values
+        # to inline training (bit-deterministic), planned once.
+        return corpus_long, pre_trained, sub_structs, w_assign
+
     # Batched deterministic spherical k-means (mirrors kmeans_centroids
     # per subspace — floor-quantized exact means, cell_id tie-break).
     cents = corpus_long.filter(F.col("vec_id") < n_codes).select(
         "s",
         F.col("vec_id").alias("cell_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("cent"),
-    )
-    w_assign = Window.partitionBy("s", "vec_id").orderBy(
-        F.desc("cell_cos"), F.asc("cell_id")
     )
     for _ in range(learn_iters):
         scored = corpus_long.join(F.broadcast(cents), "s").withColumn(
@@ -789,6 +801,7 @@ def pq_topk(
     learn_iters: int = 2,
     dims: int = 64,
     n_candidates: int = 20,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (ADC), the memory-bound scale path (Jégou et al. 2011): the vector
@@ -814,7 +827,8 @@ def pq_topk(
     qv = _vec_base(queries, "query_id", "q_vec")
     cv = _vec_base(corpus, "neighbor_id", "c_vec")
     corpus_long, cents, sub_structs, w_assign = pq_subspace_model(
-        corpus, m=m, n_codes=n_codes, learn_iters=learn_iters, dims=dims
+        corpus, m=m, n_codes=n_codes, learn_iters=learn_iters, dims=dims,
+        cents=cents,
     )
 
     codes_long = (
@@ -882,6 +896,8 @@ def ivfpq_topk(
     learn_iters: int = 2,
     dims: int = 64,
     n_candidates: int = 20,
+    coarse: DataFrame | None = None,
+    pq_cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS IVFADC layout, ``by_residual=False``
     variant): an IVF coarse quantizer prunes the candidate space to the
@@ -903,9 +919,10 @@ def ivfpq_topk(
 
     qv = _vec_base(queries, "query_id", "q_vec")
     cv = _vec_base(corpus, "neighbor_id", "c_vec")
-    coarse = kmeans_centroids(
-        corpus, n_cells=n_cells, iters=learn_iters, dims=dims
-    ).localCheckpoint(eager=False)
+    if coarse is None:
+        coarse = kmeans_centroids(
+            corpus, n_cells=n_cells, iters=learn_iters, dims=dims
+        ).localCheckpoint(eager=False)
 
     def assign(base: DataFrame, id_alias: str, vec_alias: str, top: int) -> DataFrame:
         scored = base.join(F.broadcast(coarse), F.lit(True)).withColumn(
@@ -926,7 +943,8 @@ def ivfpq_topk(
     )
 
     corpus_long, cents, sub_structs, w_assign = pq_subspace_model(
-        corpus, m=m, n_codes=n_codes, learn_iters=learn_iters, dims=dims
+        corpus, m=m, n_codes=n_codes, learn_iters=learn_iters, dims=dims,
+        cents=pq_cents,
     )
     codes_long = (
         corpus_long.join(F.broadcast(cents), "s")
@@ -965,3 +983,80 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id")
     )
     return rerank_exact_topk(cand, qv, cv, k)
+
+
+def nndescent_graph(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_a: int = 2654435761,
+    init_b: int = 40503,
+) -> DataFrame:
+    """NN-descent k-NN GRAPH construction (Dong, Moses & Li, WWW'11) —
+    the graph-based ANN family (HNSW/NSG ancestors), complementing the
+    bucketed families (LSH bands, IVF cells, PQ codes): every corpus
+    vector keeps its current best-``k`` neighbor list, and each round
+    improves it by scoring only *neighbors of neighbors* — "a neighbor
+    of a neighbor is likely a neighbor".
+
+    Determinism (oracle contract): the init graph is arithmetic, not
+    random — neighbor ``j`` of vector ``v`` is
+    ``(v + 1 + ((v*init_a + j*init_b) % (N-1))) % N`` (exact int64, no
+    self-loops by construction), and every round scores candidates with
+    the same left-fold double cosine as the DuckDB oracle, ties broken
+    by ascending neighbor id. The whole construction replays bit-exactly
+    in SQL.
+
+    Scale shape: per round the candidate set is current ∪ reversed ∪
+    through-one-hop edges — ≤ N·(2k + k²) id pairs, every join keyed by
+    a vector id (shuffle-partitioned, degree-bounded); nothing is ever
+    all-pairs and no relation is collected. The per-round graph is
+    lazily localCheckpoint-ed so the unrolled lineage stays linear in
+    ``iters`` instead of 3^iters. At 100 TB this is the standard
+    distributed NN-descent layout: the graph relation (N·k rows) is the
+    only growing state, and each refinement round is two hash joins plus
+    one windowed top-k.
+    """
+    ids = corpus.select(F.col(id_col).alias("v"))
+    ncnt = corpus.agg(F.count(F.lit(1)).alias("n"))
+    off = (F.col("v") * F.lit(init_a) + F.col("j").cast("bigint") * F.lit(init_b)) % (
+        F.col("n") - 1
+    )
+    g = (
+        ids.join(F.broadcast(ncnt), F.lit(True))  # 1-row scalar fan-in
+        .select("v", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"), "n")
+        .withColumn("nb", (F.col("v") + 1 + off) % F.col("n"))
+        .select("v", "nb")
+        .distinct()
+    )
+    qe = corpus.select(F.col(id_col).alias("v"), F.col(vec_col).alias("v_vec"))
+    ce = corpus.select(F.col(id_col).alias("nb"), F.col(vec_col).alias("nb_vec"))
+    w = Window.partitionBy("v").orderBy(F.desc("cos"), F.asc("nb"))
+    ranked = None
+    for t in range(iters):
+        rev = g.select(F.col("nb").alias("v"), F.col("v").alias("nb"))
+        thru = (
+            g.alias("a")
+            .join(g.alias("b"), F.col("a.nb") == F.col("b.v"))
+            .filter(F.col("b.nb") != F.col("a.v"))
+            .select(F.col("a.v").alias("v"), F.col("b.nb").alias("nb"))
+        )
+        cand = g.unionByName(rev).unionByName(thru).distinct()
+        ranked = (
+            cand.join(qe, "v")
+            .join(ce, "nb")
+            .withColumn("cos", cosine(F.col("v_vec"), F.col("nb_vec")))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        g = ranked.select("v", "nb")
+        if t < iters - 1:
+            g = g.localCheckpoint(eager=False)
+    return ranked.select(
+        F.col("v").alias("vec_id"),
+        F.col("nb").alias("neighbor_id"),
+        "cos",
+        F.col("rank").cast("int").alias("rank"),
+    )

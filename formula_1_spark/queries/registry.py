@@ -188,6 +188,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.footer_stats",
         "formula_1_spark.queries.signature_store",
         "formula_1_spark.queries.ann_store",
+        "formula_1_spark.queries.graph_ann",
     ):
         try:
             __import__(mod)

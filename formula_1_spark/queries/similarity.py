@@ -16,10 +16,87 @@ from formula_1_spark.operators.similarity import (
     N_PLANES,
     brute_force_topk,
     ivf_topk,
+    kmeans_centroids,
     lsh_topk,
 )
 from formula_1_spark.queries.registry import register
 from formula_1_spark.sources.tables import load_table
+
+# The five IVF-family queries (ann_ivf, ann_ivfpq coarse, recall audit,
+# cell balance, nprobe curve) train the IDENTICAL deterministic coarse
+# quantizer on the full embeddings table at the default knobs. Training is
+# cheap to EXECUTE but the unrolled-iteration plan costs ~3-4 s to
+# physically plan per occurrence — so the trained relation (<= 8 rows) is
+# memoized per (session, testdata identity) as an eager localCheckpoint
+# and every consumer gets a LogicalRDD leaf, the same amortization the
+# dedup family's _shared_relations provides. Values are unaffected:
+# k-means here is bit-deterministic, and each query's DuckDB oracle still
+# retrains from scratch, so a stale/wrong memo hash-mismatches.
+_CENTROIDS_MEMO: dict[tuple, DataFrame] = {}
+
+
+def shared_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        key = (app_id, os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
+    except OSError:
+        key = None  # no invalidation signal — build fresh
+    df = _CENTROIDS_MEMO.get(key) if key is not None else None
+    if df is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        df = kmeans_centroids(emb, n_cells=8, iters=2).localCheckpoint(
+            eager=True
+        )
+        if key is not None:
+            for stale in [
+                k
+                for k in _CENTROIDS_MEMO
+                if k[0] != app_id or (k[1] == key[1] and k != key)
+            ]:
+                _CENTROIDS_MEMO.pop(stale)  # blocks die with their context
+            _CENTROIDS_MEMO[key] = df
+    return df
+
+
+_PQ_CENTS_MEMO: dict[tuple, DataFrame] = {}
+
+
+def shared_pq_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized trained PQ codebooks (m x n_codes rows) for the
+    full embeddings table at the default knobs — the PQ twin of
+    :func:`shared_centroids`, shared by ann_pq / ann_ivfpq /
+    pq_distortion_audit / pq_recall_audit."""
+    import os
+
+    from formula_1_spark.operators.similarity import pq_subspace_model
+
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        key = (app_id, os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
+    except OSError:
+        key = None
+    df = _PQ_CENTS_MEMO.get(key) if key is not None else None
+    if df is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _long, cents, _structs, _w = pq_subspace_model(
+            emb, m=_PQ_M, n_codes=_PQ_CODES, learn_iters=_PQ_ITERS, dims=64
+        )
+        df = cents.localCheckpoint(eager=True)
+        if key is not None:
+            for stale in [
+                k
+                for k in _PQ_CENTS_MEMO
+                if k[0] != app_id or (k[1] == key[1] and k != key)
+            ]:
+                _PQ_CENTS_MEMO.pop(stale)
+            _PQ_CENTS_MEMO[key] = df
+    return df
 
 _COS = """
 list_reduce(list_transform(list_zip({a}, {b}),
@@ -226,7 +303,11 @@ QUALIFY rank <= 10
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10))
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        centroids=shared_centroids(spark, sf_dir),
+    )
 
 
 @register(
@@ -478,6 +559,7 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_codes=_PQ_CODES,
         learn_iters=_PQ_ITERS,
         n_candidates=_PQ_CAND,
+        cents=shared_pq_cents(spark, sf_dir),
     )
 
 
@@ -693,7 +775,10 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
 
-    ivf = recall_of(ivf_topk(emb, q, k=_RECALL_K), "ivf")
+    ivf = recall_of(
+        ivf_topk(emb, q, k=_RECALL_K, centroids=shared_centroids(spark, sf_dir)),
+        "ivf",
+    )
     lsh = recall_of(lsh_topk(emb, q, k=_RECALL_K), "lsh")
     return ivf.unionByName(lsh).orderBy("method", "query_id")
 
@@ -773,7 +858,12 @@ def pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     corpus_long, cents, _, w_assign = pq_subspace_model(
-        emb, m=_PQ_M, n_codes=_PQ_CODES, learn_iters=_PQ_ITERS, dims=64
+        emb,
+        m=_PQ_M,
+        n_codes=_PQ_CODES,
+        learn_iters=_PQ_ITERS,
+        dims=64,
+        cents=shared_pq_cents(spark, sf_dir),
     )
     assigned = (
         corpus_long.join(F.broadcast(cents), "s")
@@ -973,15 +1063,10 @@ ORDER BY cell_id
 """,
 )
 def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from formula_1_spark.operators.similarity import (
-        cosine,
-        kmeans_centroids,
-    )
+    from formula_1_spark.operators.similarity import cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb, n_cells=8, iters=2).localCheckpoint(
-        eager=False
-    )
+    cents = shared_centroids(spark, sf_dir)
     scored = emb.join(F.broadcast(cents), F.lit(True)).withColumn(
         "cell_cos", cosine(F.col("embedding"), F.col("cent"))
     )
@@ -1252,6 +1337,7 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_codes=_PQ_CODES,
         learn_iters=_PQ_ITERS,
         n_candidates=_PQ_CAND,
+        cents=shared_pq_cents(spark, sf_dir),
     ).select("query_id", "neighbor_id")
     hits = (
         res.join(gt, ["query_id", "neighbor_id"], "leftsemi")
@@ -1369,10 +1455,7 @@ ORDER BY pr.n_probe, qi.query_id
 )
 def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula_1_spark.functions.vectors import cosine as _cosine
-    from formula_1_spark.operators.similarity import (
-        _vec_base,
-        kmeans_centroids,
-    )
+    from formula_1_spark.operators.similarity import _vec_base
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
@@ -1381,9 +1464,7 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
-    centroids = kmeans_centroids(emb, n_cells=8, iters=2).localCheckpoint(
-        eager=False
-    )
+    centroids = shared_centroids(spark, sf_dir)
     qv = _vec_base(q, "query_id", "q_vec")
     cv = _vec_base(emb, "neighbor_id", "c_vec")
 
@@ -1553,6 +1634,8 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb,
         emb.filter(F.col("vec_id") < 10),
+        coarse=shared_centroids(spark, sf_dir),
+        pq_cents=shared_pq_cents(spark, sf_dir),
         k=10,
         n_cells=8,
         n_probe=2,

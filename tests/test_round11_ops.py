@@ -184,3 +184,57 @@ def test_ann_store_cell_drift_consistency(spark):
                 r["growth_ppm"]
                 == (r["n_after"] - r["n_frozen"]) * 1_000_000 // r["n_frozen"]
             )
+
+
+def test_ann_quantizer_memos_value_identical_and_evict(spark):
+    """shared_centroids / shared_pq_cents return relations bit-identical
+    to inline training (the memo is an amortization, never a semantic
+    change), keep one live entry per path, and evict superseded/dead-app
+    keys — the dedup ``_shared_relations`` contract."""
+    from formula_1_spark.operators.similarity import (
+        kmeans_centroids,
+        pq_subspace_model,
+    )
+    from formula_1_spark.queries.similarity import (
+        _CENTROIDS_MEMO,
+        _PQ_CENTS_MEMO,
+        _PQ_CODES,
+        _PQ_ITERS,
+        _PQ_M,
+        shared_centroids,
+        shared_pq_cents,
+    )
+    from formula_1_spark.sources.tables import load_table
+
+    app_id = spark.sparkContext.applicationId
+    emb = load_table(spark, SF, "embeddings")
+
+    memo = shared_centroids(spark, SF)
+    fresh = kmeans_centroids(emb, n_cells=8, iters=2)
+    assert sorted(map(tuple, memo.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
+
+    memo_pq = shared_pq_cents(spark, SF)
+    _, fresh_pq, _, _ = pq_subspace_model(
+        emb, m=_PQ_M, n_codes=_PQ_CODES, learn_iters=_PQ_ITERS, dims=64
+    )
+    assert sorted(map(tuple, memo_pq.collect())) == sorted(
+        map(tuple, fresh_pq.collect())
+    )
+
+    for cache, build in (
+        (_CENTROIDS_MEMO, shared_centroids),
+        (_PQ_CENTS_MEMO, shared_pq_cents),
+    ):
+        live = [k for k in cache if k[0] == app_id]
+        assert len(live) == 1
+        path = live[0][1]
+        fake = spark.range(1)
+        cache[(app_id, path, 0, 0)] = fake
+        cache[("dead-app", path, 0, 0)] = fake
+        cache.pop(live[0])
+        build(spark, SF)
+        assert (app_id, path, 0, 0) not in cache
+        assert ("dead-app", path, 0, 0) not in cache
+        assert sum(1 for k in cache if k[1] == path) == 1
