@@ -238,3 +238,44 @@ def test_ann_quantizer_memos_value_identical_and_evict(spark):
         assert (app_id, path, 0, 0) not in cache
         assert ("dead-app", path, 0, 0) not in cache
         assert sum(1 for k in cache if k[1] == path) == 1
+
+
+def test_nndescent_graph_invariants(spark):
+    """Structural contract of the NN-descent build: every node ends with
+    exactly k neighbors, no self-loops, ranks are 1..k, and refinement
+    never hurts — graph recall@k (vs exact) is >= the recall of the
+    arithmetic init it started from."""
+    from formula_1_spark.operators.similarity import (
+        brute_force_topk,
+        nndescent_graph,
+    )
+    from formula_1_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    k = 8
+    g = nndescent_graph(emb, k=k, iters=2).collect()
+    per_node = {}
+    for r in g:
+        assert r["neighbor_id"] != r["vec_id"]
+        per_node.setdefault(r["vec_id"], []).append(r["rank"])
+    assert len(per_node) == n
+    for ranks in per_node.values():
+        assert sorted(ranks) == list(range(1, k + 1))
+
+    gt = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, emb, k=k).collect()
+    }
+    final_hits = sum(1 for r in g if (r["vec_id"], r["neighbor_id"]) in gt)
+    # Init graph = the arithmetic seed before any scoring round.
+    a, b = 2654435761, 40503
+    init = {
+        (v, (v + 1 + ((v * a + j * b) % (n - 1))) % n)
+        for v in range(n)
+        for j in range(1, k + 1)
+    }
+    init_hits = sum(1 for e in init if e in gt)
+    assert final_hits >= init_hits
+    # Two rounds over a content-blind init must find real structure.
+    assert final_hits > 2 * init_hits
