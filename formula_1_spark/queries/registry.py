@@ -189,6 +189,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.signature_store",
         "formula_1_spark.queries.ann_store",
         "formula_1_spark.queries.graph_ann",
+        "formula_1_spark.queries.preference",
     ):
         try:
             __import__(mod)

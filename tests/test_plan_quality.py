@@ -88,6 +88,10 @@ BNLJ_OK = {
     "embedding_power_iteration",  # 1-row vector + 1-row norm broadcasts x3
     "basket_brand_affinity",  # 1-row order-total broadcast
     "dedup_cross_source_rate",  # 1-row pair-total broadcast
+    "annotator_agreement_kappa",  # 1-row kappa-summary broadcast
+    "preference_bradley_terry",  # 1-row fold-total broadcast per MM round
+    "ann_nndescent_graph",  # 1-row corpus-count broadcast (init arithmetic)
+    "nndescent_recall_audit",  # same 1-row count + panel-probe broadcast
     "embedding_norm_outliers",  # 1-row median/MAD scalar broadcasts
     "kcenter_greedy_seeding",  # 1-row seed-vector broadcasts x3
     "bpe_merge_rounds",  # 1-row top-pair + 1-row vocab broadcasts x3
@@ -145,6 +149,11 @@ SINGLE_PARTITION_OK = {
     # reaches each per-iteration global-window exchange through the
     # node-grain left join — same domain bound as nation_trade_pagerank
     "trade_hits_hubs_authorities",
+    # final rank over the player-panel strengths: the checkpointed MM
+    # relation feeding the SinglePartition exchange is bounded at
+    # #players (nations) rows at any comparison-stream scale, but the
+    # checker can't see through the LogicalRDD checkpoint boundary
+    "preference_bradley_terry",
 }
 
 
@@ -271,6 +280,10 @@ UNPARTITIONED_WINDOW_OK = {
     "mixture.py": (
         "unimax waterfill rank/cumsum over the per-language aggregate "
         "(bounded at #langs rows at any corpus scale)"
+    ),
+    "preference.py": (
+        "Bradley-Terry final rank over the player-panel strengths "
+        "(bounded at #players rows at any comparison-stream scale)"
     ),
 }
 

@@ -279,3 +279,43 @@ def test_nndescent_graph_invariants(spark):
     assert final_hits >= init_hits
     # Two rounds over a content-blind init must find real structure.
     assert final_hits > 2 * init_hits
+
+
+def test_bradley_terry_strengths_contract(spark):
+    """MM output contract: strengths are a positive distribution (sum 1
+    within float tolerance), ranks are the 1..n permutation ordered by
+    strength, and the top-ranked player beats the bottom-ranked one in
+    their head-to-head win counts (sanity that strength tracks wins)."""
+    from formula_1_spark.queries.preference import preference_bradley_terry
+
+    rows = preference_bradley_terry(spark, SF).collect()
+    n = len(rows)
+    assert n > 1
+    assert abs(sum(r["strength"] for r in rows) - 1.0) < 1e-9
+    assert all(r["strength"] > 0 for r in rows)
+    assert sorted(r["rank"] for r in rows) == list(range(1, n + 1))
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    assert by_rank[0]["strength"] >= by_rank[-1]["strength"]
+    # Strength must broadly track win ratio: top-ranked player's overall
+    # win ratio exceeds bottom-ranked player's.
+    top, bot = by_rank[0], by_rank[-1]
+    assert top["wins"] * bot["n_matches"] > bot["wins"] * top["n_matches"]
+
+
+def test_annotator_kappa_bounds(spark):
+    """Kappa output contract: confusion cells partition the corpus,
+    agree_ppm consistent with the cells, kappa within [-1e6, 1e6]."""
+    import duckdb
+
+    from formula_1_spark.queries.preference import annotator_agreement_kappa
+
+    rows = annotator_agreement_kappa(spark, SF).collect()
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n"] for r in rows) == n_docs
+    agree = sum(r["n"] for r in rows if r["a_keep"] == r["b_keep"])
+    for r in rows:
+        assert r["agree_ppm"] == agree * 1_000_000 // n_docs
+        if r["kappa_ppm"] is not None:
+            assert -1_000_000 <= r["kappa_ppm"] <= 1_000_000
