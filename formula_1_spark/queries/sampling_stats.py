@@ -465,3 +465,170 @@ def pass_at_k_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         F.expr(f"CAST(1000000 - ({fold}) AS BIGINT)").alias("pass_at_k_ppm"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals (round 11)
+# ---------------------------------------------------------------------------
+
+# Poisson(1) inverse-CDF thresholds on the 32-bit md5-uniform grid:
+# weight w = #{k : u >= T_k} for u in [0, 2^32). Computed ONCE here in
+# Python and embedded as identical integer literals in BOTH engines, so
+# libm exp never has to agree cross-engine (the engines only compare
+# ints). Truncated at w=8: P(w > 8) < 1.2e-7 per draw.
+_BOOT_T = []
+_cum = 0.0
+for _k in range(8):
+    import math as _math
+
+    _cum += _math.exp(-1.0) / _math.factorial(_k)
+    _BOOT_T.append(int(_cum * 2**32))
+_BOOT_B = 64
+_BOOT_LO_RANK = 2  # ~2.5th percentile of 64 replicates
+_BOOT_HI_RANK = 63  # ~97.5th percentile
+
+
+def _boot_w_sql(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
+    )
+    return f"CASE {arms} ELSE 8 END"
+
+
+@register(
+    "poisson_bootstrap_ci",
+    ops="EXT-stat-bootstrap,A1,W1 (map-reduce bootstrap CI)",
+    doc=f"Poisson bootstrap confidence intervals (Chamandy et al. 2012 — "
+    f"THE bootstrap that scales: classical resampling needs the whole "
+    f"dataset per replicate; the Poisson approximation gives every row "
+    f"an independent Poisson(1) weight per replicate, so all "
+    f"{_BOOT_B} replicates stream in ONE pass with map-side combine, "
+    f"no materialized resamples). Weights are md5-derived (row, "
+    f"replicate) uniforms cut by precomputed inverse-CDF integer "
+    f"thresholds; replicate means use exact cents/DECIMAL(38) "
+    f"arithmetic; the CI is the {_BOOT_LO_RANK}nd/{_BOOT_HI_RANK}rd "
+    f"order statistic of the {_BOOT_B} replicate means per group. "
+    f"Everything replays bit-for-bit in the oracle.",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderpriority AS priority, o_orderkey AS ok,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+weighted AS (
+  SELECT b.priority, r.b,
+         {_boot_w_sql("CAST(('0x' || substr(md5(CAST(b.ok AS VARCHAR) || ':' || CAST(r.b AS VARCHAR)), 1, 8)) AS BIGINT)")} AS w,
+         b.cents
+  FROM base b, (SELECT unnest(range(0, {_BOOT_B})) AS b) r
+),
+rep AS (
+  SELECT priority, b, CAST(SUM(w) AS HUGEINT) AS sw,
+         CAST(SUM(w * cents) AS HUGEINT) AS swx
+  FROM weighted GROUP BY priority, b
+),
+rep_mean AS (
+  SELECT priority, b,
+         CASE WHEN sw = 0 THEN NULL
+              ELSE CAST(swx * 1000000 // sw AS BIGINT) END AS mean_micents
+  FROM rep
+),
+ranked AS (
+  SELECT priority, mean_micents,
+         ROW_NUMBER() OVER (PARTITION BY priority
+                            ORDER BY mean_micents ASC, b ASC) AS r
+  FROM rep_mean
+),
+ci AS (
+  SELECT priority,
+         MAX(CASE WHEN r = {_BOOT_LO_RANK} THEN mean_micents END) AS ci_lo_micents,
+         MAX(CASE WHEN r = {_BOOT_HI_RANK} THEN mean_micents END) AS ci_hi_micents
+  FROM ranked GROUP BY priority
+),
+pt AS (
+  SELECT priority, CAST(COUNT(1) AS BIGINT) AS n_orders,
+         CAST(CAST(SUM(cents) AS HUGEINT) * 1000000 // COUNT(1) AS BIGINT)
+           AS point_mean_micents
+  FROM base GROUP BY priority
+)
+SELECT p.priority, p.n_orders, p.point_mean_micents,
+       c.ci_lo_micents, c.ci_hi_micents
+FROM pt p JOIN ci c USING (priority)
+ORDER BY p.priority
+""",
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from formula_1_spark.operators.dedup import md5_int32
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("ok"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    # One pass over base x 64 replicate ids; the explode fans out map-side
+    # and collapses immediately into the (priority, b) partial aggregate —
+    # the streaming Poisson-bootstrap shape (no resample materialization).
+    weighted = base.select(
+        "priority",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "ok",
+    )
+    u = md5_int32(
+        F.concat_ws(
+            ":", F.col("ok").cast("string"), F.col("b").cast("string")
+        )
+    )
+    w = F.when(u < _BOOT_T[0], 0)
+    for k, t in enumerate(_BOOT_T[1:], start=1):
+        w = w.when(u < t, k)
+    w = w.otherwise(8)
+    rep = (
+        weighted.withColumn("w", w)
+        .groupBy("priority", "b")
+        .agg(
+            F.sum("w").cast("decimal(38,0)").alias("sw"),
+            F.sum(F.col("w") * F.col("cents"))
+            .cast("decimal(38,0)")
+            .alias("swx"),
+        )
+    )
+    rep_mean = rep.select(
+        "priority",
+        "b",
+        F.expr(
+            "CASE WHEN sw = 0 THEN NULL"
+            " ELSE CAST(swx * 1000000 div sw AS BIGINT) END"
+        ).alias("mean_micents"),
+    )
+    wr = Window.partitionBy("priority").orderBy(
+        F.asc("mean_micents"), F.asc("b")
+    )
+    ranked = rep_mean.withColumn("r", F.row_number().over(wr))
+    ci = ranked.groupBy("priority").agg(
+        F.max(
+            F.when(F.col("r") == _BOOT_LO_RANK, F.col("mean_micents"))
+        ).alias("ci_lo_micents"),
+        F.max(
+            F.when(F.col("r") == _BOOT_HI_RANK, F.col("mean_micents"))
+        ).alias("ci_hi_micents"),
+    )
+    pt = base.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(
+            "CAST(CAST(SUM(cents) AS DECIMAL(38,0)) * 1000000"
+            " div COUNT(1) AS BIGINT)"
+        ).alias("point_mean_micents"),
+    )
+    return (
+        pt.join(ci, "priority")
+        .select(
+            "priority",
+            "n_orders",
+            "point_mean_micents",
+            "ci_lo_micents",
+            "ci_hi_micents",
+        )
+        .orderBy("priority")
+    )

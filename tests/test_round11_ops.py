@@ -319,3 +319,24 @@ def test_annotator_kappa_bounds(spark):
         assert r["agree_ppm"] == agree * 1_000_000 // n_docs
         if r["kappa_ppm"] is not None:
             assert -1_000_000 <= r["kappa_ppm"] <= 1_000_000
+
+
+def test_poisson_bootstrap_ci_contract(spark):
+    """Bootstrap output contract on the fixed testdata: CI bounds are
+    ordered, bracket the point estimate, group counts partition the
+    orders table, and the interval is nondegenerate (replicate spread
+    exists) but tight relative to the mean (n >= 273 per group)."""
+    import duckdb
+
+    from formula_1_spark.queries.sampling_stats import poisson_bootstrap_ci
+
+    rows = poisson_bootstrap_ci(spark, SF).collect()
+    n_orders = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    for r in rows:
+        assert r["ci_lo_micents"] < r["ci_hi_micents"]
+        assert r["ci_lo_micents"] <= r["point_mean_micents"] <= r["ci_hi_micents"]
+        width = r["ci_hi_micents"] - r["ci_lo_micents"]
+        assert 0 < width < r["point_mean_micents"]  # tight at n >= 273
