@@ -469,6 +469,8 @@ def semantic_dedup_pairs_scaled(
     iters: int = 2,
     threshold: float = 0.45,
     dims: int = 64,
+    base: DataFrame | None = None,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`semantic_dedup_pairs` with corpus-scaled cells and the flat
     assignment kernel — the production path. With ``n_cells ~ sqrt(n)``
@@ -481,18 +483,28 @@ def semantic_dedup_pairs_scaled(
     # the query result materializes, where a persist would pin the corpus
     # in the CacheManager for the session's lifetime. cents is already a
     # barriered k-row relation inside _flat_cell_cos; no extra pin needed.
-    cents = kmeans_centroids_flat(emb, n_cells=n_cells, iters=iters, dims=dims)
-    base = emb.select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("na")
-    ).localCheckpoint(eager=False)
-    scored = _flat_cell_cos(cents, fan_out(base), dims)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell_id"))
-    assign = (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "cell_id")
+    if base is None or assign is None:
+        cents = kmeans_centroids_flat(
+            emb, n_cells=n_cells, iters=iters, dims=dims
+        )
+        base = emb.select(
+            "vec_id", "embedding", norm(F.col("embedding")).alias("na")
+        ).localCheckpoint(eager=False)
+        scored = _flat_cell_cos(cents, fan_out(base), dims)
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cell_cos"), F.asc("cell_id")
+        )
+        assign = (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "cell_id")
+        )
+    # else: caller passes the already-barriered shared base/assignment
+    # (e.g. queries.dedup._shared_semantic_relations) — identical values
+    # (training is bit-deterministic), planned once per session.
+    return _pairs_within_cells(
+        base, assign.select("vec_id", "cell_id"), threshold, dims
     )
-    return _pairs_within_cells(base, assign, threshold, dims)
 
 
 KMEANS_SCALE = 1000000.0  # component quantization grid for exact means

@@ -99,6 +99,77 @@ def _shared_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return ent["clusters"]
 
+
+# The two corpus-scaled SEMANTIC queries (dedup_semantic_clusters_scaled,
+# semdedup_prune_report) train the IDENTICAL sqrt(n)-cell flat k-means on
+# the embeddings table and run the identical assignment pass. The flat
+# kernel is cheap to EXECUTE but its k x dims unrolled expressions cost
+# ~10 s of analysis per occurrence at sf0.1 — so the (base, assignment)
+# pair is memoized per (session, embeddings identity) as eager
+# localCheckpoints, the embedding-side twin of _shared_relations (and of
+# queries.similarity.shared_centroids). Values unaffected: training is
+# bit-deterministic and each oracle retrains from scratch, so a stale
+# memo hash-mismatches. The base checkpoint holds the corpus projection
+# for the session — same storage tradeoff _shared_relations already makes
+# for the token/shingle relations.
+_SEM_SHARED: dict[tuple, dict[str, DataFrame]] = {}
+
+
+def _shared_semantic_relations(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """{"base": (vec_id, embedding, na), "assign": (vec_id, cell_id,
+    cell_cos)} for the corpus-scaled (k = max(8, ceil(sqrt(n))), 2-iter)
+    semantic quantizer."""
+    import math
+    import os
+
+    from pyspark.sql import Window
+
+    from formula_1_spark.operators.similarity import (
+        _flat_cell_cos,
+        kmeans_centroids_flat,
+        norm,
+    )
+    from formula_1_spark.sources.tables import fan_out
+
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        key = (app_id, os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
+    except OSError:
+        key = None
+    ent = _SEM_SHARED.get(key) if key is not None else None
+    if ent is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = table_row_count(spark, sf_dir, "embeddings")
+        k = max(8, int(math.ceil(math.sqrt(float(n)))))
+        cents = kmeans_centroids_flat(emb, n_cells=k, iters=2)
+        base = emb.select(
+            "vec_id", "embedding", norm(F.col("embedding")).alias("na")
+        ).localCheckpoint(eager=True)
+        scored = _flat_cell_cos(cents, fan_out(base), 64)
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cell_cos"), F.asc("cell_id")
+        )
+        assign = (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "cell_id", "cell_cos")
+            .localCheckpoint(eager=True)
+        )
+        ent = {"base": base, "assign": assign}
+        if key is not None:
+            for stale in [
+                k_
+                for k_ in _SEM_SHARED
+                if k_[0] != app_id or (k_[1] == key[1] and k_ != key)
+            ]:
+                _SEM_SHARED.pop(stale)  # checkpoint blocks die with context
+            _SEM_SHARED[key] = ent
+    return ent
+
 # Shared oracle CTEs: tokens → distinct word-3-gram shingles → 32-bit
 # md5-hashed shingle sets (mirrors operators.dedup.md5_int32/_shingled).
 _SHINGLES_CTE = """
@@ -565,7 +636,15 @@ def dedup_semantic_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFram
     emb = load_table(spark, sf_dir, "embeddings")
     n = table_row_count(spark, sf_dir, "embeddings")
     k = max(8, int(math.ceil(math.sqrt(float(n)))))
-    return semantic_dedup_pairs_scaled(emb, n_cells=k, iters=2, threshold=0.45)
+    sem = _shared_semantic_relations(spark, sf_dir)
+    return semantic_dedup_pairs_scaled(
+        emb,
+        n_cells=k,
+        iters=2,
+        threshold=0.45,
+        base=sem["base"],
+        assign=sem["assign"],
+    )
 
 
 _SEM_EPS = 0.40  # SemDeDup epsilon: pairwise-cos duplicate threshold
@@ -661,36 +740,12 @@ ORDER BY cell_id
     ),
 )
 def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from formula_1_spark.operators.similarity import _pairs_within_cells
 
-    import math
-
-    from formula_1_spark.operators.similarity import (
-        _flat_cell_cos,
-        _pairs_within_cells,
-        kmeans_centroids_flat,
-        norm,
-    )
-    from formula_1_spark.sources.tables import fan_out
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    n = table_row_count(spark, sf_dir, "embeddings")
-    k = max(8, int(math.ceil(math.sqrt(float(n)))))
-    cents = kmeans_centroids_flat(emb, n_cells=k, iters=2)
-    base = emb.select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("na")
-    ).localCheckpoint(eager=False)
-    scored = _flat_cell_cos(cents, fan_out(base), 64)
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cell_cos"), F.asc("cell_id")
-    )
-    # Shared by the pair verify, both prune joins, and the cell counts.
-    assign = (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "cell_id", "cell_cos")
-        .localCheckpoint(eager=False)
-    )
+    # Shared by the pair verify, both prune joins, and the cell counts —
+    # and across the whole scaled-semantic family via the session memo.
+    sem = _shared_semantic_relations(spark, sf_dir)
+    base, assign = sem["base"], sem["assign"]
     dup = _pairs_within_cells(
         base, assign.select("vec_id", "cell_id"), threshold=_SEM_EPS, dims=64
     )
