@@ -523,3 +523,154 @@ def tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Differential-privacy release mechanisms (round 11)
+# ---------------------------------------------------------------------------
+
+# Discrete-Laplace noise for count release: z = G1 - G2 with G ~
+# Geometric(1 - p), p = exp(-eps/sensitivity) — exactly the two-sided
+# geometric mechanism (Ghosh-Roughgarden-Sundararajan 2009, the
+# universally optimal eps-DP mechanism for counts). The geometric
+# inverse-CDF thresholds T_k = floor((1 - p^(k+1)) * 2^32) are computed
+# ONCE here in Python and embedded as identical integer literals in both
+# engines, cut against md5-derived per-GROUP uniforms — libm exp never
+# has to agree cross-engine, and the "randomness" is a deterministic
+# function of the group key, so the whole release replays bit-for-bit.
+# Magnitude truncates at 30 (residual mass ~3e-7, same arm both engines).
+import math as _m
+
+_DP_EPS_STR = "0.5"
+_DP_P = _m.exp(-0.5)
+_DP_T = [int((1 - _DP_P ** (k + 1)) * 2**32) for k in range(30)]
+# (eps, delta)-DP partition selection threshold (Korolova et al. 2009
+# shape): tau = ceil(1 + (1/eps) * ln(1/(2*delta))), delta = 1e-6.
+_DP_TAU = _m.ceil(1 + 2.0 * _m.log(1.0 / (2.0 * 1e-6)))
+
+
+def _geom_sql(u: str) -> str:
+    arms = " ".join(f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_DP_T))
+    return f"CASE {arms} ELSE 30 END"
+
+
+def _geom_col(u):
+    w = F.when(u < _DP_T[0], 0)
+    for k, t in enumerate(_DP_T[1:], start=1):
+        w = w.when(u < t, k)
+    return w.otherwise(30)
+
+
+def _dp_u_sql(tag: str, key: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{tag}:' || {key}), 1, 8)) AS BIGINT)"
+    )
+
+
+def _dp_u_col(tag: str, key):
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{tag}:"), key)), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+@register(
+    "dp_noisy_counts",
+    ops="EXT-privacy-dp,A1,F1 (discrete-Laplace count release)",
+    doc=f"eps-DP per-source document-count release (eps={_DP_EPS_STR}, "
+    "sensitivity 1): the two-sided-geometric (discrete Laplace) "
+    "mechanism adds z = G1 - G2 per released count, with the geometric "
+    "draws deterministically derived from md5(group key) uniforms cut "
+    "by Python-precomputed inverse-CDF integer thresholds — the "
+    "mechanism-calibration audit grain (true count, noise, released "
+    "count, abs error side by side). One count aggregate; noise math is "
+    "per released GROUP, never per row.",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(1) AS BIGINT) AS n_true
+  FROM documents GROUP BY source
+),
+noised AS (
+  SELECT source, n_true,
+         CAST({_geom_sql(_dp_u_sql("dpa", "source"))}
+              - {_geom_sql(_dp_u_sql("dpb", "source"))} AS BIGINT) AS noise
+  FROM counts
+)
+SELECT source, n_true, noise, n_true + noise AS n_noisy,
+       abs(noise) AS abs_err
+FROM noised ORDER BY source
+""",
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_true"))
+    noise = (
+        _geom_col(_dp_u_col("dpa", F.col("source")))
+        - _geom_col(_dp_u_col("dpb", F.col("source")))
+    ).cast("bigint")
+    return (
+        counts.withColumn("noise", noise)
+        .select(
+            "source",
+            "n_true",
+            "noise",
+            (F.col("n_true") + F.col("noise")).alias("n_noisy"),
+            F.abs("noise").alias("abs_err"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dp_partition_selection",
+    ops="EXT-privacy-dp-partition,A1,F1 ((eps,delta)-DP group-by release)",
+    doc=f"(eps,delta)-DP partition selection over the (lang, source) "
+    f"group-by (eps={_DP_EPS_STR}, delta=1e-6, tau={_DP_TAU}): when the "
+    "group-by domain is DATA-DERIVED, releasing even the bucket LIST "
+    "leaks membership, so production DP group-bys release only buckets "
+    "whose noisy count clears the stability threshold tau — the "
+    "mechanism behind every DP analytics engine's GROUP BY. Per bucket: "
+    "true count, noisy count, released flag; suppressed mass is the "
+    "price of delta.",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, source, CAST(COUNT(1) AS BIGINT) AS n_true
+  FROM documents GROUP BY lang, source
+),
+noised AS (
+  SELECT lang, source, n_true,
+         n_true
+         + {_geom_sql(_dp_u_sql("dpa", "lang || ':' || source"))}
+         - {_geom_sql(_dp_u_sql("dpb", "lang || ':' || source"))} AS n_noisy
+  FROM counts
+)
+SELECT lang, source, n_true, CAST(n_noisy AS BIGINT) AS n_noisy,
+       CAST(CASE WHEN n_noisy > {_DP_TAU} THEN 1 ELSE 0 END AS INT)
+         AS released
+FROM noised ORDER BY lang, source
+""",
+)
+def dp_partition_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    counts = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    key = F.concat_ws(":", F.col("lang"), F.col("source"))
+    n_noisy = (
+        F.col("n_true")
+        + _geom_col(_dp_u_col("dpa", key))
+        - _geom_col(_dp_u_col("dpb", key))
+    ).cast("bigint")
+    return (
+        counts.withColumn("n_noisy", n_noisy)
+        .select(
+            "lang",
+            "source",
+            "n_true",
+            "n_noisy",
+            F.when(F.col("n_noisy") > _DP_TAU, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("released"),
+        )
+        .orderBy("lang", "source")
+    )

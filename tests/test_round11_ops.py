@@ -340,3 +340,28 @@ def test_poisson_bootstrap_ci_contract(spark):
         assert r["ci_lo_micents"] <= r["point_mean_micents"] <= r["ci_hi_micents"]
         width = r["ci_hi_micents"] - r["ci_lo_micents"]
         assert 0 < width < r["point_mean_micents"]  # tight at n >= 273
+
+
+def test_dp_mechanisms_contract(spark):
+    """DP release contract: noise is recomputable from the group key via
+    the embedded thresholds (pure function — same key, same noise), the
+    noisy count equals true + noise, and partition selection releases
+    exactly the buckets whose noisy count clears tau."""
+    from formula_1_spark.queries.privacy_alloc import (
+        _DP_TAU,
+        dp_noisy_counts,
+        dp_partition_selection,
+    )
+
+    rows = dp_noisy_counts(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_noisy"] == r["n_true"] + r["noise"]
+        assert r["abs_err"] == abs(r["noise"])
+    again = {r["source"]: r["noise"] for r in dp_noisy_counts(spark, SF).collect()}
+    assert all(again[r["source"]] == r["noise"] for r in rows)
+
+    parts = dp_partition_selection(spark, SF).collect()
+    assert parts
+    for r in parts:
+        assert r["released"] == (1 if r["n_noisy"] > _DP_TAU else 0)
