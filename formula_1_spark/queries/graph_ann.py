@@ -15,7 +15,7 @@ notebook pipeline — see SURVEY.md §2.13).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from formula_1_spark.operators.similarity import nndescent_graph
@@ -89,9 +89,8 @@ ORDER BY vec_id, rank
 """,
 )
 def ann_nndescent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
     return (
-        nndescent_graph(emb, k=_K, iters=_ITERS)
+        shared_nndescent_graph(spark, sf_dir)
         .filter(F.col("vec_id") < _PANEL)
         .orderBy("vec_id", "rank")
     )
@@ -139,7 +138,7 @@ def nndescent_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel = emb.filter(F.col("vec_id") < _PANEL)
     gt = brute_force_topk(emb, panel, k=_K).select("query_id", "neighbor_id")
     graph = (
-        nndescent_graph(emb, k=_K, iters=_ITERS)
+        shared_nndescent_graph(spark, sf_dir)
         .filter(F.col("vec_id") < _PANEL)
         .select(F.col("vec_id").alias("query_id"), F.col("neighbor_id"))
     )
@@ -160,3 +159,172 @@ def nndescent_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# The three graph-family queries (build, recall audit, beam search) all
+# need the IDENTICAL 2-round NN-descent graph. The build is cheap to
+# EXECUTE but its unrolled candidate-union plan costs seconds to analyze
+# per occurrence — so the ranked graph relation (N·k rows) is memoized
+# per (session, embeddings identity) as an eager localCheckpoint, the
+# same amortization shared_centroids gives the IVF family. Values are
+# unaffected (the build is bit-deterministic; oracles rebuild from
+# scratch).
+_GRAPH_MEMO: dict[tuple, DataFrame] = {}
+
+
+def shared_nndescent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, neighbor_id, cos, rank) for the full corpus at the
+    default knobs (k=8, 2 rounds)."""
+    import os
+
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        key = (app_id, os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
+    except OSError:
+        key = None
+    df = _GRAPH_MEMO.get(key) if key is not None else None
+    if df is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        df = nndescent_graph(emb, k=_K, iters=_ITERS).localCheckpoint(
+            eager=True
+        )
+        if key is not None:
+            for stale in [
+                k_
+                for k_ in _GRAPH_MEMO
+                if k_[0] != app_id or (k_[1] == key[1] and k_ != key)
+            ]:
+                _GRAPH_MEMO.pop(stale)  # blocks die with their context
+            _GRAPH_MEMO[key] = df
+    return df
+
+
+_BEAM = 8
+_HOPS = 3
+_SEARCH_K = 10
+_ENTRY = 0  # fixed entry node (single-layer greedy search; documented)
+
+
+def _beam_ctes() -> str:
+    """Beam-search CTE chain over the built graph: frontier_0 = {entry};
+    each hop scores frontier ∪ out-neighbors against the query and keeps
+    the beam; the final top-k ranks every node VISITED across hops."""
+    cos = _COS.format(a="q.embedding", b="x.embedding")
+    parts = [
+        f"""qrys AS (
+  SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {_SEARCH_K}
+)""",
+        f"f0 AS (SELECT query_id, CAST({_ENTRY} AS BIGINT) AS node FROM qrys)",
+        "seen0 AS (SELECT query_id, node FROM f0)",
+    ]
+    for t in range(1, _HOPS + 1):
+        p = t - 1
+        parts.append(f"""e{t} AS (
+  SELECT f.query_id, g.nb AS node FROM f{p} f JOIN g{_ITERS} g ON g.v = f.node
+  UNION
+  SELECT query_id, node FROM f{p}
+)""")
+        parts.append(f"""s{t} AS (
+  SELECT e.query_id, e.node, {cos} AS cos
+  FROM e{t} e
+  JOIN embeddings q ON q.vec_id = e.query_id
+  JOIN embeddings x ON x.vec_id = e.node
+)""")
+        parts.append(f"""f{t} AS (
+  SELECT query_id, node FROM (
+    SELECT query_id, node, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, node ASC) AS r
+    FROM s{t}) WHERE r <= {_BEAM}
+)""")
+        parts.append(f"""seen{t} AS (
+  SELECT query_id, node FROM seen{p}
+  UNION
+  SELECT query_id, node FROM e{t}
+)""")
+    return ",\n".join(parts)
+
+
+@register(
+    "ann_graph_beam_search",
+    ops="EXT-sim-graphann-search,J1,W1 (HNSW-style greedy graph search)",
+    doc=f"Graph-ANN SEARCH over the built NN-descent graph (the query "
+    f"half of ann_nndescent_graph — HNSW-style single-layer greedy beam "
+    f"search): from a fixed entry node, {_HOPS} hops each expand the "
+    f"beam's out-neighbors, score against the query, and keep the "
+    f"best-{_BEAM}; the answer is the exact top-{_SEARCH_K} among ALL "
+    f"visited nodes. Per query the frontier is ≤ beam·(k+1) nodes per "
+    f"hop — search cost is O(hops·beam·k) regardless of corpus size, "
+    f"the property graph indexes exist for. Oracle replays graph build, "
+    f"hops, and tie-broken beams bit-for-bit.",
+    oracle=f"""
+WITH {_nndescent_ctes()},
+{_beam_ctes()},
+final AS (
+  SELECT e.query_id, e.node,
+         {_COS.format(a="q.embedding", b="x.embedding")} AS cos
+  FROM seen{_HOPS} e
+  JOIN embeddings q ON q.vec_id = e.query_id
+  JOIN embeddings x ON x.vec_id = e.node
+  WHERE e.node <> e.query_id
+)
+SELECT query_id, node AS neighbor_id, cos, CAST(r AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, node ASC) AS r
+  FROM final) fr
+WHERE r <= {_SEARCH_K}
+ORDER BY query_id, rank
+""",
+)
+def ann_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    graph = shared_nndescent_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("v"), F.col("neighbor_id").alias("nb")
+    )
+    qv = emb.filter(F.col("vec_id") < _SEARCH_K).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    xv = emb.select(
+        F.col("vec_id").alias("node"), F.col("embedding").alias("x_vec")
+    )
+    frontier = qv.select(
+        "query_id", F.lit(_ENTRY).cast("bigint").alias("node")
+    )
+    seen = frontier
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("node"))
+    for _ in range(_HOPS):
+        expanded = (
+            frontier.join(graph, frontier["node"] == graph["v"])
+            .select("query_id", F.col("nb").alias("node"))
+            .unionByName(frontier)
+            .distinct()
+        )
+        scored = (
+            expanded.join(F.broadcast(qv), "query_id")
+            .join(xv, "node")
+            .withColumn("cos", cosine(F.col("q_vec"), F.col("x_vec")))
+        )
+        frontier = (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _BEAM)
+            .select("query_id", "node")
+        )
+        seen = seen.unionByName(expanded).distinct()
+    final = (
+        seen.filter(F.col("node") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+        .join(xv, "node")
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("x_vec")))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _SEARCH_K)
+    )
+    return final.select(
+        "query_id",
+        F.col("node").alias("neighbor_id"),
+        "cos",
+        F.col("r").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")

@@ -92,6 +92,9 @@ BNLJ_OK = {
     "preference_bradley_terry",  # 1-row fold-total broadcast per MM round
     "ann_nndescent_graph",  # 1-row corpus-count broadcast (init arithmetic)
     "nndescent_recall_audit",  # same 1-row count + panel-probe broadcast
+    "ann_graph_beam_search",  # entry-node frontier constant-folds (node=0),
+    #   stripping the equi key: each BNLJ side is the <=10-query panel or
+    #   the entry node's <=k graph edges — bounded by construction
     "embedding_norm_outliers",  # 1-row median/MAD scalar broadcasts
     "kcenter_greedy_seeding",  # 1-row seed-vector broadcasts x3
     "bpe_merge_rounds",  # 1-row top-pair + 1-row vocab broadcasts x3

@@ -365,3 +365,37 @@ def test_dp_mechanisms_contract(spark):
     assert parts
     for r in parts:
         assert r["released"] == (1 if r["n_noisy"] > _DP_TAU else 0)
+
+
+def test_beam_search_visits_and_finds(spark):
+    """Beam-search contract: results are per-query top-10 among VISITED
+    nodes (rank 1..10, no self-matches), and the graph walk beats the
+    entry node's own neighborhood — at least one result per query is
+    outside the entry node's direct out-edges (hop > 1 reachability)."""
+    from formula_1_spark.queries.graph_ann import (
+        _ENTRY,
+        ann_graph_beam_search,
+        shared_nndescent_graph,
+    )
+
+    rows = ann_graph_beam_search(spark, SF).collect()
+    per_q = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert len(per_q) == 10
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, 11))
+
+    entry_edges = {
+        r["neighbor_id"]
+        for r in shared_nndescent_graph(spark, SF).collect()
+        if r["vec_id"] == _ENTRY
+    }
+    beyond = [
+        r
+        for r in rows
+        if r["neighbor_id"] not in entry_edges
+        and r["neighbor_id"] != _ENTRY
+    ]
+    assert beyond  # the walk reached past the entry neighborhood
