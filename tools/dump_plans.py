@@ -75,6 +75,12 @@ SLATE = {
     "ann_store_split_plan": "hot-cell pick over the <=n_cells occupancy agg; within-cell 2-means batched per cell in one keyed DAG, sub-centroids broadcast each round",
     "doc_repetition_excision": "one scan -> tagged explode (units/2-grams/5-grams) -> one gram-keyed shuffle -> per-doc aggregate with min-struct argmax; no window, no second scan",
     "ann_store_staleness_audit": "4 broadcast codebook joins reconstruct vectors from on-disk codes; one corpus-grain distortion aggregate on the integer grid",
+    "ann_nndescent_graph": "memoized graph leaf (LogicalRDD) + panel filter — the 2-round build executes once per session, every consumer replans a leaf",
+    "ann_graph_beam_search": "3 unrolled hops over the graph leaf: id-keyed expansion joins, per-query beam windows; entry frontier constant-folds into a bounded broadcast",
+    "preference_bradley_terry": "corpus reduces to per-pair win counts (2 shuffles), MM rounds run on checkpointed panel leaves with 1-row fold-total broadcasts",
+    "poisson_bootstrap_ci": "64x replicate explode collapses map-side into the (group, b) partial aggregate; ranking windows on the 5x64 replicate grid",
+    "dp_partition_selection": "bucket-grain count aggregate; noise + threshold are per-group expressions inside codegen, no extra exchange",
+    "semdedup_prune_report": "shared assignment leaf (memoized flat k-means) feeds pair verify, prune joins, and cell counts — no retraining in-plan",
 }
 
 
