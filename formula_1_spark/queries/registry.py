@@ -68,8 +68,12 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 # behind this window, driver-never-checked; all locally bit-exact vs
 # DuckDB at sf0.001 AND sf0.01): similarity_ann_store_probe,
 # similarity_ann_store_append_probe, ann_store_cell_drift,
-# ann_store_split_plan, doc_repetition_excision (extend with any later
-# round-11 registrations). Then the 8 remaining r05-stale greens:
+# ann_store_split_plan, doc_repetition_excision, ann_store_staleness_audit,
+# ann_nndescent_graph, nndescent_recall_audit, ann_graph_beam_search,
+# preference_bradley_terry, annotator_agreement_kappa,
+# poisson_bootstrap_ci, dp_noisy_counts, dp_partition_selection
+# (extend with any later round-11 registrations). Then the 8 remaining
+# r05-stale greens:
 # dedup_embedding_cosine, similarity_topk_bruteforce, similarity_ann_lsh,
 # similarity_ann_ivf, text_quality_profile, text_lang_report,
 # text_bpe_tokens, media_feature_extract. Fill the rest with the stalest
