@@ -194,6 +194,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.ann_store",
         "formula_1_spark.queries.graph_ann",
         "formula_1_spark.queries.preference",
+        "formula_1_spark.queries.ranking_eval",
     ):
         try:
             __import__(mod)

@@ -78,6 +78,8 @@ BNLJ_OK = {
     "orders_priority_chisq_drift",  # 1-row corpus-total broadcast
     "ann_recall_audit",  # same k-means centroid + query-probe broadcasts
     #   as similarity_ann_ivf / similarity_topk_bruteforce (its inputs)
+    "ranking_metrics_battery",  # same inputs as ann_recall_audit (brute
+    #   ground truth BNLJ + centroid broadcast), plus integer metric math
     "class_balance_reweighting",  # 1-row totals broadcast x2 (bounded)
     "bitext_margin_mining",  # probe-broadcast B-side scan (decontam shape)
     "surprisal_quality_correlation",  # same 1-row vocab-size broadcast

@@ -399,3 +399,44 @@ def test_beam_search_visits_and_finds(spark):
         and r["neighbor_id"] != _ENTRY
     ]
     assert beyond  # the walk reached past the entry neighborhood
+
+
+def test_ranking_metrics_consistency(spark):
+    """Metric identities on the fixed data: hits/mrr/ndcg agree with a
+    Python recomputation from the operator outputs, and ndcg <= 1e6."""
+    import math
+
+    from formula_1_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+    from formula_1_spark.queries.ranking_eval import (
+        _IDCG_PPM,
+        _W_PPM,
+        ranking_metrics_battery,
+    )
+    from formula_1_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    gt = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=10).collect()
+    }
+    res = lsh_topk(emb, q, k=10).collect()
+    want = {}
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        if (r["query_id"], r["neighbor_id"]) in gt:
+            h, mrr, dcg = want.get(r["query_id"], (0, 0, 0))
+            if h == 0:
+                mrr = 1_000_000 // r["rank"]
+            want[r["query_id"]] = (h + 1, mrr, dcg + _W_PPM[r["rank"] - 1])
+    rows = ranking_metrics_battery(spark, SF).collect()
+    for r in rows:
+        assert 0 <= r["ndcg_ppm"] <= 1_000_000
+        if r["method"] != "lsh":
+            continue
+        h, mrr, dcg = want.get(r["query_id"], (0, 0, 0))
+        assert r["hits"] == h
+        assert r["mrr_ppm"] == mrr
+        assert r["ndcg_ppm"] == dcg * 1_000_000 // _IDCG_PPM
