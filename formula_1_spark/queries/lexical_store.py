@@ -1,0 +1,211 @@
+"""Persisted lexical (BM25) index store — the third on-disk index.
+
+Completes the store triad: MinHash signature store (text near-dup),
+IVF-PQ ANN store (embedding search), and now the inverted index a
+lexical search / decontamination service actually operates: postings and
+document-frequency tables materialized to parquet PARTITIONED BY a term
+bucket, so a query touches only the buckets its terms hash to
+(partition pruning does the index lookup), plus doc-length and corpus
+scalars. The probe computes the IDENTICAL BM25 scores as the inline
+``bm25_corpus_search`` — same quantized rational IDF, same fixed-order
+float sums — so the oracle (which recomputes everything from
+``documents``) certifies the store round trip bit-for-bit.
+
+At 100 TB the store is an append-only lake table: new docs append
+postings into their term-bucket partitions, df/dl/scalars are
+incrementally maintained aggregates, and any single query's scan is
+bounded by its terms' buckets — never the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from formula_1_spark.operators.tfidf import (
+    BM25_B,
+    BM25_K1,
+    IDF_SCALE,
+    doc_terms,
+)
+from formula_1_spark.queries.lexical import _QUERY_TERMS, _TERMS_CTES
+from formula_1_spark.queries.registry import register
+from formula_1_spark.sources.fixtures import (
+    building_dir,
+    fixture_root,
+    publish,
+)
+from formula_1_spark.sources.tables import load_table, table_row_count
+
+_N_BUCKETS = 16
+_STORE_KIND = f"bm25_store_b{_N_BUCKETS}_idf{IDF_SCALE}_v1"
+_K = 15
+
+
+def _py_bucket(term: str) -> int:
+    """Python twin of the engine-side bucket expression
+    ``conv(substr(md5(term),1,8),16,10) % _N_BUCKETS`` — used to prune
+    partitions for a literal query before any scan."""
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % _N_BUCKETS
+
+
+def _bucket_col(term: Column) -> Column:
+    return (
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("bigint")
+        % _N_BUCKETS
+    )
+
+
+def _bm25_store_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per testdata fingerprint) the on-disk BM25 index:
+    postings + df partitioned by term bucket, dl per doc, 1-row corpus
+    scalars."""
+    root = fixture_root(_STORE_KIND, sf_dir, "documents")
+    if not os.path.isdir(root):
+        scratch = building_dir(root)
+        docs = load_table(spark, sf_dir, "documents")
+        terms = doc_terms(docs).persist()
+        terms.withColumn("term_bucket", _bucket_col(F.col("term"))).write.mode(
+            "overwrite"
+        ).partitionBy("term_bucket").parquet(os.path.join(scratch, "postings"))
+        (
+            terms.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .withColumn("term_bucket", _bucket_col(F.col("term")))
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(scratch, "df"))
+        )
+        dl = terms.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        dl.write.mode("overwrite").parquet(os.path.join(scratch, "dl"))
+        dl.agg(F.sum("dl").alias("total_len")).write.mode("overwrite").parquet(
+            os.path.join(scratch, "stats")
+        )
+        terms.unpersist()
+        publish(scratch, root)
+    return root
+
+
+@register(
+    "bm25_index_store_probe",
+    ops="EXT-bm25-store,S6,S7,J1,W2 (on-disk inverted index probe)",
+    doc=f"BM25 top-{_K} for the fixed query {_QUERY_TERMS} served from a "
+    "PERSISTED inverted index (postings + df parquet partitioned by "
+    f"md5-term bucket mod {_N_BUCKETS}, dl + corpus scalars alongside): "
+    "the probe prunes to the query terms' buckets BEFORE any scan "
+    "(partition pruning is the index lookup), joins dl and the 1-row "
+    "scalars, and scores with the identical quantized-rational-IDF "
+    "fixed-order math as bm25_corpus_search — the oracle recomputes "
+    "from documents, so any store round-trip defect hash-mismatches. "
+    "The lexical third of the store triad (MinHash signature store, "
+    "IVF-PQ ANN store).",
+    oracle=f"""
+WITH {_TERMS_CTES},
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+tot AS (SELECT SUM(dl) AS total_len FROM dl),
+matched AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+  FROM tf JOIN dl USING (doc_id)
+  WHERE tf.term IN {_QUERY_TERMS!r}
+),
+part AS (
+  SELECT m.doc_id, m.term, m.dl,
+         CAST(i.idf_q AS DOUBLE)
+           * (CAST(m.tf AS DOUBLE) * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
+           / (CAST(m.tf AS DOUBLE)
+              + CAST({BM25_K1!r} AS DOUBLE)
+                * (CAST({1.0 - BM25_B!r} AS DOUBLE)
+                   + CAST({BM25_B!r} AS DOUBLE) * CAST(m.dl AS DOUBLE)
+                     / (CAST(t.total_len AS DOUBLE) / CAST(n.n AS DOUBLE))))
+           AS part
+  FROM matched m
+  JOIN idf i USING (term), tot t, nd n
+),
+piv AS (
+  SELECT doc_id, dl,
+         MAX(CASE WHEN term = '{_QUERY_TERMS[0]}' THEN part END) AS s_0,
+         MAX(CASE WHEN term = '{_QUERY_TERMS[1]}' THEN part END) AS s_1,
+         MAX(CASE WHEN term = '{_QUERY_TERMS[2]}' THEN part END) AS s_2
+  FROM part GROUP BY doc_id, dl
+),
+scored AS (
+  SELECT doc_id, dl,
+         0.0 + COALESCE(s_0, 0.0) + COALESCE(s_1, 0.0) + COALESCE(s_2, 0.0)
+           AS score
+  FROM piv
+)
+SELECT doc_id, dl, score, CAST(rk AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+  FROM scored
+) WHERE rk <= {_K}
+""",
+)
+def bm25_index_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula_1_spark.operators.windows import two_phase_global_topk
+
+    root = _bm25_store_fixture(spark, sf_dir)
+    n_docs = table_row_count(spark, sf_dir, "documents")
+    qt = list(_QUERY_TERMS)
+    buckets = sorted({_py_bucket(t) for t in qt})
+
+    postings = (
+        spark.read.parquet(os.path.join(root, "postings"))
+        # bucket prune FIRST (partition pruning), then the term filter
+        .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(qt))
+        .select("doc_id", "term", "tf")
+    )
+    dfs = (
+        spark.read.parquet(os.path.join(root, "df"))
+        .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(qt))
+        .withColumn(
+            "idf_q", F.expr(f"{IDF_SCALE * (n_docs + 1)}L div (df + 1)")
+        )
+        .select("term", "idf_q")
+    )
+    dl = spark.read.parquet(os.path.join(root, "dl"))
+    stats = spark.read.parquet(os.path.join(root, "stats"))
+
+    matched = (
+        postings.join(dl, "doc_id")
+        .join(F.broadcast(stats), F.lit(True))
+        .join(F.broadcast(dfs), "term")
+    )
+    avgdl = F.col("total_len").cast("double") / F.lit(float(n_docs))
+    tf_d = F.col("tf").cast("double")
+    part = (
+        F.col("idf_q").cast("double")
+        * (tf_d * F.lit(BM25_K1 + 1.0))
+        / (
+            tf_d
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * F.col("dl").cast("double") / avgdl
+            )
+        )
+    )
+    per_term = matched.withColumn("part", part)
+    pivoted = per_term.groupBy("doc_id", "dl").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("part"))).alias(f"s_{i}")
+            for i, t in enumerate(qt)
+        ]
+    )
+    score: Column = F.lit(0.0)
+    for i in range(len(qt)):
+        score = score + F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+    scored = pivoted.withColumn("score", score)
+    top = two_phase_global_topk(
+        scored,
+        [F.desc("score"), F.asc("doc_id")],
+        _K,
+        alias="rank",
+        unique_order=True,
+    )
+    return top.select(
+        "doc_id", "dl", "score", F.col("rank").cast("int").alias("rank")
+    )

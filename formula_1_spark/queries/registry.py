@@ -195,6 +195,7 @@ def load_all() -> dict[str, QuerySpec]:
         "formula_1_spark.queries.graph_ann",
         "formula_1_spark.queries.preference",
         "formula_1_spark.queries.ranking_eval",
+        "formula_1_spark.queries.lexical_store",
     ):
         try:
             __import__(mod)

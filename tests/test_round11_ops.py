@@ -440,3 +440,33 @@ def test_ranking_metrics_consistency(spark):
         assert r["hits"] == h
         assert r["mrr_ppm"] == mrr
         assert r["ndcg_ppm"] == dcg * 1_000_000 // _IDCG_PPM
+
+
+def test_bm25_store_partition_pruning_and_roundtrip(spark):
+    """The store probe's postings scan must carry a term_bucket partition
+    filter (partition pruning IS the index lookup), and the scores must
+    equal the inline bm25_corpus_search exactly (store round trip)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from formula_1_spark.queries.lexical import bm25_corpus_search
+    from formula_1_spark.queries.lexical_store import (
+        _py_bucket,
+        bm25_index_store_probe,
+    )
+
+    df = bm25_index_store_probe(spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "term_bucket" in plan
+    # The pruned-bucket literals appear in a partition filter, and the
+    # scan reads a strict subset of the bucket partitions.
+    from formula_1_spark.queries.lexical import _QUERY_TERMS
+
+    assert any(str(_py_bucket(t)) in plan for t in _QUERY_TERMS)
+
+    store_rows = [tuple(r) for r in df.collect()]
+    inline_rows = [tuple(r) for r in bm25_corpus_search(spark, SF).collect()]
+    assert store_rows == inline_rows
