@@ -209,3 +209,186 @@ def bm25_index_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "doc_id", "dl", "score", F.col("rank").cast("int").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Append lifecycle: grow the index without rebuilding it
+# ---------------------------------------------------------------------------
+
+_FROZEN_MOD, _FROZEN_LT = 10, 8  # frozen 80% / batch 20% (store convention)
+
+
+def _grown_bm25_store_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Frozen-corpus index + the 20% batch APPENDED: batch postings land
+    in the same term-bucket partitions via parquet mode=append; df, dl,
+    and the corpus scalars are append-only DELTA relations summed at
+    probe time (an aggregate can't be appended row-wise, so the store
+    keeps per-snapshot partials — exactly how an incrementally
+    maintained index ships at 100 TB). Nothing in the frozen store is
+    ever rewritten."""
+    root = fixture_root(
+        f"{_STORE_KIND}_grown_f{_FROZEN_MOD}-{_FROZEN_LT}", sf_dir, "documents"
+    )
+    if not os.path.isdir(root):
+        scratch = building_dir(root)
+        docs = load_table(spark, sf_dir, "documents")
+        frozen = docs.filter(F.col("doc_id") % _FROZEN_MOD < _FROZEN_LT)
+        batch = docs.filter(F.col("doc_id") % _FROZEN_MOD >= _FROZEN_LT)
+        for tag, part in (("frozen", frozen), ("batch", batch)):
+            terms = doc_terms(part).persist()
+            mode = "overwrite" if tag == "frozen" else "append"
+            terms.withColumn(
+                "term_bucket", _bucket_col(F.col("term"))
+            ).write.mode(mode).partitionBy("term_bucket").parquet(
+                os.path.join(scratch, "postings")
+            )
+            (
+                terms.groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .withColumn("term_bucket", _bucket_col(F.col("term")))
+                .withColumn("snapshot", F.lit(tag))
+                .write.mode(mode)
+                .partitionBy("term_bucket")
+                .parquet(os.path.join(scratch, "df"))
+            )
+            dl = terms.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+            dl.write.mode(mode).parquet(os.path.join(scratch, "dl"))
+            dl.agg(F.sum("dl").alias("total_len")).withColumn(
+                "snapshot", F.lit(tag)
+            ).write.mode(mode).parquet(os.path.join(scratch, "stats"))
+            terms.unpersist()
+        publish(scratch, root)
+    return root
+
+
+@register(
+    "bm25_index_store_append_probe",
+    ops="EXT-bm25-store-append,S6,S7,J1,W2 (index growth without rebuild)",
+    doc=f"BM25 top-{_K} for {_QUERY_TERMS} served from the GROWN "
+    "inverted index: the frozen 80% store plus the 20% batch appended "
+    "into the same term-bucket partitions, with df / dl / corpus "
+    "scalars kept as per-snapshot DELTA partials summed at probe time "
+    "(aggregates can't be appended row-wise — the incrementally-"
+    "maintained-index shape). The oracle recomputes over the FULL "
+    "corpus, so any append defect (dropped batch postings, stale df, "
+    "wrong scalar merge) hash-mismatches. Completes the lexical store "
+    "lifecycle alongside the MinHash and ANN store append probes.",
+    oracle=f"""
+WITH {_TERMS_CTES},
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+tot AS (SELECT SUM(dl) AS total_len FROM dl),
+matched AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+  FROM tf JOIN dl USING (doc_id)
+  WHERE tf.term IN {_QUERY_TERMS!r}
+),
+part AS (
+  SELECT m.doc_id, m.term, m.dl,
+         CAST(i.idf_q AS DOUBLE)
+           * (CAST(m.tf AS DOUBLE) * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
+           / (CAST(m.tf AS DOUBLE)
+              + CAST({BM25_K1!r} AS DOUBLE)
+                * (CAST({1.0 - BM25_B!r} AS DOUBLE)
+                   + CAST({BM25_B!r} AS DOUBLE) * CAST(m.dl AS DOUBLE)
+                     / (CAST(t.total_len AS DOUBLE) / CAST(n.n AS DOUBLE))))
+           AS part
+  FROM matched m
+  JOIN idf i USING (term), tot t, nd n
+),
+piv AS (
+  SELECT doc_id, dl,
+         MAX(CASE WHEN term = '{_QUERY_TERMS[0]}' THEN part END) AS s_0,
+         MAX(CASE WHEN term = '{_QUERY_TERMS[1]}' THEN part END) AS s_1,
+         MAX(CASE WHEN term = '{_QUERY_TERMS[2]}' THEN part END) AS s_2
+  FROM part GROUP BY doc_id, dl
+),
+scored AS (
+  SELECT doc_id, dl,
+         0.0 + COALESCE(s_0, 0.0) + COALESCE(s_1, 0.0) + COALESCE(s_2, 0.0)
+           AS score
+  FROM piv
+)
+SELECT doc_id, dl, score, CAST(rk AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+  FROM scored
+) WHERE rk <= {_K}
+""",
+)
+def bm25_index_store_append_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from formula_1_spark.operators.windows import two_phase_global_topk
+
+    root = _grown_bm25_store_fixture(spark, sf_dir)
+    n_docs = table_row_count(spark, sf_dir, "documents")
+    qt = list(_QUERY_TERMS)
+    buckets = sorted({_py_bucket(t) for t in qt})
+
+    postings = (
+        spark.read.parquet(os.path.join(root, "postings"))
+        .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(qt))
+        .select("doc_id", "term", "tf")
+    )
+    # df deltas: one partial per snapshot, merged by SUM at probe time.
+    dfs = (
+        spark.read.parquet(os.path.join(root, "df"))
+        .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(qt))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .withColumn(
+            "idf_q", F.expr(f"{IDF_SCALE * (n_docs + 1)}L div (df + 1)")
+        )
+        .select("term", "idf_q")
+    )
+    dl = spark.read.parquet(os.path.join(root, "dl"))
+    stats = (
+        spark.read.parquet(os.path.join(root, "stats"))
+        .agg(F.sum("total_len").alias("total_len"))
+    )
+
+    matched = (
+        postings.join(dl, "doc_id")
+        .join(F.broadcast(stats), F.lit(True))
+        .join(F.broadcast(dfs), "term")
+    )
+    avgdl = F.col("total_len").cast("double") / F.lit(float(n_docs))
+    tf_d = F.col("tf").cast("double")
+    part = (
+        F.col("idf_q").cast("double")
+        * (tf_d * F.lit(BM25_K1 + 1.0))
+        / (
+            tf_d
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * F.col("dl").cast("double") / avgdl
+            )
+        )
+    )
+    pivoted = (
+        matched.withColumn("part", part)
+        .groupBy("doc_id", "dl")
+        .agg(
+            *[
+                F.max(F.when(F.col("term") == t, F.col("part"))).alias(
+                    f"s_{i}"
+                )
+                for i, t in enumerate(qt)
+            ]
+        )
+    )
+    score: Column = F.lit(0.0)
+    for i in range(len(qt)):
+        score = score + F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+    scored = pivoted.withColumn("score", score)
+    top = two_phase_global_topk(
+        scored,
+        [F.desc("score"), F.asc("doc_id")],
+        _K,
+        alias="rank",
+        unique_order=True,
+    )
+    return top.select(
+        "doc_id", "dl", "score", F.col("rank").cast("int").alias("rank")
+    )

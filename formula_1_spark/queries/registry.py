@@ -72,7 +72,8 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 # ann_nndescent_graph, nndescent_recall_audit, ann_graph_beam_search,
 # preference_bradley_terry, annotator_agreement_kappa,
 # poisson_bootstrap_ci, dp_noisy_counts, dp_partition_selection,
-# ranking_metrics_battery, bm25_index_store_probe
+# ranking_metrics_battery, bm25_index_store_probe,
+# bm25_index_store_append_probe
 # (extend with any later round-11 registrations). Then the 8 remaining
 # r05-stale greens:
 # dedup_embedding_cosine, similarity_topk_bruteforce, similarity_ann_lsh,

@@ -81,6 +81,7 @@ BNLJ_OK = {
     "ranking_metrics_battery",  # same inputs as ann_recall_audit (brute
     #   ground truth BNLJ + centroid broadcast), plus integer metric math
     "bm25_index_store_probe",  # 1-row corpus-scalars (total_len) broadcast
+    "bm25_index_store_append_probe",  # same 1-row merged-scalars broadcast
     "class_balance_reweighting",  # 1-row totals broadcast x2 (bounded)
     "bitext_margin_mining",  # probe-broadcast B-side scan (decontam shape)
     "surprisal_quality_correlation",  # same 1-row vocab-size broadcast

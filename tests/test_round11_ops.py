@@ -470,3 +470,53 @@ def test_bm25_store_partition_pruning_and_roundtrip(spark):
     store_rows = [tuple(r) for r in df.collect()]
     inline_rows = [tuple(r) for r in bm25_corpus_search(spark, SF).collect()]
     assert store_rows == inline_rows
+
+
+def test_bm25_store_append_grows_index(spark):
+    """Append contract: the grown store's postings contain BOTH cohorts,
+    the df deltas sum to the full-corpus df, and the probe over the
+    grown store equals the inline full-corpus BM25 exactly."""
+    import os
+
+    from formula_1_spark.queries.lexical import bm25_corpus_search
+    from formula_1_spark.queries.lexical_store import (
+        _FROZEN_LT,
+        _FROZEN_MOD,
+        _grown_bm25_store_fixture,
+        bm25_index_store_append_probe,
+    )
+
+    root = _grown_bm25_store_fixture(spark, SF)
+    post = spark.read.parquet(os.path.join(root, "postings"))
+    cohorts = (
+        post.select(
+            (F.col("doc_id") % _FROZEN_MOD >= _FROZEN_LT).alias("is_batch")
+        )
+        .distinct()
+        .collect()
+    )
+    assert {r["is_batch"] for r in cohorts} == {True, False}
+
+    from formula_1_spark.operators.tfidf import doc_terms
+    from formula_1_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    full_df = {
+        r["term"]: r["n"]
+        for r in doc_terms(docs)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    merged = {
+        r["term"]: r["n"]
+        for r in spark.read.parquet(os.path.join(root, "df"))
+        .groupBy("term")
+        .agg(F.sum("df").alias("n"))
+        .collect()
+    }
+    assert merged == full_df
+
+    grown = [tuple(r) for r in bm25_index_store_append_probe(spark, SF).collect()]
+    inline = [tuple(r) for r in bm25_corpus_search(spark, SF).collect()]
+    assert grown == inline
