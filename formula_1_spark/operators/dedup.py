@@ -335,7 +335,10 @@ SIMHASH_CHUNKS = 4  # 4 x 15-bit chunks: hamming <= 3 ⇒ >= 1 chunk equal
 
 
 def simhash_signatures(
-    docs_tokens: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id"
+    docs_tokens: DataFrame | None = None,
+    bits: int = SIMHASH_BITS,
+    id_col: str = "doc_id",
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig) — 60-bit SimHash over the token multiset.
 
@@ -344,10 +347,19 @@ def simhash_signatures(
     times after CollapseProject re-inlines it into each per-bit aggregate
     — measured 60x slower.) Shift amounts are Python-int literals, so the
     per-bit expressions come from a Python loop; execution is all
-    JVM-side hash aggregation with map-side partial sums."""
-    base = docs_tokens.select(F.col(id_col), F.explode("toks").alias("t")).select(
-        F.col(id_col), md5_long(F.col("t")).alias("h")
-    )
+    JVM-side hash aggregation with map-side partial sums.
+
+    ``exploded`` short-circuits the explode with a caller-built
+    ``(id_col, t)`` token relation. Use it when the token expression is
+    expensive to re-evaluate per array element: a ``transform`` lambda
+    re-evaluates every outer expression it references (e.g. a payload
+    decode) once PER ELEMENT after CollapseProject inlines it, turning an
+    O(len) gram pass into O(len²) per document — a caller-side Generate
+    barrier (explode the index, slice above the Generate) evaluates the
+    decode once per row instead (measured 12x on the media gram path)."""
+    if exploded is None:
+        exploded = docs_tokens.select(F.col(id_col), F.explode("toks").alias("t"))
+    base = exploded.select(F.col(id_col), md5_long(F.col("t")).alias("h"))
     sums = [
         F.sum(
             F.when(
