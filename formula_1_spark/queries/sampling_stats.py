@@ -560,6 +560,7 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from formula_1_spark.operators.dedup import md5_int32
+    from formula_1_spark.sources.tables import fan_out
 
     base = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("priority"),
@@ -569,7 +570,11 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One pass over base x 64 replicate ids; the explode fans out map-side
     # and collapses immediately into the (priority, b) partial aggregate —
     # the streaming Poisson-bootstrap shape (no resample materialization).
-    weighted = base.select(
+    # fan_out BEFORE the explode: the 64x replicate md5s are the whole
+    # cost of this query, and a single-row-group parquet scan otherwise
+    # serializes all of it onto one core (measured 9.0 s -> ~1 s at
+    # sf0.1; no-op once the scan has >= core-count splits).
+    weighted = fan_out(base).select(
         "priority",
         "cents",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
