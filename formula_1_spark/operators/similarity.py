@@ -1005,6 +1005,7 @@ def nndescent_graph(
     vec_col: str = "embedding",
     init_a: int = 2654435761,
     init_b: int = 40503,
+    dims: int = 64,
 ) -> DataFrame:
     """NN-descent k-NN GRAPH construction (Dong, Moses & Li, WWW'11) —
     the graph-based ANN family (HNSW/NSG ancestors), complementing the
@@ -1043,8 +1044,29 @@ def nndescent_graph(
         .select("v", "nb")
         .distinct()
     )
-    qe = corpus.select(F.col(id_col).alias("v"), F.col(vec_col).alias("v_vec"))
-    ce = corpus.select(F.col(id_col).alias("nb"), F.col(vec_col).alias("nb_vec"))
+    # Pair scoring via the flat multiply-add kernel (codegen), not the
+    # interpreted per-pair HOF cosine — ≤ N·(2k+k²) candidate pairs per
+    # round made this the whole cost of the build (measured ~9.5 s of
+    # ~10 s at sf0.1; 10x with the HOF per pair, per the module doc).
+    # cos = flat_dot/(na·nb) reproduces cosine()'s dot/(norm·norm)
+    # bit-for-bit (left-to-right adds, product-then-divide). The norm is
+    # materialized under a checkpoint so CollapseProject cannot inline
+    # the HOF fold into all `dims` flattened columns.
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+    ).localCheckpoint(eager=False)
+    qe = base.select(
+        F.col("id").alias("v"),
+        F.col("nrm").alias("na"),
+        *flatten_vec("x", F.col("vec"), dims),
+    )
+    ce = base.select(
+        F.col("id").alias("nb"),
+        F.col("nrm").alias("nbn"),
+        *flatten_vec("y", F.col("vec"), dims),
+    )
     w = Window.partitionBy("v").orderBy(F.desc("cos"), F.asc("nb"))
     ranked = None
     for t in range(iters):
@@ -1059,13 +1081,21 @@ def nndescent_graph(
         ranked = (
             cand.join(qe, "v")
             .join(ce, "nb")
-            .withColumn("cos", cosine(F.col("v_vec"), F.col("nb_vec")))
+            .withColumn(
+                "cos", flat_dot("x", "y", dims) / (F.col("na") * F.col("nbn"))
+            )
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
         g = ranked.select("v", "nb")
         if t < iters - 1:
-            g = g.localCheckpoint(eager=False)
+            # EAGER: a lazy checkpoint only truncates lineage after first
+            # execution, so every DataFrame built during the next round is
+            # ANALYZED against the full unrolled tree (g appears 4x per
+            # round -> plan size grows ~4^iters; measured ~10 s of pure
+            # driver-side analysis for iters=2 at sf0.1). Materializing the
+            # N*k-row graph per round keeps analysis linear in iters.
+            g = g.localCheckpoint(eager=True)
     return ranked.select(
         F.col("v").alias("vec_id"),
         F.col("nb").alias("neighbor_id"),
