@@ -38,6 +38,89 @@ outw AS MATERIALIZED (SELECT src, CAST(SUM(n) AS BIGINT) AS ow FROM trade GROUP 
 nn AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_nodes FROM nation)
 """
 
+# Six graph queries (pagerank, HITS, triangles, k-core, LPA, shortest
+# path) each recomputed the IDENTICAL corpus-scale trade aggregate —
+# lineitem ⋈ orders ⋈ customer ⋈ supplier → (src, dst, line count) —
+# before doing nation-grain work on its <= 25^2 rows. The aggregate is
+# memoized per (session, lineitem identity) as an eager localCheckpoint
+# (the graph-side twin of dedup._shared_relations and
+# dedup._SEM_SHARED), so the corpus joins run ONCE per session and every
+# family member starts from the ~600-row checkpoint. Values unaffected:
+# the aggregate is an exact integer relation, each query's edge list is
+# derived from it by exact algebra (distinct keys / orientation-collapsed
+# sums), and every oracle still recomputes trade from the base tables —
+# a stale memo would hash-mismatch. trade_reach_recursive_sql is NOT
+# rewired: its contract is one WITH RECURSIVE text run verbatim by both
+# engines.
+_TRADE_SHARED: dict[tuple, DataFrame] = {}
+
+
+def shared_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized directed nation trade aggregate: (src, dst, n) with
+    src <> dst, n = exact line count (LongType) — bit-identical to the
+    inline aggregate every family member previously built."""
+    import os
+
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        st = os.stat(path)
+        key = (app_id, os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
+    except OSError:
+        key = None
+    ent = _TRADE_SHARED.get(key) if key is not None else None
+    if ent is None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        supp = load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey"
+        )
+        ent = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+            .groupBy(
+                F.col("c_nationkey").alias("src"),
+                F.col("s_nationkey").alias("dst"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        if key is not None:
+            for stale in [
+                k
+                for k in _TRADE_SHARED
+                if k[0] != app_id or (k[1] == key[1] and k != key)
+            ]:
+                _TRADE_SHARED.pop(stale)  # checkpoint blocks die with context
+            _TRADE_SHARED[key] = ent
+    return ent
+
+
+def shared_trade_edges_undirected(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(a, b, n) with a = least(src, dst), b = greatest, n = summed line
+    count — the orientation-collapsed form k-core and LPA previously
+    aggregated from line grain (sum of the <= 2 directed counts per
+    unordered pair is exactly the line-grain count)."""
+    return (
+        shared_trade_edges(spark, sf_dir)
+        .groupBy(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+
 
 def _pagerank_ctes(iters: int) -> str:
     """Unrolled per-iteration CTE chain mirroring pagerank_quantized."""
@@ -87,24 +170,10 @@ FROM pr{_ITERS}
 """,
 )
 def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node")
     )
-
-    trade = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    trade = shared_trade_edges(spark, sf_dir)
     pr = pagerank_quantized(nation, trade, iters=_ITERS, damping_pct=_DAMP)
     return pr.select(
         "node",
@@ -139,24 +208,13 @@ JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
 """,
 )
 def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    trade = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
-    )
-    edges = (
-        trade.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-        .persist()
-    )
+    # The distinct unordered pairs of the line-grain trade relation are
+    # exactly the distinct unordered pairs of its (src, dst) aggregate
+    # keys — derive from the memoized aggregate, not a fresh corpus join.
+    trade = shared_trade_edges(spark, sf_dir)
+    edges = trade.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
     e1 = edges.select(F.col("a"), F.col("b"))
     e2 = edges.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
     e3 = edges.select(F.col("a").alias("e3a"), F.col("b").alias("e3b"))
@@ -326,21 +384,7 @@ ORDER BY d.node
     oracle=_kcore_oracle(),
 )
 def trade_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    trade = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.least("c_nationkey", "s_nationkey").alias("a"),
-            F.greatest("c_nationkey", "s_nationkey").alias("b"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
+    trade = shared_trade_edges_undirected(spark, sf_dir)
     med = trade.agg(F.expr("percentile(n, 0.5)").alias("m"))
     e0 = (
         trade.join(F.broadcast(med))
@@ -578,23 +622,10 @@ FROM h{_HITS_ITERS} h JOIN a{_HITS_ITERS} a ON a.node = h.node
 def trade_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula_1_spark.operators.graph import hits_quantized
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node")
     )
-    trade = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    trade = shared_trade_edges(spark, sf_dir)
     scores = hits_quantized(nation, trade, iters=_HITS_ITERS)
     return scores.select(
         "node",
@@ -678,24 +709,10 @@ ORDER BY l.node
 def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula_1_spark.operators.graph import label_propagation
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node")
     )
-    trade = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.least("c_nationkey", "s_nationkey").alias("a"),
-            F.greatest("c_nationkey", "s_nationkey").alias("b"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
+    trade = shared_trade_edges_undirected(spark, sf_dir)
     med = trade.agg(F.expr("percentile(n, 0.5)").alias("m"))
     # EAGER: <= 300 edge rows feeding 2 * iters downstream subtrees — lazy
     # materialization would replan the corpus join per subtree (the same

@@ -490,22 +490,10 @@ FROM walk GROUP BY origin, node
 """,
 )
 def nation_trade_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    from formula_1_spark.queries.graph_rank import shared_trade_edges
 
-    trade = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    trade = shared_trade_edges(spark, sf_dir)
     rk = F.row_number().over(
         Window.partitionBy("src").orderBy(F.col("n").desc(), F.col("dst"))
     )
