@@ -237,13 +237,29 @@ def cosine_near_dup_pairs(
 
 
 def _verify_band_candidates(
-    base: DataFrame, bands: DataFrame, threshold: float, dims: int
+    base: DataFrame,
+    bands: DataFrame,
+    threshold: float,
+    dims: int,
+    broadcast_vectors: bool = True,
 ) -> DataFrame:
     """Bucket the (id, band) long form, explode in-bucket pairs, exact
     cosine re-verify. Bucket pattern rather than a bands⋈bands self-join:
     ONE shuffle groups each (band_id, band_key) bucket, pairs explode
     in-bucket, and bucket size bounds the quadratic work (the LSH
-    contract)."""
+    contract).
+
+    ``broadcast_vectors`` hints the two unit-vector projections as the
+    broadcast/build sides. Without the hint both join inputs are
+    stat-less checkpoint scans and the planner has been observed to
+    broadcast the CANDIDATE side instead, streaming the corpus through
+    it and materializing a candidates x (2 x dims) wide intermediate —
+    measured 9.4 s vs 1.3 s at sf0.1 for the identical result. The pair
+    relation is larger than the vector relation by the bucket-occupancy
+    factor, so building on the vector side is also the right choice at
+    scale; pass False only when the vector projection itself exceeds
+    broadcast capacity (the planner then falls back to a shuffled join
+    keyed on vec_id)."""
     buckets = (
         bands.groupBy("band_id", "band_key")
         .agg(F.collect_set("vec_id").alias("ids"))
@@ -263,6 +279,8 @@ def _verify_band_candidates(
         F.col("vec_id").alias("vec_id_2"),
         *flatten_vec("y", F.col("embedding"), dims, denom=F.col("na")),
     )
+    if broadcast_vectors:
+        a, b = F.broadcast(a), F.broadcast(b)
     return (
         cand.join(a, "vec_id_1")
         .join(b, "vec_id_2")
@@ -354,7 +372,13 @@ def _pairs_within_cells(
     base: DataFrame, assign: DataFrame, threshold: float, dims: int
 ) -> DataFrame:
     """Shared verify tail: bucket the (vec_id, cell_id) assignment, explode
-    in-cell pairs, exact prenormalized flat-dot cosine >= threshold."""
+    in-cell pairs, exact prenormalized flat-dot cosine >= threshold.
+
+    The unit-vector projections are hinted as the broadcast/build sides
+    for the same reason as :func:`_verify_band_candidates`: the pair
+    relation outweighs the vector relation by the cell-occupancy factor,
+    and without the hint the planner has been observed to broadcast the
+    PAIR side and materialize a pairs x (2 x dims) wide intermediate."""
     # Bucket pattern: one shuffle on cell_id, pairs explode in-cell.
     buckets = (
         assign.groupBy("cell_id")
@@ -375,8 +399,8 @@ def _pairs_within_cells(
         *flatten_vec("y", F.col("embedding"), dims, denom=F.col("na")),
     )
     return (
-        cand.join(a, "vec_id_1")
-        .join(b, "vec_id_2")
+        cand.join(F.broadcast(a), "vec_id_1")
+        .join(F.broadcast(b), "vec_id_2")
         .withColumn("cos", flat_dot("x", "y", dims))
         .filter(F.col("cos") >= threshold)
         .select("cell_id", "vec_id_1", "vec_id_2", "cos")
