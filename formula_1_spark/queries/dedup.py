@@ -82,6 +82,24 @@ def _shared_relations(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return ent
 
 
+def _shared_loose_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized LOOSE (>= 0.25) exact-Jaccard verify over the shared
+    candidate index: three tuning queries (dedup_threshold_sweep,
+    lsh_band_planning, simhash_hamming_roc) run the identical loosest
+    verify pass and then aggregate it differently — the pass now executes
+    once per (session, sf_dir) and each consumer reads the checkpointed
+    pair relation. Same lifecycle as the 0.5-threshold ``jaccard_pairs``
+    entry; each oracle still recomputes the verify from documents."""
+    ent = _shared_relations(spark, sf_dir)
+    if "jaccard_pairs_loose" not in ent:
+        from formula_1_spark.operators.dedup import jaccard_pairs_from_shingles
+
+        ent["jaccard_pairs_loose"] = jaccard_pairs_from_shingles(
+            ent["sh"], threshold=0.25, max_df=50, cand=ent["cand"]
+        ).localCheckpoint(eager=False)
+    return ent["jaccard_pairs_loose"]
+
+
 def _shared_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized (doc_id, cluster_id, cluster_size, is_canonical): the
     iterative min-label propagation runs once per (session, sf_dir) and
@@ -1570,15 +1588,13 @@ ORDER BY t.threshold_ppm
 """,
 )
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from formula_1_spark.operators.dedup import jaccard_pairs_from_shingles
-
-    ent = _shared_relations(spark, sf_dir)
-    # Loosest verify once (shared shingles + candidate index); every
-    # threshold row is a conditional aggregate over the SAME relation —
-    # the sweep costs one verification pass, not six.
-    verified = jaccard_pairs_from_shingles(
-        ent["sh"], threshold=0.25, max_df=50, cand=ent["cand"]
-    ).select("doc_id_1", "doc_id_2", "jaccard")
+    # Loosest verify once (shared shingles + candidate index, memoized
+    # across the three tuning consumers); every threshold row is a
+    # conditional aggregate over the SAME relation — the sweep costs one
+    # verification pass, not six.
+    verified = _shared_loose_jaccard_pairs(spark, sf_dir).select(
+        "doc_id_1", "doc_id_2", "jaccard"
+    )
     thr = spark.range(1).select(
         F.explode(
             F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS_PPM])

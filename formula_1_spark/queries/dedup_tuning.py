@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from formula_1_spark.queries.dedup import _SHINGLES_CTE, _shared_relations
+from formula_1_spark.queries.dedup import (
+    _SHINGLES_CTE,
+    _shared_loose_jaccard_pairs,
+    _shared_relations,
+)
 from formula_1_spark.queries.registry import register
 from formula_1_spark.sources.tables import load_table
 
@@ -157,12 +161,7 @@ ORDER BY bands DESC
 """,
 )
 def lsh_band_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from formula_1_spark.operators.dedup import jaccard_pairs_from_shingles
-
-    ent = _shared_relations(spark, sf_dir)
-    verified = jaccard_pairs_from_shingles(
-        ent["sh"], threshold=0.25, max_df=50, cand=ent["cand"]
-    )
+    verified = _shared_loose_jaccard_pairs(spark, sf_dir)
     hist = (
         verified.select(
             F.least(F.floor(F.col("jaccard") * 20).cast("int"), F.lit(19)).alias(
@@ -290,15 +289,10 @@ ORDER BY max_hamming
 """,
 )
 def simhash_hamming_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from formula_1_spark.operators.dedup import (
-        jaccard_pairs_from_shingles,
-        simhash_signatures,
-    )
+    from formula_1_spark.operators.dedup import simhash_signatures
 
     ent = _shared_relations(spark, sf_dir)
-    verified = jaccard_pairs_from_shingles(
-        ent["sh"], threshold=0.25, max_df=50, cand=ent["cand"]
-    )
+    verified = _shared_loose_jaccard_pairs(spark, sf_dir)
     sigs = simhash_signatures(ent["tok"])
     scored = (
         verified.join(
