@@ -559,17 +559,27 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "g")
         .distinct()
     )
-    first = pos.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        pos.join(first, "g")
+    # A gram is novel in exactly the doc that is its min(doc_id), so the
+    # per-doc novel count is a count over the gram-grain min aggregate —
+    # no need to join the first-occurrence relation back onto the full
+    # gram relation (that join shuffled every (doc, gram) row a second
+    # time; both aggregates here are map-side combinable and the only
+    # join left is doc-grain).
+    grams_per_doc = pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("grams")
+    )
+    novel_per_doc = (
+        pos.groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("novel"),
+        .agg(F.count(F.lit(1)).cast("bigint").alias("novel"))
+    )
+    per_doc = (
+        grams_per_doc.join(novel_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "grams",
+            F.coalesce("novel", F.lit(0)).cast("bigint").alias("novel"),
         )
     )
     tiled = global_ntile_two_phase(
