@@ -455,11 +455,16 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula_1_spark.sources.tables import fan_out
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # localCheckpoint: four consumers read this relation (the sketch
+    # path, both sides of the exact-intersection self-join, and the
+    # per-source sizes) — without the materialization each re-ran the
+    # full md5-per-gram postings build.
     grams = (
         positional_gram_postings(docs, _KMV_GRAM)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "g")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     # Two-phase exact k-min per source: partial k-min inside 32 hash
     # buckets (bounded window groups), then k-min of the <= 32*K
