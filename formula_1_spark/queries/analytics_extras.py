@@ -840,10 +840,14 @@ LIMIT 50
 def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # localCheckpoint: four consumers read the distinct (order, brand)
+    # relation (the order count, per-brand counts, and both sides of the
+    # pair self-join) — without it each re-ran the corpus join+distinct.
     ob = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n = ob.agg(F.count_distinct("o").alias("n_orders"))
     bc = ob.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
