@@ -73,6 +73,8 @@ def tfidf_topk_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_docs: int | None = None,
+    terms: DataFrame | None = None,
+    idf: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` lexically-similar documents for every query doc
     (``query_pred`` selects the query set) by exact TF-IDF cosine.
@@ -81,11 +83,18 @@ def tfidf_topk_pairs(
     ``df <= max_df`` (None = no cap — only sane on small corpora or
     post-stopword-strip corpora; at scale set the cap so bucket sizes
     stay bounded). Scoring of surviving pairs uses all shared terms.
+
+    ``terms``/``idf`` short-circuit the tokenize→tf and df→idf builds
+    with the lexical family's session-memoized relations — the three
+    registered lexical queries otherwise rebuild the identical corpus
+    tokenization per call (and leak a per-call persist each).
     """
     if n_docs is None:
         n_docs = docs.count()  # fallback; callers pass the memoized count
-    terms = doc_terms(docs, id_col, text_col).persist()
-    idf = idf_table(terms, n_docs)
+    if terms is None:
+        terms = doc_terms(docs, id_col, text_col).persist()
+    if idf is None:
+        idf = idf_table(terms, n_docs)
 
     w = (
         terms.join(idf.select("term", "df", "idf_q"), "term")
@@ -163,6 +172,8 @@ def bm25_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_docs: int | None = None,
+    terms: DataFrame | None = None,
+    idf: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents for a fixed term query under BM25
     (k1=1.2, b=0.75, quantized rational IDF).
@@ -171,10 +182,14 @@ def bm25_scores(
     integers (tf, dl, idf_q) and the exact rational avgdl, then summed in
     the FIXED literal order of ``query_terms`` via conditional
     aggregation — never a float SUM whose accumulation order floats.
+
+    ``terms``/``idf`` short-circuit the corpus tokenize/idf builds with
+    the family-memoized relations (see ``tfidf_topk_pairs``).
     """
     if n_docs is None:
         n_docs = docs.count()  # fallback; callers pass the memoized count
-    terms = doc_terms(docs, id_col, text_col).persist()
+    if terms is None:
+        terms = doc_terms(docs, id_col, text_col).persist()
     dl = terms.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     total_len = dl.agg(F.sum("dl").alias("total_len"))  # 1 row
 
@@ -184,7 +199,9 @@ def bm25_scores(
         .join(dl, "doc_id")
         .join(F.broadcast(total_len), F.lit(True))
     )
-    idf = idf_table(terms, n_docs).filter(F.col("term").isin(qt))
+    if idf is None:
+        idf = idf_table(terms, n_docs)
+    idf = idf.filter(F.col("term").isin(qt))
     matched = matched.join(F.broadcast(idf.select("term", "idf_q")), "term")
 
     # avgdl as the exact rational total_len / n_docs (double division of

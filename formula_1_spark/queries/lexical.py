@@ -27,6 +27,47 @@ from formula_1_spark.operators.tfidf import (
 from formula_1_spark.queries.registry import register
 from formula_1_spark.sources.tables import load_table, table_row_count
 
+# The three lexical queries all start from the identical corpus
+# tokenize -> (doc_id, term, tf) relation and its term-grain IDF; before
+# the memo each query rebuilt both per call (rrf_rank_fusion twice: its
+# own tf·idf arm plus the bm25_scores call inside it), each behind a
+# leaked per-call persist. Memoized per (session, documents identity) as
+# lazy localCheckpoints — the lexical twin of dedup._shared_relations.
+# Values unaffected: the relations are exactly what each query built
+# inline, and every oracle retokenizes from documents.
+_LEX_SHARED: dict[tuple, dict[str, DataFrame]] = {}
+
+
+def _shared_lexical(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    import os
+
+    from formula_1_spark.operators.tfidf import doc_terms, idf_table
+
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(path)
+        key = (app_id, os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
+    except OSError:
+        key = None  # no invalidation signal (remote FS) — build fresh
+    ent = _LEX_SHARED.get(key) if key is not None else None
+    if ent is None:
+        docs = load_table(spark, sf_dir, "documents")
+        n = table_row_count(spark, sf_dir, "documents")
+        terms = doc_terms(docs).localCheckpoint(eager=False)
+        idf = idf_table(terms, n).localCheckpoint(eager=False)
+        ent = {"terms": terms, "idf": idf}
+        if key is not None:
+            for stale in [
+                k
+                for k in _LEX_SHARED
+                if k[0] != app_id or (k[1] == key[1] and k != key)
+            ]:
+                _LEX_SHARED.pop(stale)  # checkpoint blocks die with context
+            _LEX_SHARED[key] = ent
+    return ent
+
+
 # Shared CTE prefix: tokenize -> tf -> df -> quantized rational idf.
 _TERMS_CTES = f"""
 toks AS (
@@ -90,7 +131,15 @@ FROM (
 def tfidf_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n = table_row_count(spark, sf_dir, "documents")
-    return tfidf_topk_pairs(docs, F.col("doc_id") < 10, k=10, n_docs=n)
+    ent = _shared_lexical(spark, sf_dir)
+    return tfidf_topk_pairs(
+        docs,
+        F.col("doc_id") < 10,
+        k=10,
+        n_docs=n,
+        terms=ent["terms"],
+        idf=ent["idf"],
+    )
 
 
 _QUERY_TERMS = ("spark", "query", "join")
@@ -156,7 +205,15 @@ FROM (
 def bm25_corpus_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n = table_row_count(spark, sf_dir, "documents")
-    return bm25_scores(docs, list(_QUERY_TERMS), k=15, n_docs=n)
+    ent = _shared_lexical(spark, sf_dir)
+    return bm25_scores(
+        docs,
+        list(_QUERY_TERMS),
+        k=15,
+        n_docs=n,
+        terms=ent["terms"],
+        idf=ent["idf"],
+    )
 
 
 _PPM = 1_000_000
@@ -240,19 +297,19 @@ ORDER BY fused_rank
 """,
 )
 def rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from formula_1_spark.operators.tfidf import doc_terms, idf_table
     from formula_1_spark.operators.windows import two_phase_global_topk
 
     docs = load_table(spark, sf_dir, "documents")
     n = table_row_count(spark, sf_dir, "documents")
     qt = list(_QUERY_TERMS)
+    ent = _shared_lexical(spark, sf_dir)
 
-    bm = bm25_scores(docs, qt, k=_FUSE_TOPK, n_docs=n).select(
-        "doc_id", F.col("rank").cast("bigint").alias("r_bm25")
-    )
+    bm = bm25_scores(
+        docs, qt, k=_FUSE_TOPK, n_docs=n, terms=ent["terms"], idf=ent["idf"]
+    ).select("doc_id", F.col("rank").cast("bigint").alias("r_bm25"))
 
-    terms = doc_terms(docs)
-    idf = idf_table(terms, n).filter(F.col("term").isin(qt))
+    terms = ent["terms"]
+    idf = ent["idf"].filter(F.col("term").isin(qt))
     ti_scored = (
         terms.filter(F.col("term").isin(qt))
         .join(F.broadcast(idf.select("term", "idf_q")), "term")
