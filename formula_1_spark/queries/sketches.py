@@ -325,9 +325,23 @@ def countmin_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     ).alias("c")
-    coords = li.select("key", coord).select("key", "c.i", "c.bucket")
-    sketch = coords.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    exact = li.groupBy("key").agg(F.count(F.lit(1)).alias("exact_n"))
+    # The 4 md5 coordinates depend only on `key`, so the sketch counts
+    # are recoverable from the key-grain aggregate: count of rows landing
+    # in (i, bucket) == sum of exact_n over the keys hashing there. One
+    # corpus scan (the exact aggregate, checkpointed for its two readers)
+    # instead of two, and 4 md5s per DISTINCT key instead of per row —
+    # at any scale key cardinality << row count.
+    exact = (
+        li.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .localCheckpoint(eager=False)
+    )
+    sketch = (
+        exact.select("exact_n", coord)
+        .select("exact_n", "c.i", "c.bucket")
+        .groupBy("i", "bucket")
+        .agg(F.sum("exact_n").alias("c"))
+    )
     # Key-grain relation (scales with the corpus): two-phase top-20;
     # (exact_n, key) is a total order so rank == row_number.
     from formula_1_spark.operators.windows import two_phase_global_topk
