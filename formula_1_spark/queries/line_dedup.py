@@ -438,24 +438,41 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = chunks.select(
         "doc_id", "source", "n_tok", md5_long(F.col("chunk_text")).alias("cg")
     )
-    freq = hashed.groupBy("cg").agg(F.count(F.lit(1)).alias("cnt"))
+    # Pre-aggregate to (source, cg) before the frequency join: the global
+    # chunk frequency is the sum of per-source occurrence counts, and
+    # every per-source metric below is recoverable from this grain
+    # (chunks_distinct = rows per source, chunks_total = sum occ, token
+    # sums weight by occ-group token totals). The expensive chunk
+    # pipeline (per-doc gram hashing + boundary slicing) executes ONCE
+    # behind the checkpoint — previously both the frequency build and
+    # the join-back re-ran it — and the join input shrinks from chunk
+    # grain to (source, cg) grain.
+    grouped = (
+        hashed.groupBy("source", "cg")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.sum("n_tok").cast("bigint").alias("tok"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    freq = grouped.groupBy("cg").agg(F.sum("occ").alias("cnt"))
     dup = F.col("cnt") >= 2
     return (
-        hashed.join(freq, "cg")
+        grouped.join(freq, "cg")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("chunks_total"),
-            F.count_distinct("cg").alias("chunks_distinct"),
-            F.sum(F.when(dup, 1).otherwise(0))
+            F.sum("occ").cast("bigint").alias("chunks_total"),
+            F.count(F.lit(1)).cast("bigint").alias("chunks_distinct"),
+            F.sum(F.when(dup, F.col("occ")).otherwise(0))
             .cast("bigint")
             .alias("dup_chunk_occurrences"),
-            F.sum("n_tok").cast("bigint").alias("tokens_total"),
-            F.sum(F.when(dup, F.col("n_tok")).otherwise(0))
+            F.sum("tok").cast("bigint").alias("tokens_total"),
+            F.sum(F.when(dup, F.col("tok")).otherwise(0))
             .cast("bigint")
             .alias("dup_tokens"),
             F.expr(
-                f"cast(sum(case when cnt >= 2 then n_tok else 0 end)"
-                f" * {_PPM} div sum(n_tok) as bigint)"
+                f"cast(sum(case when cnt >= 2 then tok else 0 end)"
+                f" * {_PPM} div sum(tok) as bigint)"
             ).alias("dup_token_ppm"),
         )
         .orderBy("source")
