@@ -254,9 +254,15 @@ def boilerplate_phrase_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
     )
-    doc_bigrams = docs.select(
-        "doc_id", "source", F.explode(bigrams).alias("g")
-    ).distinct()
+    # The exploded distinct bigram relation feeds BOTH the boiler-phrase
+    # df aggregate and the per-doc flag join; checkpointing it (and the
+    # tiny boiler set, read by the join and the corpus-wide count)
+    # executes the explode+distinct once instead of twice.
+    doc_bigrams = (
+        docs.select("doc_id", "source", F.explode(bigrams).alias("g"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     d_total = docs.agg(F.count(F.lit(1)).alias("d"))
     boiler = (
         doc_bigrams.groupBy("g")
@@ -265,6 +271,7 @@ def boilerplate_phrase_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") * 100 > _BOILER_DF_PCT * F.col("d"))
         .select("g")
         .withColumn("is_boiler", F.lit(1))
+        .localCheckpoint(eager=False)
     )
     per_doc = (
         doc_bigrams.join(F.broadcast(boiler), "g", "left")
