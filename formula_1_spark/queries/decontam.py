@@ -91,27 +91,49 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Reuse the dedup family's cached token relation — an independent
     # persist of the same tokenization doubles cache memory and evicts
     # the shared pipeline mid-suite (measured: dedup_clusters 8->25 s).
+    return decontaminate(grams=_shared_grams13(spark, sf_dir))
+
+
+def _shared_grams13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized exploded 13-gram relation ``(doc_id, b, n_grams, g)``
+    over the shared token relation — the common prefix of
+    benchmark_decontamination and bloom_decontam_audit (which otherwise
+    re-ran the shingle build once and three times respectively). Stored
+    in the dedup family dict, same lifecycle as ``jaccard_pairs_loose``;
+    every oracle recomputes its grams from documents."""
     from formula_1_spark.queries.dedup import _shared_relations
 
-    return decontaminate(tok=_shared_relations(spark, sf_dir)["tok"])
+    ent = _shared_relations(spark, sf_dir)
+    if "grams13" not in ent:
+        sh = shingles_from_tokens(ent["tok"], DECONTAM_N)
+        ent["grams13"] = sh.select(
+            "doc_id",
+            split_bucket("doc_id").alias("b"),
+            F.size("sh").alias("n_grams"),
+            F.explode("sh").alias("g"),
+        ).localCheckpoint(eager=False)
+    return ent["grams13"]
 
 
 def decontaminate(
     docs: DataFrame | None = None,
     n: int = DECONTAM_N,
     tok: DataFrame | None = None,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Core decontamination DAG over any (doc_id, text) relation (or a
-    pre-tokenized (doc_id, toks) relation via ``tok``)."""
-    if tok is None:
-        tok = tokenized(docs).persist()
-    sh = shingles_from_tokens(tok, n)
-    grams = sh.select(
-        "doc_id",
-        split_bucket("doc_id").alias("b"),
-        F.size("sh").alias("n_grams"),
-        F.explode("sh").alias("g"),
-    ).persist()
+    pre-tokenized (doc_id, toks) relation via ``tok``, or the family's
+    pre-exploded gram relation via ``grams``)."""
+    if grams is None:
+        if tok is None:
+            tok = tokenized(docs).persist()
+        sh = shingles_from_tokens(tok, n)
+        grams = sh.select(
+            "doc_id",
+            split_bucket("doc_id").alias("b"),
+            F.size("sh").alias("n_grams"),
+            F.explode("sh").alias("g"),
+        ).persist()
     # The held-out side is a fixed benchmark suite in production — small
     # by design — so its distinct gram hashes broadcast and the training
     # corpus never shuffles.
@@ -460,14 +482,22 @@ ORDER BY bucket
 """,
 )
 def bloom_decontam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from formula_1_spark.queries.dedup import _shared_relations
-
-    tok = _shared_relations(spark, sf_dir)["tok"]
-    sh = shingles_from_tokens(tok, DECONTAM_N)
-    grams = sh.select(
-        split_bucket("doc_id").alias("b"), F.explode("sh").alias("g")
-    ).distinct()
-    ev = grams.filter(F.col("b") >= 8).select("g").distinct()
+    # Rides the family 13-gram memo; the distinct (b, g) projection is
+    # checkpointed because it feeds THREE consumers below (the eval gram
+    # set twice — filter build and truth join — and the train probe set),
+    # which previously re-ran the whole shingle pipeline each.
+    grams = (
+        _shared_grams13(spark, sf_dir)
+        .select("b", "g")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ev = (
+        grams.filter(F.col("b") >= 8)
+        .select("g")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     pos = ev.select(
         F.explode(
             F.array(
@@ -487,7 +517,8 @@ def bloom_decontam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.expr("bit_or(m)").alias("wv"))
     )
-    tr = grams.filter(F.col("b") < 8).select("b", "g").distinct()
+    # `grams` is already distinct at (b, g) grain — no re-distinct.
+    tr = grams.filter(F.col("b") < 8).select("b", "g")
     p1 = F.col("g") % _BLOOM_M
     p2 = (F.col("g") / F.lit(_BLOOM_SHIFT)).cast("bigint") % _BLOOM_M
     b1 = bloom.select(F.col("w").alias("w1"), F.col("wv").alias("wv1"))
