@@ -383,14 +383,19 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     tok: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: 60-bit signatures, candidates via the
     4-chunk pigeonhole (hamming <= 3 guarantees an equal 15-bit chunk),
     verified by exact ``bit_count(xor)``. ``tok`` short-circuits
-    tokenization with the family-shared token relation."""
-    if tok is None:
-        tok = tokenized(docs, id_col, text_col)
-    sigs = simhash_signatures(tok)
+    tokenization with the family-shared token relation; ``sigs`` a
+    pre-built ``(doc_id, sig)`` signature relation (the family memo —
+    the per-token md5 + 60-bit aggregate is the dominant cost and is
+    shared verbatim by the ROC tuning query)."""
+    if sigs is None:
+        if tok is None:
+            tok = tokenized(docs, id_col, text_col)
+        sigs = simhash_signatures(tok)
     chunk_w = SIMHASH_BITS // SIMHASH_CHUNKS
     chunks = sigs.select(
         "doc_id",

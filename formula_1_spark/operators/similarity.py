@@ -209,6 +209,7 @@ def cosine_near_dup_pairs(
     dims: int = 64,
     n_planes: int = N_PLANES,
     n_bands: int = N_BANDS,
+    flat: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, the scale path: candidates = pairs
     sharing >= 1 hyperplane-LSH band, exact cosine re-verify >= threshold.
@@ -233,7 +234,7 @@ def cosine_near_dup_pairs(
         F.col("vec_id"), F.col("embedding"), norm(F.col("embedding")).alias("na")
     ).localCheckpoint(eager=False)
     bands = _with_bands(base, "vec_id", "embedding", dims, n_planes, n_bands)
-    return _verify_band_candidates(base, bands, threshold, dims)
+    return _verify_band_candidates(base, bands, threshold, dims, flat=flat)
 
 
 def _verify_band_candidates(
@@ -242,6 +243,7 @@ def _verify_band_candidates(
     threshold: float,
     dims: int,
     broadcast_vectors: bool = True,
+    flat: DataFrame | None = None,
 ) -> DataFrame:
     """Bucket the (id, band) long form, explode in-bucket pairs, exact
     cosine re-verify. Bucket pattern rather than a bands⋈bands self-join:
@@ -259,7 +261,14 @@ def _verify_band_candidates(
     factor, so building on the vector side is also the right choice at
     scale; pass False only when the vector projection itself exceeds
     broadcast capacity (the planner then falls back to a shuffled join
-    keyed on vec_id)."""
+    keyed on vec_id).
+
+    ``flat`` short-circuits the per-call unit-vector flattening with a
+    pre-flattened ``(vec_id, u0..u{dims-1})`` relation (the session memo
+    in queries/dedup.py): analyzing the 2 x dims division expressions
+    costs ~seconds of driver time per call, while renaming attribute
+    refs off a checkpoint leaf is free. Values identical — u_d is the
+    same ``embedding[d]/na`` expression, evaluated at checkpoint time."""
     buckets = (
         bands.groupBy("band_id", "band_key")
         .agg(F.collect_set("vec_id").alias("ids"))
@@ -271,14 +280,7 @@ def _verify_band_candidates(
         .filter(F.col("vec_id_1") < F.col("vec_id_2"))
         .distinct()
     )
-    a = base.select(
-        F.col("vec_id").alias("vec_id_1"),
-        *flatten_vec("x", F.col("embedding"), dims, denom=F.col("na")),
-    )
-    b = base.select(
-        F.col("vec_id").alias("vec_id_2"),
-        *flatten_vec("y", F.col("embedding"), dims, denom=F.col("na")),
-    )
+    a, b = _flat_pair_sides(base, flat, dims)
     if broadcast_vectors:
         a, b = F.broadcast(a), F.broadcast(b)
     return (
@@ -290,12 +292,40 @@ def _verify_band_candidates(
     )
 
 
+def _flat_pair_sides(
+    base: DataFrame, flat: DataFrame | None, dims: int
+) -> tuple[DataFrame, DataFrame]:
+    """The two unit-vector join sides of a pair-verify tail: either
+    flattened per call from ``base`` (2 x dims division expressions to
+    analyze) or renamed off a pre-flattened ``(vec_id, u0..)`` memo."""
+    if flat is not None:
+        a = flat.select(
+            F.col("vec_id").alias("vec_id_1"),
+            *[F.col(f"u{d}").alias(f"x{d}") for d in range(dims)],
+        )
+        b = flat.select(
+            F.col("vec_id").alias("vec_id_2"),
+            *[F.col(f"u{d}").alias(f"y{d}") for d in range(dims)],
+        )
+        return a, b
+    a = base.select(
+        F.col("vec_id").alias("vec_id_1"),
+        *flatten_vec("x", F.col("embedding"), dims, denom=F.col("na")),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_id_2"),
+        *flatten_vec("y", F.col("embedding"), dims, denom=F.col("na")),
+    )
+    return a, b
+
+
 def cosine_near_dup_pairs_scaled(
     emb: DataFrame,
     threshold: float = 0.45,
     dims: int = 64,
     target_bucket: int = 32,
     n_vectors: int | None = None,
+    flat: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`cosine_near_dup_pairs` with CORPUS-SCALED banding — the
     production default. Bits per band = ``scaled_bits(n)`` so expected
@@ -327,7 +357,7 @@ def cosine_near_dup_pairs_scaled(
     bands = withb.select("vec_id", F.explode(structs).alias("bk")).select(
         "vec_id", "bk.band_id", "bk.band_key"
     )
-    return _verify_band_candidates(base, bands, threshold, dims)
+    return _verify_band_candidates(base, bands, threshold, dims, flat=flat)
 
 
 def semantic_dedup_pairs(
@@ -336,6 +366,7 @@ def semantic_dedup_pairs(
     iters: int = 2,
     threshold: float = 0.45,
     dims: int = 64,
+    flat: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster the embedding space with
     deterministic k-means, then compare pairs ONLY within a cluster
@@ -365,11 +396,15 @@ def semantic_dedup_pairs(
         .filter(F.col("r") == 1)
         .select("vec_id", "cell_id")
     )
-    return _pairs_within_cells(base, assign, threshold, dims)
+    return _pairs_within_cells(base, assign, threshold, dims, flat=flat)
 
 
 def _pairs_within_cells(
-    base: DataFrame, assign: DataFrame, threshold: float, dims: int
+    base: DataFrame,
+    assign: DataFrame,
+    threshold: float,
+    dims: int,
+    flat: DataFrame | None = None,
 ) -> DataFrame:
     """Shared verify tail: bucket the (vec_id, cell_id) assignment, explode
     in-cell pairs, exact prenormalized flat-dot cosine >= threshold.
@@ -390,14 +425,7 @@ def _pairs_within_cells(
         .select("cell_id", "vec_id_1", F.explode("ids").alias("vec_id_2"))
         .filter(F.col("vec_id_1") < F.col("vec_id_2"))
     )
-    a = base.select(
-        F.col("vec_id").alias("vec_id_1"),
-        *flatten_vec("x", F.col("embedding"), dims, denom=F.col("na")),
-    )
-    b = base.select(
-        F.col("vec_id").alias("vec_id_2"),
-        *flatten_vec("y", F.col("embedding"), dims, denom=F.col("na")),
-    )
+    a, b = _flat_pair_sides(base, flat, dims)
     return (
         cand.join(F.broadcast(a), "vec_id_1")
         .join(F.broadcast(b), "vec_id_2")
@@ -495,6 +523,7 @@ def semantic_dedup_pairs_scaled(
     dims: int = 64,
     base: DataFrame | None = None,
     assign: DataFrame | None = None,
+    flat: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`semantic_dedup_pairs` with corpus-scaled cells and the flat
     assignment kernel — the production path. With ``n_cells ~ sqrt(n)``
@@ -527,7 +556,7 @@ def semantic_dedup_pairs_scaled(
     # (e.g. queries.dedup._shared_semantic_relations) — identical values
     # (training is bit-deterministic), planned once per session.
     return _pairs_within_cells(
-        base, assign.select("vec_id", "cell_id"), threshold, dims
+        base, assign.select("vec_id", "cell_id"), threshold, dims, flat=flat
     )
 
 
@@ -684,19 +713,31 @@ def rerank_exact_topk(
 
 
 def lsh_topk(
-    corpus: DataFrame, queries: DataFrame, k: int = 10, dims: int = 64
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dims: int = 64,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share >= 1 LSH band with the
     query; exact cosine re-rank among candidates. Deterministic (md5-based
-    hyperplanes), hence exactly oracle-checkable despite being 'approx'."""
+    hyperplanes), hence exactly oracle-checkable despite being 'approx'.
+
+    ``corpus_bands`` short-circuits the corpus-side banding with the
+    session-memoized (neighbor_id, band_id, band_key) relation — the 16
+    per-vector hyperplane projections are the corpus-proportional cost of
+    this index, identical across the four LSH consumers (and exactly
+    what a persisted LSH index stores at production scale)."""
     qv = _vec_base(queries, "query_id", "q_vec")
     cv = _vec_base(corpus, "neighbor_id", "c_vec")
+    if corpus_bands is None:
+        corpus_bands = _with_bands(cv, "neighbor_id", "c_vec", dims)
     # Broadcast the query-side bands: the corpus band stream joins
     # map-side and only (query_id, neighbor_id) id pairs reach the
     # distinct — 2 shuffles end-to-end (distinct + final window).
     cand = (
         F.broadcast(_with_bands(qv, "query_id", "q_vec", dims))
-        .join(_with_bands(cv, "neighbor_id", "c_vec", dims), ["band_id", "band_key"])
+        .join(corpus_bands, ["band_id", "band_key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
@@ -705,7 +746,11 @@ def lsh_topk(
 
 
 def multiprobe_lsh_topk(
-    corpus: DataFrame, queries: DataFrame, k: int = 10, dims: int = 64
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dims: int = 64,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-probe LSH top-k (Lv et al. 2007, VLDB): each query probes
     its exact band bucket PLUS every Hamming-1 perturbation of the band
@@ -719,15 +764,14 @@ def multiprobe_lsh_topk(
     deterministic md5 hyperplanes -> exactly oracle-checkable."""
     qv = _vec_base(queries, "query_id", "q_vec")
     cv = _vec_base(corpus, "neighbor_id", "c_vec")
+    if corpus_bands is None:
+        corpus_bands = _with_bands(cv, "neighbor_id", "c_vec", dims)
     probes = expand_multiprobe(
         _with_bands(qv, "query_id", "q_vec", dims), "query_id"
     )
     cand = (
         F.broadcast(probes)
-        .join(
-            _with_bands(cv, "neighbor_id", "c_vec", dims),
-            ["band_id", "band_key"],
-        )
+        .join(corpus_bands, ["band_id", "band_key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()

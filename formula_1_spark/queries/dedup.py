@@ -100,6 +100,25 @@ def _shared_loose_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ent["jaccard_pairs_loose"]
 
 
+def _shared_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized 60-bit SimHash signature relation over the shared token
+    relation. The per-token md5 + 60 grouped ±1 sums is the dominant
+    cost of both signature consumers, and before the memo it executed
+    THREE times per suite: once in dedup_simhash and twice in
+    simhash_hamming_roc (the sig_a and sig_b sides of its pair join).
+    Same lifecycle as ``jaccard_pairs_loose``; every oracle still
+    recomputes signatures from documents, so a stale memo would
+    hash-mismatch."""
+    ent = _shared_relations(spark, sf_dir)
+    if "simhash_sigs" not in ent:
+        from formula_1_spark.operators.dedup import simhash_signatures
+
+        ent["simhash_sigs"] = simhash_signatures(ent["tok"]).localCheckpoint(
+            eager=False
+        )
+    return ent["simhash_sigs"]
+
+
 def _shared_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized (doc_id, cluster_id, cluster_size, is_canonical): the
     iterative min-label propagation runs once per (session, sf_dir) and
@@ -187,6 +206,59 @@ def _shared_semantic_relations(
                 _SEM_SHARED.pop(stale)  # checkpoint blocks die with context
             _SEM_SHARED[key] = ent
     return ent
+
+# Every embedding pair-verify tail (band path, cell path) flattens the
+# SAME unit vectors (embedding[d] / na, d < 64) per call — and analyzing
+# those 2 x 64 division expressions costs ~1-2 s of driver time per
+# query. The pre-flattened relation is memoized per (session, embeddings
+# identity) as a lazy localCheckpoint; consumers rename attribute refs
+# off the leaf. Values identical: u_d is the same expression, evaluated
+# once at checkpoint time, and every oracle renormalizes from embeddings.
+_FLAT_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _shared_flat_units(
+    spark: SparkSession, sf_dir: str, dims: int = 64
+) -> DataFrame:
+    import os
+
+    from formula_1_spark.functions.vectors import flatten_vec, norm
+
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        key = (
+            app_id,
+            os.path.abspath(path),
+            int(st.st_mtime_ns),
+            st.st_size,
+            dims,
+        )
+    except OSError:
+        key = None
+    df = _FLAT_MEMO.get(key) if key is not None else None
+    if df is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        # Barrier under the flatten so CollapseProject cannot inline the
+        # norm fold into all `dims` divisions (the flatten_vec caveat).
+        base = emb.select(
+            "vec_id", "embedding", norm(F.col("embedding")).alias("na")
+        ).localCheckpoint(eager=False)
+        df = base.select(
+            "vec_id",
+            *flatten_vec("u", F.col("embedding"), dims, denom=F.col("na")),
+        ).localCheckpoint(eager=False)
+        if key is not None:
+            for stale in [
+                k
+                for k in _FLAT_MEMO
+                if k[0] != app_id or (k[1] == key[1] and k != key)
+            ]:
+                _FLAT_MEMO.pop(stale)  # checkpoint blocks die with context
+            _FLAT_MEMO[key] = df
+    return df
+
 
 # Shared oracle CTEs: tokens → distinct word-3-gram shingles → 32-bit
 # md5-hashed shingle sets (mirrors operators.dedup.md5_int32/_shingled).
@@ -353,8 +425,7 @@ SELECT doc_id_1, doc_id_2, hamming FROM pairs WHERE hamming <= 3
 """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    shared = _shared_relations(spark, sf_dir)
-    return simhash_pairs(None, tok=shared["tok"])
+    return simhash_pairs(None, sigs=_shared_simhash_sigs(spark, sf_dir))
 
 
 @register(
@@ -465,7 +536,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (planted-pair test in tests/test_dedup.py). The ORACLE replicates
     # the banded candidate set exactly, so the check is still hash-exact.
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    return cosine_near_dup_pairs(emb, threshold=0.45)
+    return cosine_near_dup_pairs(
+        emb, threshold=0.45, flat=_shared_flat_units(spark, sf_dir)
+    )
 
 
 @register(
@@ -539,7 +612,9 @@ def dedup_embedding_cosine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     n = table_row_count(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs_scaled(emb, threshold=0.45, n_vectors=n)
+    return cosine_near_dup_pairs_scaled(
+        emb, threshold=0.45, n_vectors=n, flat=_shared_flat_units(spark, sf_dir)
+    )
 
 
 # SemDeDup-style semantic dedup: k-means cells as candidate buckets,
@@ -594,7 +669,13 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula_1_spark.operators.similarity import semantic_dedup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup_pairs(emb, n_cells=8, iters=2, threshold=0.45)
+    return semantic_dedup_pairs(
+        emb,
+        n_cells=8,
+        iters=2,
+        threshold=0.45,
+        flat=_shared_flat_units(spark, sf_dir),
+    )
 
 
 @register(
@@ -662,6 +743,7 @@ def dedup_semantic_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFram
         threshold=0.45,
         base=sem["base"],
         assign=sem["assign"],
+        flat=_shared_flat_units(spark, sf_dir),
     )
 
 
@@ -765,7 +847,11 @@ def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = _shared_semantic_relations(spark, sf_dir)
     base, assign = sem["base"], sem["assign"]
     dup = _pairs_within_cells(
-        base, assign.select("vec_id", "cell_id"), threshold=_SEM_EPS, dims=64
+        base,
+        assign.select("vec_id", "cell_id"),
+        threshold=_SEM_EPS,
+        dims=64,
+        flat=_shared_flat_units(spark, sf_dir),
     )
     ca = assign.select(
         F.col("vec_id").alias("vec_id_1"), F.col("cell_cos").alias("cc1")

@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 from formula_1_spark.queries.dedup import (
     _SHINGLES_CTE,
     _shared_loose_jaccard_pairs,
-    _shared_relations,
 )
 from formula_1_spark.queries.registry import register
 from formula_1_spark.sources.tables import load_table
@@ -289,11 +288,14 @@ ORDER BY max_hamming
 """,
 )
 def simhash_hamming_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from formula_1_spark.operators.dedup import simhash_signatures
+    from formula_1_spark.queries.dedup import _shared_simhash_sigs
 
-    ent = _shared_relations(spark, sf_dir)
     verified = _shared_loose_jaccard_pairs(spark, sf_dir)
-    sigs = simhash_signatures(ent["tok"])
+    # Family-memoized signatures: this query reads the relation TWICE
+    # (sig_a/sig_b joins) — with the checkpoint the per-token md5 +
+    # 60-bit aggregate executes once per (session, sf_dir), not 2x here
+    # plus once more in dedup_simhash.
+    sigs = _shared_simhash_sigs(spark, sf_dir)
     scored = (
         verified.join(
             sigs.select(F.col("doc_id").alias("doc_id_1"), F.col("sig").alias("sig_a")),

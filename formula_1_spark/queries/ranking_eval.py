@@ -146,19 +146,15 @@ ORDER BY m.method, qi.query_id
 """,
 )
 def ranking_metrics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from formula_1_spark.operators.similarity import (
-        brute_force_topk,
-        ivf_topk,
-        lsh_topk,
+    from formula_1_spark.operators.similarity import ivf_topk, lsh_topk
+    from formula_1_spark.queries.similarity import (
+        shared_corpus_bands,
+        shared_recall_gt,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    gt = (
-        brute_force_topk(emb, q, k=_RECALL_K)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
-    )
+    gt = shared_recall_gt(spark, sf_dir).select("query_id", "neighbor_id")
     w_arr = F.array(*[F.lit(w) for w in _W_PPM])
 
     def metrics_of(res: DataFrame, method: str) -> DataFrame:
@@ -183,7 +179,12 @@ def ranking_metrics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_ppm"),
         )
 
-    lsh = metrics_of(lsh_topk(emb, q, k=_RECALL_K), "lsh")
+    lsh = metrics_of(
+        lsh_topk(
+            emb, q, k=_RECALL_K, corpus_bands=shared_corpus_bands(spark, sf_dir)
+        ),
+        "lsh",
+    )
     ivf = metrics_of(
         ivf_topk(
             emb, q, k=_RECALL_K, centroids=shared_centroids(spark, sf_dir)
