@@ -1021,8 +1021,26 @@ def repetition_excision_signals(
     per-grain join. Numerators are bounded by 5x doc chars, so BIGINT
     ppm math holds to ~1.8e12 chars per document.
     """
-    w = F.split(F.trim(F.col("text")), unit_sep)
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    # Generate barrier (guide §4.1, the media_phash pattern): the split
+    # arrays are projected ONCE per row UNDER the explode; the gram
+    # lambdas above index the materialized array columns. Building grams
+    # from the raw split expressions lets CollapseProject inline
+    # split(trim(text)) into every `F.get(arr, i + j)` lambda element —
+    # each 5-gram element re-splits the whole document 5 times, O(len²)
+    # per doc (measured ~10.5 s for this query at sf0.1, 6x the fixed
+    # shape).
+    arrs = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.split(F.trim(F.col("text")), unit_sep).alias("u_arr"),
+        *(
+            ()
+            if unit_sep == r"\s+"
+            else (F.split(F.trim(F.col("text")), r"\s+").alias("w_arr"),)
+        ),
+    )
+    w = F.col("u_arr")
+    words = F.col("u_arr") if unit_sep == r"\s+" else F.col("w_arr")
     empty = F.array().cast("array<struct<grain:string,gram:string>>")
 
     def grams(arr, n: int, tag: str):
@@ -1048,11 +1066,7 @@ def repetition_excision_signals(
         grams(words, 5, "5"),
     )
     cnt = (
-        docs.select(
-            "doc_id",
-            F.length("text").cast("bigint").alias("n_chars"),
-            F.explode(tagged).alias("x"),
-        )
+        arrs.select("doc_id", "n_chars", F.explode(tagged).alias("x"))
         .groupBy("doc_id", "n_chars", "x.grain", "x.gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
