@@ -49,94 +49,79 @@ def register(name: str, oracle: str | None = None, ops: str = "", doc: str = "")
 
 
 # The correctness driver snapshots the FIRST 50 registry entries in
-# iteration order each round. Round 11 pins the 26 round-10 additions
-# first — the only queries never driver-checked (registered behind the
-# round-10 window per the growth protocol; all judge-verified green in
-# VERDICT r10's full oracle-parity pytest run and locally bit-exact vs
-# DuckDB at sf0.001 AND sf0.01). A green r11 closes cumulative driver
-# coverage: every pre-r11 registered query driver-certified at least once.
-# The remaining 24 slots re-check the STALEST greens: the r05 cohort (last
-# driver green CORRECTNESS_r05) in r05 order starting at
-# tpch_q10_returned_items — the first 18 of that cohort were re-checked in
-# r10; this window takes the next 24, leaving 8 (dedup_embedding_cosine
-# through media_feature_extract in r05 order) for the round-12 window.
-# New round-11+ queries register BEHIND this pinned window. Names absent
-# from REGISTRY are skipped; registered names absent from this list keep
-# registration order after it.
-#
-# ROUND-12 ROTATION TODO: pin the round-11 additions first (registered
-# behind this window, driver-never-checked; all locally bit-exact vs
-# DuckDB at sf0.001 AND sf0.01): similarity_ann_store_probe,
-# similarity_ann_store_append_probe, ann_store_cell_drift,
-# ann_store_split_plan, doc_repetition_excision, ann_store_staleness_audit,
-# ann_nndescent_graph, nndescent_recall_audit, ann_graph_beam_search,
-# preference_bradley_terry, annotator_agreement_kappa,
-# poisson_bootstrap_ci, dp_noisy_counts, dp_partition_selection,
-# ranking_metrics_battery, bm25_index_store_probe,
-# bm25_index_store_append_probe
-# (extend with any later round-11 registrations). Then the 8 remaining
-# r05-stale greens:
-# dedup_embedding_cosine, similarity_topk_bruteforce, similarity_ann_lsh,
-# similarity_ann_ivf, text_quality_profile, text_lang_report,
-# text_bpe_tokens, media_feature_extract. Fill the rest with the stalest
-# r06 cohort in r06 order (see CORRECTNESS_r06.json, starting at
-# ivf_incremental_assign).
+# iteration order each round. Round 12 executes the rotation the round-11
+# ledger prepared (PERF.md "Driver-window staleness ledger"): the 17
+# round-11 additions first — the only registered queries never
+# driver-checked (registered behind the round-11 window per the growth
+# protocol; all judge-verified green in VERDICT r11's full oracle-parity
+# pytest run and locally bit-exact vs DuckDB at sf0.001 AND sf0.01) —
+# then the 8 remaining r05-stale greens (last driver green
+# CORRECTNESS_r05, in r05 order), then the next 25 stalest greens: the
+# r06 cohort (last green CORRECTNESS_r06, none re-certified since) in r06
+# order starting at ivf_incremental_assign. A green r12 keeps cumulative
+# driver coverage at 100% and retires every pre-r06 stale green; the
+# remaining 25 r06-cohort names (ldiversity_audit onward in r06 order)
+# are queued for the round-13 window. New queries register BEHIND this
+# pinned window. Names absent from REGISTRY are skipped; registered names
+# absent from this list keep registration order after it.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (all 26 round-10 additions; judge-green
-    # r10 via the full oracle-parity suite) ---
-    "label_propagation_communities",
-    "doremi_domain_reweight",
-    "tcloseness_audit",
-    "kmeans_lloyd_iteration",
-    "random_projection_jl_audit",
-    "interval_overlap_join",
-    "conformal_coverage_audit",
-    "pass_at_k_estimator",
-    "xml_roundtrip_customers",
-    "ks_drift_test",
-    "null_semantics_battery",
-    "window_rank_functions_battery",
-    "media_byte_histogram",
-    "events_dynamic_session_window",
-    "try_functions_battery",
-    "anti_join_null_semantics",
-    "rendezvous_shard_assignment",
-    "window_value_functions_battery",
-    "dedup_signature_store_probe",
-    "quality_classifier_hashed_ngram",
-    "listagg_ordered_battery",
-    "parquet_agg_pushdown_scan",
-    "dedup_signature_store_append_probe",
-    "char_trigram_gini_diversity",
-    "cube_grouping_battery",
-    "rollup_distinct_count_battery",
-    # --- stalest r05-cohort greens (last green CORRECTNESS_r05; next 24
-    # in r05 order after the 18 re-checked in r10 — the remaining 8 are
-    # queued for round 12) ---
-    "tpch_q10_returned_items",
-    "tpch_q13_order_histogram",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q22_global_sales_opportunity",
-    "customers_left_join_orders",
-    "race_results_denorm",
-    "driver_standings",
-    "constructor_standings",
-    "adjusted_points_report",
-    "dominant_customers_topk",
-    "events_json_extract",
-    "scalar_functions",
-    "filter_scan_project",
-    "customer_retention_setops",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_stream_stream_join",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
+    # --- never driver-checked (all 17 round-11 additions; judge-green
+    # r11 via the full oracle-parity suite) ---
+    "similarity_ann_store_probe",
+    "similarity_ann_store_append_probe",
+    "ann_store_cell_drift",
+    "ann_store_split_plan",
+    "doc_repetition_excision",
+    "ann_store_staleness_audit",
+    "ann_nndescent_graph",
+    "nndescent_recall_audit",
+    "ann_graph_beam_search",
+    "preference_bradley_terry",
+    "annotator_agreement_kappa",
+    "poisson_bootstrap_ci",
+    "dp_noisy_counts",
+    "dp_partition_selection",
+    "ranking_metrics_battery",
+    "bm25_index_store_probe",
+    "bm25_index_store_append_probe",
+    # --- the 8 remaining r05-cohort stale greens (last green
+    # CORRECTNESS_r05; the rest of that cohort was re-checked r10/r11) ---
+    "dedup_embedding_cosine",
+    "similarity_topk_bruteforce",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "text_quality_profile",
+    "text_lang_report",
+    "text_bpe_tokens",
+    "media_feature_extract",
+    # --- stalest r06-cohort greens (last green CORRECTNESS_r06; first 25
+    # in r06 order from ivf_incremental_assign — the remaining 25 are
+    # queued for round 13) ---
+    "ivf_incremental_assign",
+    "dedup_incremental_compaction",
+    "dedup_cluster_canonical_quality",
+    "cluster_aware_split",
+    "pmi_collocations_topk",
+    "bloom_decontam_audit",
+    "rrf_rank_fusion",
+    "events_rolling_median",
+    "ngram_lm_surprisal",
+    "url_dedup_canonical",
+    "segment_dedup_retention",
+    "token_budget_selection",
+    "kanonymity_audit",
+    "source_ablation_impact",
+    "scd2_customer_priority",
+    "stream_dedup_watermark",
+    "code_switch_audit",
+    "split_ngram_coverage",
+    "boilerplate_phrase_filter",
+    "source_quality_calibration",
+    "winnow_fingerprint_dedup",
+    "tokenizer_fertility_audit",
+    "zipf_rank_doubling",
+    "oov_rate_audit",
+    "event_attribution_first_last",
 )
 
 
