@@ -50,26 +50,38 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def flatten_vec(
-    prefix: str, vec_col: Column, dims: int, denom: Column | None = None
-) -> list[Column]:
-    """``dims`` scalar double columns ``{prefix}0..{prefix}{dims-1}``
-    extracted from an array column (optionally elementwise-divided by
-    ``denom``, e.g. a precomputed norm for unit-normalization). Run ONCE
-    per row before a pair join. ``denom`` must be a plain column, not an
-    embedded HOF fold — see the CollapseProject caveat in the module doc."""
+    prefix: str, vec_name: str, dims: int, denom: str | None = None
+) -> list[str]:
+    """``dims`` SQL select-expressions ``{prefix}0..{prefix}{dims-1}``
+    (for ``df.selectExpr``) extracting scalar doubles from the array
+    column named ``vec_name`` (optionally elementwise-divided by the
+    plain column named ``denom``, e.g. a precomputed norm for
+    unit-normalization). Run ONCE per row before a pair join. ``denom``
+    must name a materialized column, not an embedded HOF fold — see the
+    CollapseProject caveat in the module doc.
+
+    Strings, not Columns: a Column-object formulation costs ~4·dims py4j
+    round trips per call site (~0.5-1 s of driver time at dims=64,
+    multiplied across every pair-verify/assignment call), while
+    ``selectExpr(*strings)`` ships the whole projection in ONE call and
+    parses it JVM-side. The parsed tree — CAST(element_at(v, i) AS
+    DOUBLE) [/ denom] — is expression-identical to the old
+    ``F.element_at(v, i).cast('double') [/ F.col(denom)]``."""
     out = []
     for d in range(dims):
-        c = F.element_at(vec_col, d + 1).cast("double")
+        e = f"CAST(element_at({vec_name}, {d + 1}) AS DOUBLE)"
         if denom is not None:
-            c = c / denom
-        out.append(c.alias(f"{prefix}{d}"))
+            e = f"({e} / {denom})"
+        out.append(f"{e} AS {prefix}{d}")
     return out
 
 
 def flat_dot(prefix_a: str, prefix_b: str, dims: int) -> Column:
     """Left-to-right dot product over two flattened sides — bit-identical
-    to ``dot`` on the original arrays."""
-    acc = F.col(f"{prefix_a}0") * F.col(f"{prefix_b}0")
-    for d in range(1, dims):
-        acc = acc + F.col(f"{prefix_a}{d}") * F.col(f"{prefix_b}{d}")
-    return acc
+    to ``dot`` on the original arrays (the SQL parser's ``+`` chain is
+    left-associative, matching the Column fold). Built from ONE parsed
+    string: the Column-chain formulation costs ~4·dims py4j round trips
+    per call."""
+    return F.expr(
+        " + ".join(f"({prefix_a}{d} * {prefix_b}{d})" for d in range(dims))
+    )

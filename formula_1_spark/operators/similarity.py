@@ -299,22 +299,24 @@ def _flat_pair_sides(
     flattened per call from ``base`` (2 x dims division expressions to
     analyze) or renamed off a pre-flattened ``(vec_id, u0..)`` memo."""
     if flat is not None:
-        a = flat.select(
-            F.col("vec_id").alias("vec_id_1"),
-            *[F.col(f"u{d}").alias(f"x{d}") for d in range(dims)],
+        # Guard the memo contract (r11 ADVICE): a memo built at a
+        # different dims would silently produce wrong candidates.
+        assert f"u{dims - 1}" in flat.columns and f"u{dims}" not in flat.columns, (
+            f"flat memo layout mismatch: expected u0..u{dims - 1}, got "
+            f"{[c for c in flat.columns if c.startswith('u')][:3]}..."
         )
-        b = flat.select(
-            F.col("vec_id").alias("vec_id_2"),
-            *[F.col(f"u{d}").alias(f"y{d}") for d in range(dims)],
+        a = flat.selectExpr(
+            "vec_id AS vec_id_1", *[f"u{d} AS x{d}" for d in range(dims)]
+        )
+        b = flat.selectExpr(
+            "vec_id AS vec_id_2", *[f"u{d} AS y{d}" for d in range(dims)]
         )
         return a, b
-    a = base.select(
-        F.col("vec_id").alias("vec_id_1"),
-        *flatten_vec("x", F.col("embedding"), dims, denom=F.col("na")),
+    a = base.selectExpr(
+        "vec_id AS vec_id_1", *flatten_vec("x", "embedding", dims, denom="na")
     )
-    b = base.select(
-        F.col("vec_id").alias("vec_id_2"),
-        *flatten_vec("y", F.col("embedding"), dims, denom=F.col("na")),
+    b = base.selectExpr(
+        "vec_id AS vec_id_2", *flatten_vec("y", "embedding", dims, denom="na")
     )
     return a, b
 
@@ -448,13 +450,13 @@ def _flat_cell_cos(cents: DataFrame, source: DataFrame, dims: int):
     # freed by the ContextCleaner once the iteration's DataFrame is
     # dropped, and the LogicalRDD leaf also stops the unrolled-iteration
     # plan from deepening.
-    cents_flat = cents.select(
-        "cell_id",
-        norm(F.col("cent")).alias("nc"),
-        *flatten_vec("y", F.col("cent"), dims),
-    ).localCheckpoint(eager=False)
-    flat_src = source.select(
-        "vec_id", "embedding", "na", *flatten_vec("x", F.col("embedding"), dims)
+    cents_flat = (
+        cents.select("cell_id", norm(F.col("cent")).alias("nc"), "cent")
+        .selectExpr("cell_id", "nc", *flatten_vec("y", "cent", dims))
+        .localCheckpoint(eager=False)
+    )
+    flat_src = source.selectExpr(
+        "vec_id", "embedding", "na", *flatten_vec("x", "embedding", dims)
     )
     return flat_src.join(F.broadcast(cents_flat), F.lit(True)).withColumn(
         "cell_cos", flat_dot("x", "y", dims) / (F.col("na") * F.col("nc"))
@@ -512,6 +514,14 @@ def kmeans_centroids_flat(
                 lambda s: s["comp"],
             ).alias("cent")
         )
+        # EAGER inter-iteration checkpoint (the NN-descent round-barrier
+        # lesson): a LAZY checkpoint still pays analysis of its full
+        # embedded subtree at call time, so iteration t+1's k x dims flat
+        # expressions re-analyze iteration t's on the driver (measured
+        # ~3-7 s of the _SEM_SHARED build at k=45, sf0.1). Materializing
+        # the k-row centroid relation per round keeps analysis linear in
+        # iters; values unchanged (checkpoint = materialization boundary).
+        cents = cents.localCheckpoint(eager=True)
     return cents
 
 
@@ -732,6 +742,14 @@ def lsh_topk(
     cv = _vec_base(corpus, "neighbor_id", "c_vec")
     if corpus_bands is None:
         corpus_bands = _with_bands(cv, "neighbor_id", "c_vec", dims)
+    else:
+        # Guard the memo contract (r11 ADVICE): a band relation built at a
+        # different (dims, plane) layout would silently change candidates.
+        # The memo key carries dims (queries.similarity.shared_corpus_bands);
+        # here assert the schema at least matches the band shape.
+        assert {"neighbor_id", "band_id", "band_key"} <= set(
+            corpus_bands.columns
+        ), f"corpus_bands layout mismatch: {corpus_bands.columns}"
     # Broadcast the query-side bands: the corpus band stream joins
     # map-side and only (query_id, neighbor_id) id pairs reach the
     # distinct — 2 shuffles end-to-end (distinct + final window).
@@ -766,6 +784,10 @@ def multiprobe_lsh_topk(
     cv = _vec_base(corpus, "neighbor_id", "c_vec")
     if corpus_bands is None:
         corpus_bands = _with_bands(cv, "neighbor_id", "c_vec", dims)
+    else:
+        assert {"neighbor_id", "band_id", "band_key"} <= set(
+            corpus_bands.columns
+        ), f"corpus_bands layout mismatch: {corpus_bands.columns}"
     probes = expand_multiprobe(
         _with_bands(qv, "query_id", "q_vec", dims), "query_id"
     )
@@ -1074,6 +1096,7 @@ def nndescent_graph(
     init_a: int = 2654435761,
     init_b: int = 40503,
     dims: int = 64,
+    broadcast_vectors: bool = True,
 ) -> DataFrame:
     """NN-descent k-NN GRAPH construction (Dong, Moses & Li, WWW'11) —
     the graph-based ANN family (HNSW/NSG ancestors), complementing the
@@ -1125,30 +1148,49 @@ def nndescent_graph(
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("nrm"),
     ).localCheckpoint(eager=False)
-    qe = base.select(
-        F.col("id").alias("v"),
-        F.col("nrm").alias("na"),
-        *flatten_vec("x", F.col("vec"), dims),
+    qe = base.selectExpr(
+        "id AS v", "nrm AS na", *flatten_vec("x", "vec", dims)
     )
-    ce = base.select(
-        F.col("id").alias("nb"),
-        F.col("nrm").alias("nbn"),
-        *flatten_vec("y", F.col("vec"), dims),
+    ce = base.selectExpr(
+        "id AS nb", "nrm AS nbn", *flatten_vec("y", "vec", dims)
     )
+    # Join-strategy contract (guide §3.1, the _verify_band_candidates
+    # precedent): the candidate-pair side outweighs the vector side by
+    # the candidate-degree factor (≤ 2k + k² pairs per vector vs 1 row),
+    # so the vector projections are the build/broadcast sides. Both
+    # inputs are stat-less checkpoint scans — without the hint the
+    # planner guesses. Past broadcast capacity pass
+    # ``broadcast_vectors=False``: the joins fall back to shuffles keyed
+    # on the vector id, the standard distributed NN-descent layout.
+    qe_j = F.broadcast(qe) if broadcast_vectors else qe
+    ce_j = F.broadcast(ce) if broadcast_vectors else ce
     w = Window.partitionBy("v").orderBy(F.desc("cos"), F.asc("nb"))
     ranked = None
     for t in range(iters):
         rev = g.select(F.col("nb").alias("v"), F.col("v").alias("nb"))
+        # shuffle_hash: both sides are the degree-bounded N·k graph —
+        # per-partition hash build is safe at any scale and skips the
+        # sort-merge join's two full sorts (guide §3.1).
         thru = (
             g.alias("a")
-            .join(g.alias("b"), F.col("a.nb") == F.col("b.v"))
+            .join(g.alias("b").hint("shuffle_hash"), F.col("a.nb") == F.col("b.v"))
             .filter(F.col("b.nb") != F.col("a.v"))
             .select(F.col("a.v").alias("v"), F.col("b.nb").alias("nb"))
         )
-        cand = g.unionByName(rev).unionByName(thru).distinct()
+        # ONE exchange per round (guide §2.4): hash-repartition by v, then
+        # dedup on (v, nb) — HashPartitioning(v) satisfies the dedup
+        # aggregate's (v, nb) clustering — and the broadcast scoring joins
+        # preserve it, so the top-k window re-uses the same exchange
+        # instead of adding its own (2 exchanges -> 1 per round).
+        cand = (
+            g.unionByName(rev)
+            .unionByName(thru)
+            .repartition("v")
+            .dropDuplicates(["v", "nb"])
+        )
         ranked = (
-            cand.join(qe, "v")
-            .join(ce, "nb")
+            cand.join(qe_j, "v")
+            .join(ce_j, "nb")
             .withColumn(
                 "cos", flat_dot("x", "y", dims) / (F.col("na") * F.col("nbn"))
             )

@@ -378,11 +378,11 @@ def embedding_decontamination(
         )
         .persist()
     )
-    ev = ev_base.select(
-        "eval_id", *flatten_vec("y", F.col("embedding"), dims, denom=F.col("nb"))
+    ev = ev_base.selectExpr(
+        "eval_id", *flatten_vec("y", "embedding", dims, denom="nb")
     )
-    tr = tr_base.select(
-        "train_id", *flatten_vec("x", F.col("embedding"), dims, denom=F.col("na"))
+    tr = tr_base.selectExpr(
+        "train_id", *flatten_vec("x", "embedding", dims, denom="na")
     )
     scored = tr.crossJoin(F.broadcast(ev)).select(
         "train_id", "eval_id", flat_dot("x", "y", dims).alias("cos")

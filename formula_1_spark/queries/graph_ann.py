@@ -175,29 +175,16 @@ _GRAPH_MEMO: dict[tuple, DataFrame] = {}
 def shared_nndescent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, neighbor_id, cos, rank) for the full corpus at the
     default knobs (k=8, 2 rounds)."""
-    import os
+    from formula_1_spark.queries import memo
 
-    app_id = spark.sparkContext.applicationId
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(path)
-        key = (app_id, os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
-    except OSError:
-        key = None
-    df = _GRAPH_MEMO.get(key) if key is not None else None
+    key = memo.file_key(spark, sf_dir, "embeddings")
+    df = memo.get(_GRAPH_MEMO, key)
     if df is None:
         emb = load_table(spark, sf_dir, "embeddings")
         df = nndescent_graph(emb, k=_K, iters=_ITERS).localCheckpoint(
             eager=True
         )
-        if key is not None:
-            for stale in [
-                k_
-                for k_ in _GRAPH_MEMO
-                if k_[0] != app_id or (k_[1] == key[1] and k_ != key)
-            ]:
-                _GRAPH_MEMO.pop(stale)  # blocks die with their context
-            _GRAPH_MEMO[key] = df
+        memo.install(_GRAPH_MEMO, key, df)
     return df
 
 
@@ -297,11 +284,20 @@ def ann_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen = frontier
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("node"))
     for _ in range(_HOPS):
+        # Eager per-hop checkpoints (the trade_hits iterative-lineage
+        # pattern, guide §5/§7.3): `expanded` is consumed TWICE per hop
+        # (scoring chain + seen union) and `seen` feeds both the next hop
+        # and the final rank, so without a barrier the plan doubles per
+        # hop (~2^hops analysis). Both relations are search-state-bounded
+        # — ≤ |queries|·beam·(k+1) rows regardless of corpus size — so
+        # materializing them per hop is O(1) work and the action becomes
+        # `hops` shallow plans.
         expanded = (
             frontier.join(graph, frontier["node"] == graph["v"])
             .select("query_id", F.col("nb").alias("node"))
             .unionByName(frontier)
             .distinct()
+            .localCheckpoint(eager=True)
         )
         scored = (
             expanded.join(F.broadcast(qv), "query_id")
@@ -313,7 +309,11 @@ def ann_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("r") <= _BEAM)
             .select("query_id", "node")
         )
-        seen = seen.unionByName(expanded).distinct()
+        seen = (
+            seen.unionByName(expanded)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     final = (
         seen.filter(F.col("node") != F.col("query_id"))
         .join(F.broadcast(qv), "query_id")

@@ -163,11 +163,21 @@ def preference_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    # Panel-sized from here on (players² rows max); lazily checkpointed so
-    # the three unrolled MM rounds replan a leaf, not the corpus reduction.
-    sym = sym.localCheckpoint(eager=False)
-    wins = sym.groupBy("p").agg(
-        F.sum("w").alias("w_p"), F.sum("n").alias("n_p")
+    # Panel-sized from here on (players² rows max — players = nations, a
+    # DOMAIN-bounded 25 at any corpus scale); lazily checkpointed so the
+    # three unrolled MM rounds replan a leaf, not the corpus reduction.
+    # repartition(1): the corpus reduction inherits the corpus-wide
+    # shuffle width, so without it every panel-grain MM stage fans out
+    # #shuffle-partitions tasks for <= 600 rows — measured 1.8x FASTER on
+    # 8 cores than 32 at sf0.1 (pure task-launch overhead, guide §2.1);
+    # one partition is the scale-correct width for a bounded panel.
+    sym = sym.repartition(1).localCheckpoint(eager=False)
+    wins = (
+        sym.groupBy("p")
+        .agg(F.sum("w").alias("w_p"), F.sum("n").alias("n_p"))
+        # consumed by every MM round's join-back AND the final select —
+        # checkpoint once (panel-sized) instead of re-aggregating per round
+        .localCheckpoint(eager=False)
     )
 
     strengths = wins.select("p", F.lit(1.0).alias("s"))
