@@ -87,19 +87,26 @@ def tfidf_topk_pairs(
     ``terms``/``idf`` short-circuit the tokenize→tf and df→idf builds
     with the lexical family's session-memoized relations — the three
     registered lexical queries otherwise rebuild the identical corpus
-    tokenization per call (and leak a per-call persist each).
+    tokenization per call. All per-call reuse barriers here (fallback
+    ``terms``, the weighted relation ``w``) are lazy localCheckpoints, so
+    repeated calls leak nothing: blocks are GC-freed once the caller's
+    result DataFrame drops (a per-call ``persist()`` would accumulate in
+    the CacheManager for the session's lifetime — the r11 ADVICE leak).
     """
     if n_docs is None:
         n_docs = docs.count()  # fallback; callers pass the memoized count
     if terms is None:
-        terms = doc_terms(docs, id_col, text_col).persist()
+        # localCheckpoint, not persist (r11 ADVICE): a per-call persist is
+        # never released in a long-lived session; checkpoint blocks are
+        # GC-freed once the caller's result DataFrame drops.
+        terms = doc_terms(docs, id_col, text_col).localCheckpoint(eager=False)
     if idf is None:
         idf = idf_table(terms, n_docs)
 
     w = (
         terms.join(idf.select("term", "df", "idf_q"), "term")
         .withColumn("w", F.col("tf") * F.col("idf_q"))
-        .persist()
+        .localCheckpoint(eager=False)  # 4 consumers below; GC-freed
     )
     norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
 

@@ -39,23 +39,17 @@ _SHARED: dict[tuple, dict[str, DataFrame]] = {}
 
 
 def _shared_relations(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    # Key on (appId, path, mtime, size) — mirroring span_extents._POSTINGS
-    # — so a regenerated documents.parquet invalidates naturally instead of
-    # silently serving stale persisted relations for the rest of the
-    # session. Evictions: dead-app entries are dropped (their storage died
-    # with the old SparkContext); THIS app's superseded entries for the
-    # same path are unpersisted explicitly so executor storage is freed —
-    # one live entry per (app, path), ever.
-    import os
+    # Keyed/evicted/budgeted by queries.memo (one ledger for every
+    # family memo): a regenerated documents.parquet invalidates the key;
+    # superseded same-app entries release the four persist-backed
+    # relations via unpersist() while the lazily-added checkpoint-backed
+    # members (jaccard_pairs_loose, simhash_sigs, clusters, grams13 —
+    # where unpersist() would be a no-op, the r11 ADVICE leak) are
+    # released by reference drop to the ContextCleaner.
+    from formula_1_spark.queries import memo
 
-    app_id = spark.sparkContext.applicationId
-    path = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(path)
-        key = (app_id, os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
-    except OSError:
-        key = None  # no invalidation signal (remote FS) — build fresh
-    ent = _SHARED.get(key) if key is not None else None
+    key = memo.file_key(spark, sf_dir, "documents")
+    ent = memo.get(_SHARED, key)
     if ent is None:
         docs = load_table(spark, sf_dir, "documents")
         tok = tokenized(docs).persist()
@@ -65,20 +59,9 @@ def _shared_relations(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             sh, threshold=0.5, max_df=50, cand=cand
         ).persist()
         ent = {"tok": tok, "sh": sh, "cand": cand, "jaccard_pairs": jac}
-        if key is not None:
-            for stale in [
-                k
-                for k in _SHARED
-                if k[0] != app_id or (k[1] == key[1] and k != key)
-            ]:
-                old = _SHARED.pop(stale)
-                if stale[0] == app_id:
-                    for df in old.values():
-                        try:
-                            df.unpersist()
-                        except Exception:
-                            pass  # best-effort storage release
-            _SHARED[key] = ent
+        memo.install(
+            _SHARED, key, ent, persisted=("tok", "sh", "cand", "jaccard_pairs")
+        )
     return ent
 
 
@@ -159,7 +142,6 @@ def _shared_semantic_relations(
     cell_cos)} for the corpus-scaled (k = max(8, ceil(sqrt(n))), 2-iter)
     semantic quantizer."""
     import math
-    import os
 
     from pyspark.sql import Window
 
@@ -168,16 +150,11 @@ def _shared_semantic_relations(
         kmeans_centroids_flat,
         norm,
     )
+    from formula_1_spark.queries import memo
     from formula_1_spark.sources.tables import fan_out
 
-    app_id = spark.sparkContext.applicationId
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(path)
-        key = (app_id, os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
-    except OSError:
-        key = None
-    ent = _SEM_SHARED.get(key) if key is not None else None
+    key = memo.file_key(spark, sf_dir, "embeddings")
+    ent = memo.get(_SEM_SHARED, key)
     if ent is None:
         emb = load_table(spark, sf_dir, "embeddings")
         n = table_row_count(spark, sf_dir, "embeddings")
@@ -197,14 +174,7 @@ def _shared_semantic_relations(
             .localCheckpoint(eager=True)
         )
         ent = {"base": base, "assign": assign}
-        if key is not None:
-            for stale in [
-                k_
-                for k_ in _SEM_SHARED
-                if k_[0] != app_id or (k_[1] == key[1] and k_ != key)
-            ]:
-                _SEM_SHARED.pop(stale)  # checkpoint blocks die with context
-            _SEM_SHARED[key] = ent
+        memo.install(_SEM_SHARED, key, ent)
     return ent
 
 # Every embedding pair-verify tail (band path, cell path) flattens the
@@ -220,24 +190,11 @@ _FLAT_MEMO: dict[tuple, DataFrame] = {}
 def _shared_flat_units(
     spark: SparkSession, sf_dir: str, dims: int = 64
 ) -> DataFrame:
-    import os
-
     from formula_1_spark.functions.vectors import flatten_vec, norm
+    from formula_1_spark.queries import memo
 
-    app_id = spark.sparkContext.applicationId
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(path)
-        key = (
-            app_id,
-            os.path.abspath(path),
-            int(st.st_mtime_ns),
-            st.st_size,
-            dims,
-        )
-    except OSError:
-        key = None
-    df = _FLAT_MEMO.get(key) if key is not None else None
+    key = memo.file_key(spark, sf_dir, "embeddings", extra=(dims,))
+    df = memo.get(_FLAT_MEMO, key)
     if df is None:
         emb = load_table(spark, sf_dir, "embeddings")
         # Barrier under the flatten so CollapseProject cannot inline the
@@ -245,18 +202,10 @@ def _shared_flat_units(
         base = emb.select(
             "vec_id", "embedding", norm(F.col("embedding")).alias("na")
         ).localCheckpoint(eager=False)
-        df = base.select(
-            "vec_id",
-            *flatten_vec("u", F.col("embedding"), dims, denom=F.col("na")),
+        df = base.selectExpr(
+            "vec_id", *flatten_vec("u", "embedding", dims, denom="na")
         ).localCheckpoint(eager=False)
-        if key is not None:
-            for stale in [
-                k
-                for k in _FLAT_MEMO
-                if k[0] != app_id or (k[1] == key[1] and k != key)
-            ]:
-                _FLAT_MEMO.pop(stale)  # checkpoint blocks die with context
-            _FLAT_MEMO[key] = df
+        memo.install(_FLAT_MEMO, key, df)
     return df
 
 

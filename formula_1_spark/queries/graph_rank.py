@@ -59,16 +59,10 @@ def shared_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized directed nation trade aggregate: (src, dst, n) with
     src <> dst, n = exact line count (LongType) — bit-identical to the
     inline aggregate every family member previously built."""
-    import os
+    from formula_1_spark.queries import memo
 
-    app_id = spark.sparkContext.applicationId
-    path = os.path.join(sf_dir, "lineitem.parquet")
-    try:
-        st = os.stat(path)
-        key = (app_id, os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
-    except OSError:
-        key = None
-    ent = _TRADE_SHARED.get(key) if key is not None else None
+    key = memo.file_key(spark, sf_dir, "lineitem")
+    ent = memo.get(_TRADE_SHARED, key)
     if ent is None:
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_suppkey"
@@ -94,14 +88,7 @@ def shared_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if key is not None:
-            for stale in [
-                k
-                for k in _TRADE_SHARED
-                if k[0] != app_id or (k[1] == key[1] and k != key)
-            ]:
-                _TRADE_SHARED.pop(stale)  # checkpoint blocks die with context
-            _TRADE_SHARED[key] = ent
+        memo.install(_TRADE_SHARED, key, ent)
     return ent
 
 

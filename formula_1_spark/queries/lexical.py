@@ -39,32 +39,18 @@ _LEX_SHARED: dict[tuple, dict[str, DataFrame]] = {}
 
 
 def _shared_lexical(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    import os
-
     from formula_1_spark.operators.tfidf import doc_terms, idf_table
+    from formula_1_spark.queries import memo
 
-    app_id = spark.sparkContext.applicationId
-    path = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(path)
-        key = (app_id, os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
-    except OSError:
-        key = None  # no invalidation signal (remote FS) — build fresh
-    ent = _LEX_SHARED.get(key) if key is not None else None
+    key = memo.file_key(spark, sf_dir, "documents")
+    ent = memo.get(_LEX_SHARED, key)
     if ent is None:
         docs = load_table(spark, sf_dir, "documents")
         n = table_row_count(spark, sf_dir, "documents")
         terms = doc_terms(docs).localCheckpoint(eager=False)
         idf = idf_table(terms, n).localCheckpoint(eager=False)
         ent = {"terms": terms, "idf": idf}
-        if key is not None:
-            for stale in [
-                k
-                for k in _LEX_SHARED
-                if k[0] != app_id or (k[1] == key[1] and k != key)
-            ]:
-                _LEX_SHARED.pop(stale)  # checkpoint blocks die with context
-            _LEX_SHARED[key] = ent
+        memo.install(_LEX_SHARED, key, ent)
     return ent
 
 

@@ -36,29 +36,16 @@ _CENTROIDS_MEMO: dict[tuple, DataFrame] = {}
 
 
 def shared_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
+    from formula_1_spark.queries import memo
 
-    app_id = spark.sparkContext.applicationId
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(path)
-        key = (app_id, os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
-    except OSError:
-        key = None  # no invalidation signal — build fresh
-    df = _CENTROIDS_MEMO.get(key) if key is not None else None
+    key = memo.file_key(spark, sf_dir, "embeddings")
+    df = memo.get(_CENTROIDS_MEMO, key)
     if df is None:
         emb = load_table(spark, sf_dir, "embeddings")
         df = kmeans_centroids(emb, n_cells=8, iters=2).localCheckpoint(
             eager=True
         )
-        if key is not None:
-            for stale in [
-                k
-                for k in _CENTROIDS_MEMO
-                if k[0] != app_id or (k[1] == key[1] and k != key)
-            ]:
-                _CENTROIDS_MEMO.pop(stale)  # blocks die with their context
-            _CENTROIDS_MEMO[key] = df
+        memo.install(_CENTROIDS_MEMO, key, df)
     return df
 
 
@@ -70,32 +57,18 @@ def shared_pq_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     full embeddings table at the default knobs — the PQ twin of
     :func:`shared_centroids`, shared by ann_pq / ann_ivfpq /
     pq_distortion_audit / pq_recall_audit."""
-    import os
-
     from formula_1_spark.operators.similarity import pq_subspace_model
+    from formula_1_spark.queries import memo
 
-    app_id = spark.sparkContext.applicationId
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(path)
-        key = (app_id, os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
-    except OSError:
-        key = None
-    df = _PQ_CENTS_MEMO.get(key) if key is not None else None
+    key = memo.file_key(spark, sf_dir, "embeddings")
+    df = memo.get(_PQ_CENTS_MEMO, key)
     if df is None:
         emb = load_table(spark, sf_dir, "embeddings")
         _long, cents, _structs, _w = pq_subspace_model(
             emb, m=_PQ_M, n_codes=_PQ_CODES, learn_iters=_PQ_ITERS, dims=64
         )
         df = cents.localCheckpoint(eager=True)
-        if key is not None:
-            for stale in [
-                k
-                for k in _PQ_CENTS_MEMO
-                if k[0] != app_id or (k[1] == key[1] and k != key)
-            ]:
-                _PQ_CENTS_MEMO.pop(stale)
-            _PQ_CENTS_MEMO[key] = df
+        memo.install(_PQ_CENTS_MEMO, key, df)
     return df
 
 # The corpus-side LSH band index (neighbor_id, band_id, band_key) at the
@@ -109,32 +82,20 @@ _CORPUS_BANDS_MEMO: dict[tuple, DataFrame] = {}
 
 
 def shared_corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from formula_1_spark.operators.similarity import _vec_base, _with_bands
+    from formula_1_spark.queries import memo
 
-    app_id = spark.sparkContext.applicationId
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(path)
-        key = (app_id, os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
-    except OSError:
-        key = None
-    df = _CORPUS_BANDS_MEMO.get(key) if key is not None else None
+    # dims in the key (r11 ADVICE): a future caller at a different
+    # hyperplane layout must miss this memo, not silently reuse it.
+    key = memo.file_key(spark, sf_dir, "embeddings", extra=(64,))
+    df = memo.get(_CORPUS_BANDS_MEMO, key)
     if df is None:
         emb = load_table(spark, sf_dir, "embeddings")
         cv = _vec_base(emb, "neighbor_id", "c_vec")
         df = _with_bands(cv, "neighbor_id", "c_vec", 64).localCheckpoint(
             eager=False
         )
-        if key is not None:
-            for stale in [
-                k
-                for k in _CORPUS_BANDS_MEMO
-                if k[0] != app_id or (k[1] == key[1] and k != key)
-            ]:
-                _CORPUS_BANDS_MEMO.pop(stale)
-            _CORPUS_BANDS_MEMO[key] = df
+        memo.install(_CORPUS_BANDS_MEMO, key, df)
     return df
 
 
@@ -151,29 +112,16 @@ _RECALL_GT_MEMO: dict[tuple, DataFrame] = {}
 def shared_recall_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized ``brute_force_topk(emb, vec_id < 10, k=10)`` — full
     (query_id, neighbor_id, cos, rank) relation; consumers project."""
-    import os
+    from formula_1_spark.queries import memo
 
-    app_id = spark.sparkContext.applicationId
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(path)
-        key = (app_id, os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
-    except OSError:
-        key = None
-    df = _RECALL_GT_MEMO.get(key) if key is not None else None
+    key = memo.file_key(spark, sf_dir, "embeddings")
+    df = memo.get(_RECALL_GT_MEMO, key)
     if df is None:
         emb = load_table(spark, sf_dir, "embeddings")
         df = brute_force_topk(
             emb, emb.filter(F.col("vec_id") < 10), k=_RECALL_K
         ).localCheckpoint(eager=False)
-        if key is not None:
-            for stale in [
-                k
-                for k in _RECALL_GT_MEMO
-                if k[0] != app_id or (k[1] == key[1] and k != key)
-            ]:
-                _RECALL_GT_MEMO.pop(stale)
-            _RECALL_GT_MEMO[key] = df
+        memo.install(_RECALL_GT_MEMO, key, df)
     return df
 
 
@@ -248,8 +196,12 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10
 )
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The declared relation IS the family ground-truth memo (identical
-    # call: k=10 over the vec_id < 10 panel).
-    return shared_recall_gt(spark, sf_dir)
+    # call: k=10 over the vec_id < 10 panel). Reassert the declared
+    # contract at the call site (r11 ADVICE): this query's oracle encodes
+    # rank <= 10, so if the memo's panel k ever diverges the filter keeps
+    # the declared result identical instead of silently widening it.
+    assert _RECALL_K == 10, "memo k diverged from the declared oracle (k=10)"
+    return shared_recall_gt(spark, sf_dir).filter(F.col("rank") <= 10)
 
 
 @register(

@@ -116,21 +116,13 @@ _POSTINGS: dict[tuple, DataFrame] = {}
 
 
 def _bucketed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Key on (appId, path, mtime, size) — mirroring table_row_count — so a
-    # regenerated documents.parquet invalidates naturally instead of
-    # silently serving stale postings. Entries from other applicationIds
-    # (stopped sessions) are evicted on insert: their checkpointed RDDs
-    # are gone with the old session, so the references are dead weight.
-    app_id = spark.sparkContext.applicationId
-    path = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(path)
-        key = (app_id, os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
-    except OSError:
-        # No local stat (remote FS): no cheap invalidation signal — build
-        # fresh rather than risk stale postings.
-        key = None
-    pos = _POSTINGS.get(key) if key is not None else None
+    # Keyed/evicted/budgeted by queries.memo (one ledger for every family
+    # memo): a regenerated documents.parquet invalidates the key; dead-app
+    # and superseded same-path entries are released uniformly.
+    from formula_1_spark.queries import memo
+
+    key = memo.file_key(spark, sf_dir, "documents")
+    pos = memo.get(_POSTINGS, key)
     if pos is None:
         docs = load_table(spark, sf_dir, "documents")
         pos = (
@@ -140,20 +132,7 @@ def _bucketed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("b", split_bucket("doc_id"))
             .localCheckpoint(eager=False)
         )
-        if key is not None:
-            # Evict (a) entries from stopped sessions — their checkpointed
-            # RDDs died with the old applicationId — and (b) THIS app's
-            # superseded entries for the same path (older mtime/size): a
-            # long-lived session sweeping regenerated sf_dirs would
-            # otherwise pin one checkpointed relation per (dir, mtime)
-            # forever. One live entry per (app, path), ever.
-            for stale in [
-                k
-                for k in _POSTINGS
-                if k[0] != app_id or (k[1] == key[1] and k != key)
-            ]:
-                del _POSTINGS[stale]
-            _POSTINGS[key] = pos
+        memo.install(_POSTINGS, key, pos)
     return pos
 
 

@@ -72,14 +72,10 @@ def _doubling_levels(spark: SparkSession, sf_dir: str) -> dict[int, DataFrame]:
     Built once per (session, table mtime/size); each level is a lazy
     GC-freed localCheckpoint so the 3 queries sharing the grid replay
     none of the join chain and plans stay flat across levels."""
-    app_id = spark.sparkContext.applicationId
-    path = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(path)
-        key = (app_id, os.path.abspath(path), int(st.st_mtime_ns), st.st_size)
-    except OSError:
-        key = None  # no invalidation signal (remote FS) — build fresh
-    levels = _GRID.get(key) if key is not None else None
+    from formula_1_spark.queries import memo
+
+    key = memo.file_key(spark, sf_dir, "documents")
+    levels = memo.get(_GRID, key)
     if levels is None:
         docs = fan_out(load_table(spark, sf_dir, "documents"))
         tok = docs.select(
@@ -109,18 +105,7 @@ def _doubling_levels(spark: SparkSession, sf_dir: str) -> dict[int, DataFrame]:
                 )
                 .localCheckpoint(eager=False)
             )
-        if key is not None:
-            # Evict dead-session entries AND this app's superseded entries
-            # for the same path (older mtime/size) — one live grid per
-            # (app, path), so long-lived sessions sweeping regenerated
-            # sf_dirs never accumulate checkpointed grids unboundedly.
-            for stale in [
-                k
-                for k in _GRID
-                if k[0] != app_id or (k[1] == key[1] and k != key)
-            ]:
-                del _GRID[stale]
-            _GRID[key] = levels
+        memo.install(_GRID, key, levels)
     return levels
 
 
